@@ -1,0 +1,77 @@
+"""Solver configuration.
+
+The reference keeps every hyperparameter as a compile-time file-scope constant
+(ref: include/ilqr.h:14-25, include/boxqp.h:19-24, include/finite_diff.h:9).
+Here they live in frozen dataclasses that are hashable and therefore usable as
+``jax.jit`` static arguments; shape-affecting fields (iteration caps, alpha
+count) stay Python ints so XLA sees static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+# The reference's hard-coded line-search schedule (ref: include/ilqr.h:24).
+# These are the literal values, NOT an exact log-space — parity requires them.
+DEFAULT_ALPHAS: Tuple[float, ...] = (
+    1.0000, 0.5012, 0.2512, 0.1259, 0.0631,
+    0.0316, 0.0158, 0.0079, 0.0040, 0.0020, 0.0010,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxQPConfig:
+    """Projected-Newton boxQP hyperparameters (ref: include/boxqp.h:19-24)."""
+
+    max_iter: int = 100           # qp_maxIter
+    min_grad: float = 1e-8        # minGrad: free-subspace gradient-norm tol
+    min_rel_improve: float = 1e-8  # minRelImprove
+    step_dec: float = 0.6         # stepDec: Armijo backtracking factor
+    min_step: float = 1e-22       # minStep
+    armijo: float = 0.1           # Armijo sufficient-decrease fraction
+    clamp_tol: float = 1e-4       # approx_eq tolerance (ref: boxqp.h:61-64)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Outer iLQR loop hyperparameters (ref: include/ilqr.h:14-25).
+
+    ``deriv_mode``:
+      - "analytic": jacfwd/hessian of the discrete step & cost (default; exact)
+      - "fd": central finite differences with ``fd_eps``, matching the
+        reference's stencils (ref: include/finite_diff.h) for parity runs.
+
+    ``clamp_forward``: the reference does NOT clamp controls to the box during
+    the forward rollout (ref: src/ilqr_core.cpp:322-329, a known defect kept
+    for parity when False). True enables the corrected behavior.
+
+    ``use_control_limits``: False selects the unconstrained backward pass
+    (plain regularized Newton, what boxQP degenerates to with infinite box).
+    """
+
+    max_iter: int = 100
+    tol_fun: float = 1e-6
+    tol_grad: float = 1e-6
+    lambda_init: float = 1.0
+    dlambda_init: float = 1.0
+    lambda_factor: float = 1.6
+    lambda_max: float = 1e11
+    lambda_min: float = 1e-8
+    lambda_grad_term: float = 1e-5  # λ must be below this for grad termination
+    z_min: float = 0.0
+    alphas: Tuple[float, ...] = DEFAULT_ALPHAS
+    deriv_mode: str = "analytic"
+    fd_eps: float = 1e-3
+    integrator: str = "euler"
+    clamp_forward: bool = False
+    use_control_limits: bool = True
+    boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Configuration that reproduces the reference binary bit-for-bit semantics.
+PARITY_CONFIG = SolverConfig(deriv_mode="fd", clamp_forward=False)

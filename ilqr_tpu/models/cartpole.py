@@ -1,0 +1,78 @@
+"""Cart-pole swing-up (extra model; no reference counterpart).
+
+state = [p, θ, ṗ, θ̇] with θ from the down axis (up = π); control = cart force.
+Standard frictionless cart-pole equations of motion:
+  θ̈ = (g sinθ − cosθ·(u + m_p l θ̇² sinθ)/(m_c+m_p)) /
+       (l·(4/3 − m_p cos²θ/(m_c+m_p)))
+  p̈ = (u + m_p l (θ̇² sinθ − θ̈ cosθ)) / (m_c+m_p)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import Model
+
+
+class CartPoleParams(NamedTuple):
+    goal: jnp.ndarray       # (4,)
+    mass_cart: jnp.ndarray
+    mass_pole: jnp.ndarray
+    length: jnp.ndarray     # half pole length
+    gravity: jnp.ndarray
+    w_state: jnp.ndarray    # (4,)
+    w_control: jnp.ndarray  # scalar
+    w_final: jnp.ndarray    # (4,)
+    u_min: jnp.ndarray      # (1,)
+    u_max: jnp.ndarray      # (1,)
+
+
+def default_params(goal=(0.0, 3.14159265, 0.0, 0.0)) -> CartPoleParams:
+    return CartPoleParams(
+        goal=jnp.asarray(goal, dtype=jnp.result_type(float)),
+        mass_cart=jnp.asarray(1.0),
+        mass_pole=jnp.asarray(0.1),
+        length=jnp.asarray(0.5),
+        gravity=jnp.asarray(9.81),
+        w_state=jnp.asarray([0.1, 0.1, 0.01, 0.01]),
+        w_control=jnp.asarray(0.01),
+        w_final=jnp.asarray([10.0, 100.0, 10.0, 10.0]),
+        u_min=jnp.asarray([-10.0]),
+        u_max=jnp.asarray([10.0]),
+    )
+
+
+def dynamics(p: CartPoleParams, x, u):
+    theta, pdot, thetadot = x[1], x[2], x[3]
+    mt = p.mass_cart + p.mass_pole
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    # θ measured from the down axis → gravity term is −g·sinθ toward down.
+    temp = (u[0] + p.mass_pole * p.length * thetadot * thetadot * st) / mt
+    thetaddot = (-p.gravity * st - ct * temp) / (
+        p.length * (4.0 / 3.0 - p.mass_pole * ct * ct / mt)
+    )
+    pddot = temp + p.mass_pole * p.length * thetaddot * ct / mt
+    return jnp.array([pdot, thetadot, pddot, thetaddot])
+
+
+def cost(p: CartPoleParams, x, u):
+    e = p.goal - x
+    return jnp.dot(e * p.w_state, e) + p.w_control * jnp.dot(u, u)
+
+
+def final_cost(p: CartPoleParams, x):
+    e = p.goal - x
+    return jnp.dot(e * p.w_final, e)
+
+
+MODEL = Model(
+    name="cartpole",
+    n=4,
+    m=1,
+    dynamics=dynamics,
+    cost=cost,
+    final_cost=final_cost,
+    default_params=default_params,
+)

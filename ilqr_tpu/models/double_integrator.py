@@ -1,0 +1,64 @@
+"""2D double integrator: the easy convex-ish sanity model.
+
+Math matches ref include/double_integrator.h exactly:
+  state  = [x, y, vx, vy], control = [Fx, Fy]
+  dx     = [vx, vy, Fx/m, Fy/m]                        (:29-37)
+  cost   = (g-x)ᵀ Hx (g-x) + uᵀ Hu u,  Hx=diag(1,1,.2,.2), Hu=I  (:19-24,39-43)
+  final  = (g-x)ᵀ (10·Hx) (g-x)                        (:45-48)
+  limits = ±0.5, mass = 1                              (:25-26,51)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import Model
+
+
+class DoubleIntegratorParams(NamedTuple):
+    goal: jnp.ndarray    # (4,)
+    mass: jnp.ndarray    # scalar
+    hx_diag: jnp.ndarray  # (4,) diagonal of Hx
+    hu_diag: jnp.ndarray  # (2,) diagonal of Hu
+    final_scale: jnp.ndarray  # scalar (10 in the reference)
+    u_min: jnp.ndarray   # (2,)
+    u_max: jnp.ndarray   # (2,)
+
+
+def default_params(goal=(1.0, 0.5, 0.0, 0.0)) -> DoubleIntegratorParams:
+    return DoubleIntegratorParams(
+        goal=jnp.asarray(goal, dtype=jnp.result_type(float)),
+        mass=jnp.asarray(1.0),
+        hx_diag=jnp.asarray([1.0, 1.0, 0.2, 0.2]),
+        hu_diag=jnp.asarray([1.0, 1.0]),
+        final_scale=jnp.asarray(10.0),
+        u_min=jnp.asarray([-0.5, -0.5]),
+        u_max=jnp.asarray([0.5, 0.5]),
+    )
+
+
+def dynamics(p: DoubleIntegratorParams, x, u):
+    return jnp.concatenate([x[2:4], u / p.mass])
+
+
+def cost(p: DoubleIntegratorParams, x, u):
+    e = p.goal - x
+    return jnp.dot(e * p.hx_diag, e) + jnp.dot(u * p.hu_diag, u)
+
+
+def final_cost(p: DoubleIntegratorParams, x):
+    e = p.goal - x
+    return p.final_scale * jnp.dot(e * p.hx_diag, e)
+
+
+MODEL = Model(
+    name="double_integrator",
+    n=4,
+    m=2,
+    dynamics=dynamics,
+    cost=cost,
+    final_cost=final_cost,
+    default_params=default_params,
+)

@@ -1,0 +1,72 @@
+"""Torque-limited pendulum swing-up (extra model; no reference counterpart).
+
+state = [θ, θ̇] with θ from the down axis (up = π); control = torque.
+  θ̈ = (u − b·θ̇ − m·g·l·sin θ) / (m·l²)
+Quadratic state+control running cost, scaled quadratic final cost.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import Model
+
+
+class PendulumParams(NamedTuple):
+    goal: jnp.ndarray      # (2,)
+    mass: jnp.ndarray
+    length: jnp.ndarray
+    damping: jnp.ndarray
+    gravity: jnp.ndarray
+    w_state: jnp.ndarray   # (2,) running state weights
+    w_control: jnp.ndarray  # scalar
+    w_final: jnp.ndarray   # (2,) final state weights
+    u_min: jnp.ndarray     # (1,)
+    u_max: jnp.ndarray     # (1,)
+
+
+def default_params(goal=(3.14159265, 0.0)) -> PendulumParams:
+    return PendulumParams(
+        goal=jnp.asarray(goal, dtype=jnp.result_type(float)),
+        mass=jnp.asarray(1.0),
+        length=jnp.asarray(1.0),
+        damping=jnp.asarray(0.05),
+        gravity=jnp.asarray(9.81),
+        w_state=jnp.asarray([0.1, 0.01]),
+        w_control=jnp.asarray(0.01),
+        w_final=jnp.asarray([100.0, 10.0]),
+        u_min=jnp.asarray([-2.5]),
+        u_max=jnp.asarray([2.5]),
+    )
+
+
+def dynamics(p: PendulumParams, x, u):
+    theta, thetadot = x[0], x[1]
+    inertia = p.mass * p.length * p.length
+    thetaddot = (
+        u[0] - p.damping * thetadot - p.mass * p.gravity * p.length * jnp.sin(theta)
+    ) / inertia
+    return jnp.array([thetadot, thetaddot])
+
+
+def cost(p: PendulumParams, x, u):
+    e = p.goal - x
+    return jnp.dot(e * p.w_state, e) + p.w_control * jnp.dot(u, u)
+
+
+def final_cost(p: PendulumParams, x):
+    e = p.goal - x
+    return jnp.dot(e * p.w_final, e)
+
+
+MODEL = Model(
+    name="pendulum",
+    n=2,
+    m=1,
+    dynamics=dynamics,
+    cost=cost,
+    final_cost=final_cost,
+    default_params=default_params,
+)

@@ -1,0 +1,108 @@
+"""Backward Riccati/DDP recursion as a ``lax.scan`` over the horizon.
+
+Semantics match ref src/ilqr_core.cpp:350-401:
+  Q-terms:   Qx, Qu, Qxx, Qux, Quu from the linearization and V_{t+1}
+  QuuF = Quu + λI — control-space Levenberg-Marquardt regularization (:367;
+             the reference notes Tassa's state-space Vxx+λI variant differs)
+  k_t  from boxQP(QuuF, Qu) warm-started with the NEXT timestep's k (:369)
+  K_t  = −Q_free⁻¹ Qux_reg on free rows only, via the boxQP's subspace
+             Cholesky factor (:377-385)
+  dV  += (kᵀQu, ½kᵀQuu k)  (:388-389)
+  V updates with symmetrization (:391-393)
+
+The recursion is inherently serial in t (V_t depends on V_{t+1}); throughput
+comes from vmapping whole solves, not from parallelizing this scan.
+
+Divergence: the reference returns the diverging timestep immediately, leaving
+k/K partially overwritten, and the caller escalates λ and retries
+(:371, :142-148). Here a latched ``diverged`` flag is carried through the scan
+and the retry re-runs from the last *complete* state — the only observable
+difference is the boxQP warm-start value on retry iterations, which affects
+QP iteration counts, not solutions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_tpu.config import SolverConfig
+from ilqr_tpu.ops.boxqp import boxqp, free_solve
+from ilqr_tpu.types import BackwardResult, Derivs
+
+
+def backward_pass(
+    derivs: Derivs, us, lam, u_min, u_max, cfg: SolverConfig, prev_k_last
+) -> BackwardResult:
+    """One backward sweep. ``prev_k_last`` is the previous sweep's k[T-1],
+    used to warm-start the first (t = T−1) boxQP exactly like the reference's
+    in-place k[min(i+1, T-1)] (ilqr_core.cpp:369)."""
+    T, m = us.shape
+    dtype = us.dtype
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def step(carry, inp):
+        vx, vxx, k_next, dv, diverged = carry
+        fx, fu, cx, cu, cxx, cxu, cuu, u = inp
+
+        fuT = fu.T
+        qx = cx + fx.T @ vx
+        qu = cu + fuT @ vx
+        fuT_vxx = fuT @ vxx
+        qxx = cxx + fx.T @ (vxx @ fx)
+        qux = cxu.T + fuT_vxx @ fx  # == Qux_reg (ref :362,366 are identical)
+        quu = cuu + fuT_vxx @ fu
+        quuF = quu + lam * eye_m
+
+        if cfg.use_control_limits:
+            res = boxqp(quuF, qu, k_next, u_min - u, u_max - u, cfg.boxqp)
+            k_i = res.x
+            div_here = res.status < 1
+            # Feedback gains on free rows via the padded subspace factor
+            # (ref :377-385). free_solve zeroes clamped rows.
+            k_mat = -jax.vmap(
+                lambda col: free_solve(res.chol_free, col, res.free)
+            )(qux.T).T
+        else:
+            chol = jnp.linalg.cholesky(quuF)
+            div_here = jnp.any(jnp.isnan(chol))
+            sol = jax.scipy.linalg.cho_solve((chol, True), jnp.concatenate(
+                [qu[:, None], qux], axis=1))
+            k_i = -sol[:, 0]
+            k_mat = -sol[:, 1:]
+            # NaN-poisoning guard so the retry loop sees clean numbers.
+            k_i = jnp.where(div_here, jnp.zeros_like(k_i), k_i)
+            k_mat = jnp.where(div_here, jnp.zeros_like(k_mat), k_mat)
+
+        dv = dv + jnp.stack([k_i @ qu, 0.5 * k_i @ (quu @ k_i)])
+
+        kT_quu = k_mat.T @ quu
+        vx_new = qx + kT_quu @ k_i + k_mat.T @ qu + qux.T @ k_i
+        vxx_new = qxx + kT_quu @ k_mat + k_mat.T @ qux + qux.T @ k_mat
+        vxx_new = 0.5 * (vxx_new + vxx_new.T)
+
+        carry = (vx_new, vxx_new, k_i, dv, diverged | div_here)
+        return carry, (k_i, k_mat)
+
+    init = (
+        derivs.cx[-1],          # Vx[T] = cx[T]   (ref :353)
+        derivs.cxx[-1],         # Vxx[T] = cxx[T] (ref :354)
+        prev_k_last,
+        jnp.zeros((2,), dtype),  # dV (ref :356)
+        jnp.zeros((), bool),
+    )
+    inputs = (
+        derivs.fx, derivs.fu, derivs.cx[:-1], derivs.cu,
+        derivs.cxx[:-1], derivs.cxu, derivs.cuu, us,
+    )
+    (_vx, _vxx, _k, dv, diverged), (k, K) = lax.scan(
+        step, init, inputs, reverse=True
+    )
+    return BackwardResult(k=k, K=K, dV=dv, diverged=diverged)
+
+
+def gradient_norm(k, us):
+    """mean over t of max_j |k_tj| / (|u_tj| + 1) (ref ilqr_core.cpp:405-412,
+    replicating MATLAB's g_norm = mean(max(abs(l)./(abs(u)+1)))."""
+    return jnp.mean(jnp.max(jnp.abs(k) / (jnp.abs(us) + 1.0), axis=-1))

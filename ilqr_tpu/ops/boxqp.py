@@ -1,0 +1,201 @@
+"""Projected-Newton box-constrained QP (Tassa 2014 appendix).
+
+Minimize ½xᵀQx + xᵀc s.t. lower ≤ x ≤ upper.
+
+Semantics match ref src/boxqp.cpp:26-178 step for step, but the reference's
+dynamic-size active-set machinery — masked gathers (``subvec_w_ind``), shrunken
+free-subspace matrices (``extract_bool_rowsandcols``), Cholesky refactor only
+when the active set changes (boxqp.cpp:80-90) — is recast as fixed-shape masked
+computation so it runs inside ``lax.scan``/``vmap`` with zero host round-trips:
+
+- the free-subspace matrix is the full m×m matrix with clamped rows/cols
+  replaced by identity, so its Cholesky factor solves the free block exactly
+  and acts as identity on clamped dims;
+- refactoring happens every iteration (a few-flop m×m Cholesky is cheaper on
+  TPU than the data-dependent branch it would replace);
+- known quirks preserved: the initial value uses xᵀQx + x·c WITHOUT the ½
+  (ref boxqp.cpp:36), so the first relative-improvement check is against that
+  inflated value.
+
+One deliberate deviation: if the masked Cholesky produces NaN (Q not positive
+definite on the free subspace) we return status −1 (failure → backward-pass
+divergence → λ escalation), where the reference would silently carry a garbage
+factor (boxqp.cpp:86 "I'm not sure why this happens"). This matches the intent
+of Tassa's original MATLAB boxQP, which returns result=−1 for a non-PD Hessian.
+
+Status codes (ref boxqp.cpp comment block; "higher is better", <1 = failure):
+  -1 non-PD free-subspace Hessian   0 no convergence in max_iter
+   2 internal line search failed    4 relative improvement < tol
+   5 free-gradient norm < tol       6 all dimensions clamped
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_tpu.config import BoxQPConfig
+from ilqr_tpu.types import BoxQPResult
+
+
+def clamp_to_limits(x, lower, upper):
+    """(ref: include/boxqp.h:48-51)"""
+    return jnp.minimum(upper, jnp.maximum(x, lower))
+
+
+def quad_cost(Q, c, x):
+    """½xᵀQx + x·c (ref: include/boxqp.h:53-55)."""
+    return 0.5 * x @ (Q @ x) + x @ c
+
+
+def masked_cholesky(Q, free):
+    """Lower Cholesky factor of Q restricted to `free` dims, padded with
+    identity on clamped dims. Replaces extract_bool_rowsandcols + LLT
+    (ref: boxqp.cpp:80-90) with static shapes. NaN entries signal non-PD."""
+    eye = jnp.eye(Q.shape[0], dtype=Q.dtype)
+    qf = jnp.where(jnp.outer(free, free), Q, eye)
+    return jnp.linalg.cholesky(qf)
+
+
+def free_solve(chol_lower, b, free):
+    """Solve Q_free z = b on the free subspace; zero on clamped dims."""
+    z = jax.scipy.linalg.cho_solve(
+        (chol_lower, True), jnp.where(free, b, jnp.zeros_like(b))
+    )
+    return jnp.where(free, z, jnp.zeros_like(z))
+
+
+def quadclamp_line_search(x0, search, Q, c, lower, upper, cfg: BoxQPConfig):
+    """Armijo backtracking with clamping (ref: src/boxqp.cpp:143-178).
+
+    Returns (x_opt, v_opt, failed, n_steps). On a non-descent direction the
+    reference returns failed immediately; here the step-1 candidate is
+    computed anyway (and ignored by the caller), keeping shapes static.
+    """
+    dtype = x0.dtype
+    grad = Q @ x0 + c
+    slope = search @ grad
+    bad_direction = slope >= 0
+
+    old_v = quad_cost(Q, c, x0)
+
+    step0 = jnp.asarray(1.0, dtype)
+    xc0 = clamp_to_limits(x0 + step0 * search, lower, upper)
+    v0 = quad_cost(Q, c, xc0)
+
+    def cond(carry):
+        step, _xc, v, failed, _n = carry
+        ratio = (v - old_v) / (step * slope)
+        return jnp.logical_and(~failed, ratio < cfg.armijo)
+
+    def body(carry):
+        step, _xc, _v, _failed, n = carry
+        step = step * cfg.step_dec
+        xc = clamp_to_limits(x0 + step * search, lower, upper)
+        v = quad_cost(Q, c, xc)
+        failed = step < cfg.min_step
+        return step, xc, v, failed, n + 1
+
+    init = (step0, xc0, v0, bad_direction, jnp.asarray(0, jnp.int32))
+    _step, xc, v, failed, n = lax.while_loop(cond, body, init)
+    return xc, v, failed | bad_direction, n
+
+
+def boxqp(Q, c, x0, lower, upper, cfg: BoxQPConfig = BoxQPConfig()) -> BoxQPResult:
+    """Fixed-shape projected-Newton boxQP (ref: src/boxqp.cpp:26-139)."""
+    m = x0.shape[0]
+    dtype = x0.dtype
+    eye = jnp.eye(m, dtype=dtype)
+
+    x_init = clamp_to_limits(x0, lower, upper)
+    # Reference quirk: the initial value has no ½ factor (boxqp.cpp:36).
+    val_init = x_init @ (Q @ x_init) + x_init @ c
+
+    def approx_eq(a, b):
+        return jnp.abs(a - b) < cfg.clamp_tol
+
+    def cond(carry):
+        it, _x, _val, _oldval, _clamped, _chol, status = carry
+        return jnp.logical_and(status == 0, it <= cfg.max_iter)
+
+    def body(carry):
+        it, x, val, oldval, clamped, chol, _status = carry
+
+        # --- break 1: stopped improving (checked before anything updates,
+        #     ref boxqp.cpp:54-57; skipped on the first iteration)
+        s_improve = jnp.logical_and(
+            it > 0, (oldval - val) < cfg.min_rel_improve * jnp.abs(oldval)
+        )
+
+        grad = Q @ x + c
+        oldval_new = val  # ref :59 — only reached when not breaking on s_improve
+
+        # --- active set (ref :61-71)
+        new_clamped = jnp.logical_or(
+            jnp.logical_and(approx_eq(x, lower), grad > 0),
+            jnp.logical_and(approx_eq(x, upper), grad < 0),
+        )
+        free = ~new_clamped
+
+        # --- break 2: everything clamped (ref :74-77) — note the factor is
+        #     NOT updated in this case (factorization comes after the check)
+        s_all_clamped = jnp.all(new_clamped)
+
+        chol_new = masked_cholesky(Q, free)
+        s_not_pd = jnp.any(jnp.isnan(chol_new))
+
+        # --- break 3: free-subspace gradient small (ref :92-97)
+        gnorm = jnp.linalg.norm(jnp.where(free, grad, jnp.zeros_like(grad)))
+        s_small_grad = gnorm < cfg.min_grad
+
+        # --- Newton step on free dims (ref :99-119)
+        grad_clamped = Q @ jnp.where(new_clamped, x, jnp.zeros_like(x)) + c
+        search = jnp.where(
+            free, -free_solve(chol_new, grad_clamped, free) - x, jnp.zeros_like(x)
+        )
+
+        xc, v, ls_failed, _n = quadclamp_line_search(
+            x, search, Q, c, lower, upper, cfg
+        )
+
+        # Break priority mirrors the reference's statement order.
+        status_new = jnp.where(
+            s_improve, 4,
+            jnp.where(
+                s_all_clamped, 6,
+                jnp.where(
+                    s_not_pd, -1,
+                    jnp.where(s_small_grad, 5, jnp.where(ls_failed, 2, 0)),
+                ),
+            ),
+        ).astype(jnp.int32)
+
+        # Stage the state exactly as the reference leaves it at each break:
+        #   s_improve: nothing below the check ran
+        #   s_all_clamped: active set updated, factor NOT updated
+        #   otherwise: factor updated; x/val update only if line search passed
+        clamped_out = jnp.where(s_improve, clamped, new_clamped)
+        chol_out = jnp.where(s_improve | s_all_clamped, chol, chol_new)
+        take_step = status_new == 0
+        x_out = jnp.where(take_step, xc, x)
+        val_out = jnp.where(take_step, v, val)
+        oldval_out = jnp.where(s_improve, oldval, oldval_new)
+
+        return (it + 1, x_out, val_out, oldval_out, clamped_out, chol_out,
+                status_new)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        x_init,
+        val_init,
+        jnp.zeros((), dtype),
+        jnp.zeros((m,), bool),
+        eye,
+        jnp.asarray(0, jnp.int32),
+    )
+    it, x, _val, _oldval, clamped, chol, status = lax.while_loop(cond, body, init)
+
+    return BoxQPResult(
+        x=x, status=status, free=~clamped, chol_free=chol, n_iters=it
+    )

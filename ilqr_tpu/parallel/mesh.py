@@ -1,0 +1,134 @@
+"""Multi-chip / multi-host scaling over a device mesh.
+
+The reference has no distributed anything (SURVEY §2: no MPI/NCCL/Gloo).
+The TPU-native scaling story for iLQR is problem-level data parallelism:
+solves are embarrassingly parallel, so the batch axis is sharded over a 1-D
+``('batch',)`` mesh spanning ICI (and DCN across hosts via
+``jax.distributed``). Collectives are needed only to reduce convergence
+statistics — ``psum``/``pmax`` on the batch axis inside ``shard_map``.
+
+On a multi-host pod slice, call :func:`init_distributed` first; the mesh then
+spans all global devices and each host feeds its local shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ilqr_tpu.config import SolverConfig
+from ilqr_tpu.models.base import Model
+from ilqr_tpu.solver import solve
+from ilqr_tpu.types import Solution
+
+BATCH_AXIS = "batch"
+
+
+def init_distributed(**kwargs):
+    """Multi-host initialization (jax.distributed). No-op if single-process."""
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize(**kwargs)
+        except Exception:
+            pass  # already initialized or single-host
+
+
+def make_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = np.asarray(jax.devices() if devices is None else devices)
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def make_sharded_solver(
+    model: Model,
+    cfg: SolverConfig,
+    mesh: Optional[Mesh] = None,
+    params_batched: bool = False,
+):
+    """Returns a jitted solver whose batch axis is sharded over the mesh.
+
+    The returned fn maps (params, dt, x0:(B,n), u0:(B,T,m)) → Solution with
+    every output sharded the same way. B must be divisible by mesh size.
+
+    Implementation: ``jax.jit`` with NamedSharding constraints — XLA GSPMD
+    partitions the vmapped while_loop across devices; since solves are
+    independent there is no cross-device communication in the hot loop.
+    """
+    mesh = make_mesh() if mesh is None else mesh
+    batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def batched(params, dt, x0, u0):
+        in_axes = (0 if params_batched else None, None, 0, 0)
+        return jax.vmap(
+            lambda p, d, x, u: solve(model, p, cfg, d, x, u), in_axes=in_axes
+        )(params, dt, x0, u0)
+
+    param_shard = batch_spec if params_batched else repl
+
+    def shard_leaf(tree, sharding):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+
+    jitted = jax.jit(batched)
+
+    def run(params, dt, x0, u0) -> Solution:
+        params = shard_leaf(params, param_shard)
+        x0 = jax.device_put(x0, batch_spec)
+        u0 = jax.device_put(u0, batch_spec)
+        return jitted(params, dt, x0, u0)
+
+    return run
+
+
+def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
+                              params_batched: bool = False):
+    """Solve + on-device reduction of convergence stats via collectives.
+
+    Demonstrates the only communication this workload needs: a ``psum``/
+    ``pmax`` over the batch axis (inside ``shard_map``) to aggregate cost and
+    convergence counters without gathering trajectories to the host.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local_solve_and_reduce(params, dt, x0, u0):
+        in_axes = (0 if params_batched else None, None, 0, 0)
+        sol = jax.vmap(
+            lambda p, d, x, u: solve(model, p, cfg, d, x, u), in_axes=in_axes
+        )(params, dt, x0, u0)
+        n_local = jnp.asarray(sol.cost.shape[0], jnp.float32)
+        stats = {
+            "sum_cost": jnp.sum(sol.cost),
+            "max_cost": jnp.max(sol.cost),
+            "sum_iters": jnp.sum(sol.iterations.astype(jnp.float32)),
+            "n": n_local,
+        }
+        # Cross-shard reduction rides ICI: the only collectives in the system.
+        total = {
+            "sum_cost": jax.lax.psum(stats["sum_cost"], BATCH_AXIS),
+            "max_cost": jax.lax.pmax(stats["max_cost"], BATCH_AXIS),
+            "sum_iters": jax.lax.psum(stats["sum_iters"], BATCH_AXIS),
+            "n": jax.lax.psum(stats["n"], BATCH_AXIS),
+        }
+        return {
+            "mean_cost": total["sum_cost"] / total["n"],
+            "max_cost": total["max_cost"],
+            "mean_iters": total["sum_iters"] / total["n"],
+            "n": total["n"],
+        }
+
+    p_spec = P(BATCH_AXIS) if params_batched else P()
+    fn = shard_map(
+        local_solve_and_reduce,
+        mesh=mesh,
+        in_specs=(p_spec, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(fn)
