@@ -1,0 +1,100 @@
+"""Benchmark: batched acrobot iLQR solves/s on one chip.
+
+North-star metric (BASELINE.json): batched acrobot solves/s; baseline is the
+reference C++/Eigen binary at ~0.52 s per solve (measured single-core, see
+golden/acrobot_log.txt — 100 iterations, T=499, dt=0.02), i.e. ~1.92 solves/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+
+Environment knobs:
+  BENCH_BATCH     batch size (default 1024)
+  BENCH_MAX_ITER  solver iterations (default 100, same as the reference)
+  BENCH_HORIZON   horizon T (default 499, same as the reference)
+  BENCH_BACKEND   'cpu' to force CPU (default: whatever jax picks, i.e. TPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+if os.environ.get("BENCH_BACKEND"):
+    jax.config.update("jax_platforms", os.environ["BENCH_BACKEND"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.batch import make_batch_solver
+from ilqr_tpu.models import acrobot as ac
+
+# Reference binary: acrobot swing-up, T=499, maxIter=100 → 0.47-0.58 s/solve
+# on this machine (golden/acrobot_log.txt). Midpoint as the baseline rate.
+REF_SECONDS_PER_SOLVE = 0.52
+BASELINE_SOLVES_PER_S = 1.0 / REF_SECONDS_PER_SOLVE
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", 1024))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", 100))
+    T = int(os.environ.get("BENCH_HORIZON", 499))
+
+    model = get_model("acrobot")
+    params = ac.default_params()
+    # The perf-path configuration: analytic derivatives (exact, cheaper than
+    # FD), corrected clamped rollout, control-limited boxQP backward pass —
+    # the same algorithmic work per iteration as the reference, same horizon.
+    cfg = SolverConfig(
+        deriv_mode="analytic",
+        clamp_forward=True,
+        use_control_limits=True,
+        max_iter=max_iter,
+    )
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.zeros(()).dtype  # f32 on TPU, f64 only if x64 explicitly on
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), dtype)
+    u0 = jnp.zeros((T, 1), dtype)
+
+    solver = make_batch_solver(model, cfg)
+
+    # Warm-up / compile (first TPU compile of the full solve is ~30-60 s).
+    t0 = time.perf_counter()
+    sol = solver(params, dt=0.02, x0=x0, u0=u0)
+    jax.block_until_ready(sol.cost)
+    compile_and_first = time.perf_counter() - t0
+
+    # Timed runs on fresh initial states (no cached solutions possible).
+    times = []
+    for rep in range(3):
+        x0r = jnp.asarray(0.05 * rng.normal(size=(B, 4)), dtype)
+        t0 = time.perf_counter()
+        sol = solver(params, dt=0.02, x0=x0r, u0=u0)
+        jax.block_until_ready(sol.cost)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    solves_per_s = B / best
+    result = {
+        "metric": "batched_acrobot_solves_per_s",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+    }
+    # Context to stderr; the contract line alone on stdout.
+    print(
+        f"[bench] backend={jax.default_backend()} B={B} T={T} "
+        f"max_iter={max_iter} first={compile_and_first:.1f}s "
+        f"times={[f'{t:.3f}' for t in times]} "
+        f"mean_cost={float(jnp.mean(sol.cost)):.4g} "
+        f"mean_iters={float(jnp.mean(sol.iterations)):.1f}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

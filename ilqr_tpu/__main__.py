@@ -1,0 +1,141 @@
+"""CLI entry point: ``python -m ilqr_tpu {acrobot|integrator|...}``.
+
+Mirrors the reference CLI (ref: src/run_ilqr.cpp:6-65) — same two canonical
+workloads, same iteration table (SHOWPROGRESS), same output CSV — plus flags
+the reference hard-codes: horizon, dt, derivative mode, corrected-mode
+toggles, batch size, and backend selection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m ilqr_tpu",
+        description="TPU-native iLQR/DDP trajectory optimization",
+    )
+    p.add_argument(
+        "problem",
+        choices=["acrobot", "integrator", "double_integrator", "pendulum",
+                 "cartpole"],
+        help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
+    )
+    p.add_argument("--dt", type=float, default=0.02,
+                   help="timestep (ref uses 0.02 for both workloads)")
+    p.add_argument("--horizon", "-T", type=int, default=None,
+                   help="horizon; defaults to the reference's per-problem value")
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--deriv-mode", choices=["analytic", "fd"], default="fd",
+                   help="fd = reference-parity central differences")
+    p.add_argument("--clamp-forward", action="store_true",
+                   help="corrected mode: clamp controls in the rollout "
+                        "(the reference does not, ilqr_core.cpp:322-329)")
+    p.add_argument("--no-control-limits", action="store_true")
+    p.add_argument("--integrator-scheme", choices=["euler", "rk4"],
+                   default="euler")
+    p.add_argument("--batch", type=int, default=0,
+                   help="solve a batch of B perturbed problems instead of one")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--x64", action="store_true",
+                   help="float64 (parity with the double-precision reference)")
+    p.add_argument("--output", default="ilqr_result.csv",
+                   help="trajectory CSV path (ref hardcodes ilqr_result.csv)")
+    p.add_argument("--quiet", action="store_true",
+                   help="skip the per-iteration table (single fused solve)")
+    return p
+
+
+# Canonical problem setups (ref: src/run_ilqr.cpp:18-54).
+_PROBLEMS = {
+    "integrator": dict(model="double_integrator", T=99,
+                       goal=(1.0, 0.5, 0.0, 0.0),
+                       x0=(-1.0, 0.0, 0.0, -0.2)),
+    "double_integrator": dict(model="double_integrator", T=99,
+                              goal=(1.0, 0.5, 0.0, 0.0),
+                              x0=(-1.0, 0.0, 0.0, -0.2)),
+    "acrobot": dict(model="acrobot", T=499, goal=None, x0=(0.0, 0.0, 0.0, 0.0)),
+    "pendulum": dict(model="pendulum", T=199, goal=None, x0=(0.0, 0.0)),
+    "cartpole": dict(model="cartpole", T=299, goal=None,
+                     x0=(0.0, 0.0, 0.0, 0.0)),
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ilqr_tpu import SolverConfig, get_model, solve, solve_verbose
+    from ilqr_tpu.batch import convergence_stats, solve_batch
+    from ilqr_tpu.utils.io import write_trajectory_csv
+
+    spec = _PROBLEMS[args.problem]
+    model = get_model(spec["model"])
+    params = (model.default_params(goal=spec["goal"]) if spec["goal"]
+              else model.default_params())
+    T = args.horizon or spec["T"]
+    x0 = jnp.asarray(spec["x0"])
+    u0 = jnp.zeros((T, model.m), x0.dtype)
+
+    cfg = SolverConfig(
+        max_iter=args.max_iter,
+        deriv_mode=args.deriv_mode,
+        clamp_forward=args.clamp_forward,
+        use_control_limits=not args.no_control_limits,
+        integrator=args.integrator_scheme,
+    )
+
+    print(f"[ilqr_tpu] {args.problem}: n={model.n} m={model.m} T={T} "
+          f"dt={args.dt} deriv={cfg.deriv_mode} backend="
+          f"{jax.default_backend()}")
+
+    if args.batch:
+        rng = np.random.default_rng(0)
+        x0b = x0[None] + 0.05 * jnp.asarray(
+            rng.normal(size=(args.batch, model.n))
+        ).astype(x0.dtype)
+        t0 = time.perf_counter()
+        sol = solve_batch(model, params, cfg, args.dt, x0b, u0)
+        jax.block_until_ready(sol.cost)
+        elapsed = time.perf_counter() - t0
+        stats = {k: float(v) for k, v in convergence_stats(sol).items()}
+        print(f"batch of {args.batch} solves in {elapsed:.3f}s "
+              f"({args.batch / elapsed:.1f} solves/s, incl. compile)")
+        for k, v in stats.items():
+            print(f"  {k:<18s} {v:.6g}")
+        best = int(jnp.argmin(sol.cost))
+        write_trajectory_csv(args.output, sol.xs[best], sol.us[best])
+        print(f"Wrote best trajectory to {args.output}")
+        return 0
+
+    t0 = time.perf_counter()
+    if args.quiet:
+        sol = solve(model, params, cfg, args.dt, x0, u0)
+        jax.block_until_ready(sol.cost)
+    else:
+        sol = solve_verbose(model, params, cfg, args.dt, x0, u0)
+    elapsed = time.perf_counter() - t0
+
+    # Matches the reference's closing lines (run_ilqr.cpp:58-64).
+    print(f"Final cost: {float(sol.cost):.6g}  "
+          f"iterations: {int(sol.iterations)}")
+    print(f"Solve took {elapsed:.3f} seconds (incl. compile).")
+    write_trajectory_csv(args.output, sol.xs, sol.us)
+    print(f"Wrote trajectory to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,7 +95,10 @@ def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
     ``pmax`` over the batch axis (inside ``shard_map``) to aggregate cost and
     convergence counters without gathering trajectories to the host.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def local_solve_and_reduce(params, dt, x0, u0):
         in_axes = (0 if params_batched else None, None, 0, 0)
@@ -129,6 +132,10 @@ def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
         mesh=mesh,
         in_specs=(p_spec, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(),
-        check_rep=False,
+        # varying-manual-axes checking trips over the flg_change lax.cond
+        # (one branch re-derives from batch-varying xs, the other returns
+        # the carried zeros); the math is replication-safe — everything
+        # returned passes through psum/pmax.
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -1,0 +1,90 @@
+"""Multi-device sharding tests on an 8-virtual-device CPU mesh — the TPU
+analogue of a fake multi-node backend (SURVEY §4). conftest.py forces
+--xla_force_host_platform_device_count=8."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.batch import solve_batch
+from ilqr_tpu.models import double_integrator as di
+from ilqr_tpu.parallel.mesh import (
+    make_mesh,
+    make_sharded_solver,
+    sharded_convergence_stats,
+)
+
+
+def test_virtual_devices_present():
+    assert jax.device_count() == 8
+
+
+def _cfg():
+    return SolverConfig(deriv_mode="analytic", max_iter=25)
+
+
+def test_sharded_solver_matches_unsharded():
+    m = get_model("double_integrator")
+    p = di.default_params()
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    B = 16
+    x0 = jnp.asarray(rng.normal(size=(B, 4)) * 0.5)
+    u0 = jnp.zeros((B, 99, 2))
+
+    run = make_sharded_solver(m, cfg)
+    sol = run(p, 0.02, x0, u0)
+    ref = solve_batch(m, p, cfg, 0.02, x0, u0[0])
+
+    np.testing.assert_allclose(
+        np.asarray(sol.cost), np.asarray(ref.cost), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.us), np.asarray(ref.us), atol=1e-10
+    )
+
+
+def test_sharded_solution_is_actually_sharded():
+    m = get_model("double_integrator")
+    p = di.default_params()
+    run = make_sharded_solver(m, _cfg())
+    B = 8
+    x0 = jnp.zeros((B, 4))
+    sol = run(p, 0.02, x0, jnp.zeros((B, 99, 2)))
+    # the batch axis of the output must be split across devices
+    shardings = {d.device for d in sol.cost.addressable_shards}
+    assert len(shardings) == 8
+
+
+def test_collective_stats_reduction():
+    """psum/pmax over the batch axis inside shard_map — the only collectives
+    this workload needs (SURVEY §5 distributed backend)."""
+    m = get_model("double_integrator")
+    p = di.default_params()
+    cfg = _cfg()
+    mesh = make_mesh()
+    fn = sharded_convergence_stats(m, cfg, mesh)
+    B = 16
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(B, 4)) * 0.3)
+    u0 = jnp.zeros((B, 99, 2))
+    stats = fn(p, 0.02, x0, u0)
+    assert int(stats["n"]) == B
+
+    ref = solve_batch(m, p, cfg, 0.02, x0, u0[0])
+    assert abs(float(stats["mean_cost"]) - float(np.mean(ref.cost))) < 1e-6
+    assert abs(float(stats["max_cost"]) - float(np.max(ref.cost))) < 1e-6
+
+
+def test_uneven_batch_raises_or_pads():
+    """B not divisible by mesh size: NamedSharding requires divisibility for
+    even splits; the API contract is 'B divisible by mesh size'."""
+    m = get_model("double_integrator")
+    p = di.default_params()
+    run = make_sharded_solver(m, _cfg())
+    x0 = jnp.zeros((6, 4))  # 6 % 8 != 0
+    with pytest.raises(Exception):
+        sol = run(p, 0.02, x0, jnp.zeros((6, 99, 2)))
+        jax.block_until_ready(sol.cost)
