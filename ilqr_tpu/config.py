@@ -49,6 +49,16 @@ class SolverConfig:
 
     ``use_control_limits``: False selects the unconstrained backward pass
     (plain regularized Newton, what boxQP degenerates to with infinite box).
+
+    ``boxqp_mode``:
+      - "auto": closed-form projected solve when m == 1 (exact in one step —
+        a 1-D box QP has the analytic solution clamp(−Qu/Quu); the iterative
+        projected Newton is only needed for coupled dims), iterative
+        projected Newton otherwise. The fast path for the m=1 flagship
+        workloads.
+      - "iterative": always run the reference-semantics projected Newton
+        (ref: src/boxqp.cpp:26-139), including its tolerance quirks —
+        required for bit-tolerant parity with the reference binary.
     """
 
     max_iter: int = 100
@@ -67,6 +77,10 @@ class SolverConfig:
     integrator: str = "euler"
     clamp_forward: bool = False
     use_control_limits: bool = True
+    boxqp_mode: str = "auto"
+    backward_kernel: str = "auto"  # "auto" | "xla" | "pallas": batched
+    # backward sweeps use the fused Pallas TPU kernel (ops/pallas_backward)
+    # when m == 1 in f32; "auto" enables it on the TPU backend only.
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":
@@ -74,4 +88,6 @@ class SolverConfig:
 
 
 # Configuration that reproduces the reference binary bit-for-bit semantics.
-PARITY_CONFIG = SolverConfig(deriv_mode="fd", clamp_forward=False)
+PARITY_CONFIG = SolverConfig(
+    deriv_mode="fd", clamp_forward=False, boxqp_mode="iterative"
+)

@@ -80,7 +80,8 @@ def dynamics(p: AcrobotParams, x, u):
         m2 * g * lc2 * s12,
     ])
 
-    tau = jnp.array([0.0, 1.0]) * u[0]
+    # torque enters the second joint only; built from u to keep its dtype
+    tau = jnp.stack([jnp.zeros_like(u[0]), u[0]])
     # 2x2 solve instead of explicit inverse: same math, better conditioning.
     qddot = jnp.linalg.solve(H, tau - C @ qdot - G)
     return jnp.concatenate([qdot, qddot])

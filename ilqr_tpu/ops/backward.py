@@ -42,6 +42,31 @@ def backward_pass(
     dtype = us.dtype
     eye_m = jnp.eye(m, dtype=dtype)
 
+    # Fused-kernel dispatch: for m=1/f32 control-limited sweeps, route
+    # through a custom_vmap function — unbatched solves run the lax.scan
+    # below either way, but vmapped solves hit the Pallas TPU kernel
+    # (ops/pallas_backward) instead of a vmapped scan. "auto" enables this
+    # on the TPU backend only (the kernel needs Mosaic).
+    use_fused = (
+        cfg.use_control_limits
+        and m == 1
+        and cfg.boxqp_mode == "auto"
+        and cfg.backward_kernel != "xla"
+        and dtype == jnp.float32
+        and (cfg.backward_kernel == "pallas"
+             or jax.default_backend() == "tpu")
+    )
+    if use_fused:
+        from ilqr_tpu.ops.pallas_backward import backward_m1
+
+        lo = u_min[None] - us
+        hi = u_max[None] - us
+        k, K, dV, diverged = backward_m1(
+            derivs.fx, derivs.fu, derivs.cx, derivs.cu,
+            derivs.cxx, derivs.cxu, derivs.cuu, lo, hi, lam,
+        )
+        return BackwardResult(k=k, K=K, dV=dV, diverged=diverged)
+
     def step(carry, inp):
         vx, vxx, k_next, dv, diverged = carry
         fx, fu, cx, cu, cxx, cxu, cuu, u = inp
@@ -55,7 +80,30 @@ def backward_pass(
         quu = cuu + fuT_vxx @ fu
         quuF = quu + lam * eye_m
 
-        if cfg.use_control_limits:
+        if cfg.use_control_limits and m == 1 and cfg.boxqp_mode == "auto":
+            # Closed form for the 1-D box QP: min ½qx² + gx on [lo, hi] has
+            # the analytic solution clamp(−g/q); projected Newton (ref
+            # src/boxqp.cpp) exists for the coupled multi-dim case and
+            # degenerates to exactly this at m=1. One step, no inner loops —
+            # the hot path for m=1 models (acrobot, pendulum, cartpole).
+            lo = (u_min - u)[0]
+            hi = (u_max - u)[0]
+            q11 = quuF[0, 0]
+            g1 = qu[0]
+            div_here = q11 <= 0
+            q_safe = jnp.where(div_here, jnp.ones_like(q11), q11)
+            x1 = jnp.clip(-g1 / q_safe, lo, hi)
+            gk = q11 * x1 + g1  # gradient at the clamped point
+            clamped = jnp.logical_or(
+                jnp.logical_and(x1 <= lo, gk > 0),
+                jnp.logical_and(x1 >= hi, gk < 0),
+            )
+            k_i = jnp.where(div_here, jnp.zeros_like(x1), x1)[None]
+            # K row zeroed on the clamped dim (ref :377-385 semantics).
+            k_mat = jnp.where(
+                clamped | div_here, jnp.zeros_like(qux), -qux / q_safe
+            )
+        elif cfg.use_control_limits:
             res = boxqp(quuF, qu, k_next, u_min - u, u_max - u, cfg.boxqp)
             k_i = res.x
             div_here = res.status < 1

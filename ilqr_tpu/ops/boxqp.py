@@ -119,13 +119,20 @@ def boxqp(Q, c, x0, lower, upper, cfg: BoxQPConfig = BoxQPConfig()) -> BoxQPResu
         it, _x, _val, _oldval, _clamped, _chol, status = carry
         return jnp.logical_and(status == 0, it <= cfg.max_iter)
 
+    # The reference's tolerances assume double precision; in f32 a
+    # min_rel_improve of 1e-8 is below machine epsilon and the loop could
+    # spin on last-bit oscillation. Floor the tolerance at ~10 ULP (no-op
+    # in f64, where 1e-8 >> 2.2e-15).
+    rel_improve_tol = max(cfg.min_rel_improve,
+                          10.0 * float(jnp.finfo(dtype).eps))
+
     def body(carry):
         it, x, val, oldval, clamped, chol, _status = carry
 
         # --- break 1: stopped improving (checked before anything updates,
         #     ref boxqp.cpp:54-57; skipped on the first iteration)
         s_improve = jnp.logical_and(
-            it > 0, (oldval - val) < cfg.min_rel_improve * jnp.abs(oldval)
+            it > 0, (oldval - val) < rel_improve_tol * jnp.abs(oldval)
         )
 
         grad = Q @ x + c
