@@ -81,6 +81,8 @@ class SolverConfig:
     backward_kernel: str = "auto"  # "auto" | "xla" | "pallas": batched
     # backward sweeps use the fused Pallas TPU kernel (ops/pallas_backward)
     # when m == 1 in f32; "auto" enables it on the TPU backend only.
+    rollout_kernel: str = "auto"  # same for rollouts / line searches via
+    # the fused SoA rollout kernel (ops/pallas_rollout); needs model SoA fns.
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":

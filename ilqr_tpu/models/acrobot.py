@@ -103,6 +103,68 @@ def final_cost(p: AcrobotParams, x):
     return ks * ks * jnp.dot(e[:2], e[:2]) + kd * kd * jnp.dot(e[2:], e[2:])
 
 
+def dynamics_soa(p: AcrobotParams, x, u):
+    """Structure-of-arrays dynamics for the fused Pallas rollout kernel:
+    same math as :func:`dynamics` with the 2×2 H-solve written as an
+    explicit inverse (jnp.linalg doesn't lower inside TPU kernels)."""
+    i1, i2 = p.inertia[0], p.inertia[1]
+    l1, l2 = p.lengths[0], p.lengths[1]
+    m1, m2 = p.masses[0], p.masses[1]
+    lc1, lc2 = p.lc[0], p.lc[1]
+    g = p.gravity
+
+    q1, q2, qd1, qd2 = x[0], x[1], x[2], x[3]
+    c2 = jnp.cos(q2)
+    s2 = jnp.sin(q2)
+    s1 = jnp.sin(q1)
+    s12 = jnp.sin(q1 + q2)
+
+    m2l1lc2 = m2 * l1 * lc2
+    h11 = i1 + i2 + m2 * l1 * l1 + 2.0 * m2l1lc2 * c2
+    h12 = i2 + m2l1lc2 * c2
+    h22 = i2
+
+    # C(0,1) uses l2 (reference quirk, see module docstring).
+    c11 = -2.0 * m2l1lc2 * s2 * qd2
+    c12 = -m2 * l2 * lc2 * s2 * qd2
+    c21 = m2l1lc2 * s2 * qd1
+
+    g1 = m1 * g * lc1 * s1 + m2 * g * (l1 * s1 + lc2 * s12)
+    g2 = m2 * g * lc2 * s12
+
+    b1 = -(c11 * qd1 + c12 * qd2) - g1
+    b2 = u[0] - c21 * qd1 - g2
+
+    det = h11 * h22 - h12 * h12
+    qdd1 = (h22 * b1 - h12 * b2) / det
+    qdd2 = (h11 * b2 - h12 * b1) / det
+    return jnp.stack([qd1, qd2, qdd1, qdd2])
+
+
+def cost_soa(p: AcrobotParams, x, u):
+    kr = p.k_run[2]
+    ks = p.k_run[0]
+    kd = p.k_run[1]
+    e0 = p.goal[0] - x[0]
+    e1 = p.goal[1] - x[1]
+    e2 = p.goal[2] - x[2]
+    e3 = p.goal[3] - x[3]
+    return (ks * ks * (e0 * e0 + e1 * e1)
+            + kd * kd * (e2 * e2 + e3 * e3)
+            + kr * kr * u[0] * u[0])
+
+
+def final_cost_soa(p: AcrobotParams, x):
+    ks = p.k_final[0]
+    kd = p.k_final[1]
+    e0 = p.goal[0] - x[0]
+    e1 = p.goal[1] - x[1]
+    e2 = p.goal[2] - x[2]
+    e3 = p.goal[3] - x[3]
+    return (ks * ks * (e0 * e0 + e1 * e1)
+            + kd * kd * (e2 * e2 + e3 * e3))
+
+
 MODEL = Model(
     name="acrobot",
     n=4,
@@ -111,4 +173,7 @@ MODEL = Model(
     cost=cost,
     final_cost=final_cost,
     default_params=default_params,
+    dynamics_soa=dynamics_soa,
+    cost_soa=cost_soa,
+    final_cost_soa=final_cost_soa,
 )

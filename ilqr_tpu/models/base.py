@@ -27,7 +27,17 @@ FinalCostFn = Callable[[Any, Array], Array]
 
 @dataclasses.dataclass(frozen=True)
 class Model:
-    """Static model definition. Hashable → usable as a jit static argument."""
+    """Static model definition. Hashable → usable as a jit static argument.
+
+    The optional ``*_soa`` functions are structure-of-arrays variants used
+    by the fused Pallas rollout kernel (ops/pallas_rollout): they receive
+    ``x`` of shape (n, *batch), ``u`` of shape (m, *batch) and params whose
+    leaves carry trailing ``*batch`` dims, index only leading axes, and use
+    only elementwise jnp ops (no jnp.linalg, no matmul) so they lower inside
+    a TPU kernel where every scalar of the model math is one full-width VPU
+    op over a (8, 128) tile of problems. Models without SoA variants still
+    work everywhere — they just don't get the fused rollout.
+    """
 
     name: str
     n: int  # state dims   (ref: model.h:19 x_dims)
@@ -36,6 +46,14 @@ class Model:
     cost: CostFn
     final_cost: FinalCostFn
     default_params: Callable[[], Any]
+    dynamics_soa: Any = None
+    cost_soa: Any = None
+    final_cost_soa: Any = None
+
+    @property
+    def has_soa(self) -> bool:
+        return (self.dynamics_soa is not None and self.cost_soa is not None
+                and self.final_cost_soa is not None)
 
     def __hash__(self):  # identity of the registered functions
         return hash((self.name, self.n, self.m))

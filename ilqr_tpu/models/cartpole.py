@@ -67,6 +67,37 @@ def final_cost(p: CartPoleParams, x):
     return jnp.dot(e * p.w_final, e)
 
 
+def dynamics_soa(p: CartPoleParams, x, u):
+    """SoA variant for the fused Pallas rollout kernel (see models/base.py)."""
+    theta, pdot, thetadot = x[1], x[2], x[3]
+    mt = p.mass_cart + p.mass_pole
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    temp = (u[0] + p.mass_pole * p.length * thetadot * thetadot * st) / mt
+    thetaddot = (-p.gravity * st - ct * temp) / (
+        p.length * (4.0 / 3.0 - p.mass_pole * ct * ct / mt)
+    )
+    pddot = temp + p.mass_pole * p.length * thetaddot * ct / mt
+    return jnp.stack([pdot, thetadot, pddot, thetaddot])
+
+
+def _werr(p, x, w):
+    acc = None
+    for i in range(4):
+        e = p.goal[i] - x[i]
+        term = w[i] * e * e
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def cost_soa(p: CartPoleParams, x, u):
+    return _werr(p, x, p.w_state) + p.w_control * u[0] * u[0]
+
+
+def final_cost_soa(p: CartPoleParams, x):
+    return _werr(p, x, p.w_final)
+
+
 MODEL = Model(
     name="cartpole",
     n=4,
@@ -75,4 +106,7 @@ MODEL = Model(
     cost=cost,
     final_cost=final_cost,
     default_params=default_params,
+    dynamics_soa=dynamics_soa,
+    cost_soa=cost_soa,
+    final_cost_soa=final_cost_soa,
 )

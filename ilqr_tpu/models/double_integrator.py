@@ -53,6 +53,29 @@ def final_cost(p: DoubleIntegratorParams, x):
     return p.final_scale * jnp.dot(e * p.hx_diag, e)
 
 
+def dynamics_soa(p: DoubleIntegratorParams, x, u):
+    """SoA variant for the fused Pallas rollout kernel (see models/base.py)."""
+    return jnp.stack([x[2], x[3], u[0] / p.mass, u[1] / p.mass])
+
+
+def _state_err_sq(p, x):
+    acc = None
+    for i in range(4):
+        e = p.goal[i] - x[i]
+        term = p.hx_diag[i] * e * e
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def cost_soa(p: DoubleIntegratorParams, x, u):
+    return (_state_err_sq(p, x)
+            + p.hu_diag[0] * u[0] * u[0] + p.hu_diag[1] * u[1] * u[1])
+
+
+def final_cost_soa(p: DoubleIntegratorParams, x):
+    return p.final_scale * _state_err_sq(p, x)
+
+
 MODEL = Model(
     name="double_integrator",
     n=4,
@@ -61,4 +84,7 @@ MODEL = Model(
     cost=cost,
     final_cost=final_cost,
     default_params=default_params,
+    dynamics_soa=dynamics_soa,
+    cost_soa=cost_soa,
+    final_cost_soa=final_cost_soa,
 )

@@ -61,6 +61,29 @@ def final_cost(p: PendulumParams, x):
     return jnp.dot(e * p.w_final, e)
 
 
+def dynamics_soa(p: PendulumParams, x, u):
+    """SoA variant for the fused Pallas rollout kernel (see models/base.py)."""
+    inertia = p.mass * p.length * p.length
+    thetaddot = (
+        u[0] - p.damping * x[1]
+        - p.mass * p.gravity * p.length * jnp.sin(x[0])
+    ) / inertia
+    return jnp.stack([x[1], thetaddot])
+
+
+def cost_soa(p: PendulumParams, x, u):
+    e0 = p.goal[0] - x[0]
+    e1 = p.goal[1] - x[1]
+    return (p.w_state[0] * e0 * e0 + p.w_state[1] * e1 * e1
+            + p.w_control * u[0] * u[0])
+
+
+def final_cost_soa(p: PendulumParams, x):
+    e0 = p.goal[0] - x[0]
+    e1 = p.goal[1] - x[1]
+    return p.w_final[0] * e0 * e0 + p.w_final[1] * e1 * e1
+
+
 MODEL = Model(
     name="pendulum",
     n=2,
@@ -69,4 +92,7 @@ MODEL = Model(
     cost=cost,
     final_cost=final_cost,
     default_params=default_params,
+    dynamics_soa=dynamics_soa,
+    cost_soa=cost_soa,
+    final_cost_soa=final_cost_soa,
 )

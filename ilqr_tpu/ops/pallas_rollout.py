@@ -1,0 +1,244 @@
+"""Fused Pallas TPU kernel for the batched closed-loop rollout.
+
+The rollout (ref: src/ilqr_core.cpp:305-337) is inherently sequential in t;
+under ``vmap`` the XLA path runs T scan steps, each dispatching several small
+kernels — per-step launch overhead dominates at T=499. This kernel runs the
+whole rollout for a block of 1024 problems in one ``pallas_call``:
+
+- batch on the trailing (8, 128) tile (one VPU op per scalar of model math),
+- time as the sequential grid axis with per-step (u_ff, x̄, K) streamed
+  HBM→VMEM by the Pallas pipeline,
+- the state carry and running cost in VMEM scratch,
+- the MODEL'S OWN dynamics/cost evaluated inside the kernel via the
+  structure-of-arrays contract (models/base.py: ``dynamics_soa`` etc.) —
+  elementwise jnp ops lower straight to Mosaic.
+
+The line search (ref :184-226) folds its 11 α-candidates into the batch
+axis, so one kernel invocation evaluates every candidate of every problem.
+
+Solver params (goals, masses, limits, dt) are packed into rows of one
+(P, 8, 128) VMEM-resident tile and re-materialized as a params pytree of
+(…, 8, 128) leaves inside the kernel. Shared (unbatched) params only — the
+custom_vmap rules in ops/rollout.py fall back to the XLA path for
+per-problem params.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S = 8
+L = 128
+BLOCK = S * L
+
+
+# ---------------------------------------------------------------------------
+# Param packing: pytree of scalars/small arrays → rows of one (P, S, L) tile
+# ---------------------------------------------------------------------------
+
+def pack_params(params, dt):
+    """Returns (packed (P, S, L) f32, treedef, shapes) with dt as the last
+    row. Leaves are flattened in tree order; each scalar element is one row
+    broadcast across the (8, 128) tile."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = tuple(jnp.shape(l) for l in leaves)
+    flat = [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves]
+    flat.append(jnp.ravel(jnp.asarray(dt, jnp.float32)))
+    vec = jnp.concatenate(flat)
+    packed = jnp.broadcast_to(vec[:, None, None], (vec.shape[0], S, L))
+    return packed, treedef, shapes
+
+
+def unpack_params(ref, treedef, shapes):
+    """Inside-kernel inverse of :func:`pack_params`: rebuilds the params
+    pytree with (leaf_shape…, S, L) leaves, plus the trailing dt row."""
+    leaves = []
+    row = 0
+    for shape in shapes:
+        size = 1
+        for d in shape:
+            size *= d
+        elems = [ref[row + i] for i in range(size)]
+        row += size
+        if shape == ():
+            leaves.append(elems[0])
+        else:
+            leaves.append(jnp.stack(elems).reshape(shape + (S, L)))
+    dt = ref[row]
+    return jax.tree_util.tree_unflatten(treedef, leaves), dt
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _dyn(model, p, xv, uv):
+    return model.dynamics_soa(p, xv, uv)
+
+
+def _integrate(model, integrator, p, xv, uv, dt):
+    if integrator == "euler":
+        return xv + _dyn(model, p, xv, uv) * dt
+    if integrator == "rk4":
+        k1 = _dyn(model, p, xv, uv)
+        k2 = _dyn(model, p, xv + 0.5 * dt * k1, uv)
+        k3 = _dyn(model, p, xv + 0.5 * dt * k2, uv)
+        k4 = _dyn(model, p, xv + dt * k3, uv)
+        return xv + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    raise ValueError(f"unknown integrator {integrator!r}")
+
+
+def _kernel(model, n, m, integrator, clamp, treedef, shapes,
+            params_ref, x0_ref, uff_ref, xsr_ref, K_ref,
+            xs_ref_out, us_ref_out, xfin_ref, cost_ref,
+            x_scr, cost_scr):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    p, dt = unpack_params(params_ref, treedef, shapes)
+
+    @pl.when(t == 0)
+    def _():
+        for i in range(n):
+            x_scr[i] = x0_ref[i, 0]
+        cost_scr[0] = jnp.zeros((S, L), jnp.float32)
+
+    x = [x_scr[i] for i in range(n)]
+
+    # u = u_ff + K (x − x̄)  (ref :316), optional box clamp (corrected mode)
+    u = []
+    for j in range(m):
+        acc = uff_ref[0, j, 0]
+        for i in range(n):
+            acc = acc + K_ref[0, j, i, 0] * (x[i] - xsr_ref[0, i, 0])
+        if clamp:
+            acc = jnp.clip(acc, p.u_min[j], p.u_max[j])
+        u.append(acc)
+
+    for i in range(n):
+        xs_ref_out[0, i, 0] = x[i]
+    for j in range(m):
+        us_ref_out[0, j, 0] = u[j]
+
+    xv = jnp.stack(x)
+    uv = jnp.stack(u)
+    cost_scr[0] = cost_scr[0] + model.cost_soa(p, xv, uv)
+
+    xn = _integrate(model, integrator, p, xv, uv, dt)
+    for i in range(n):
+        x_scr[i] = xn[i]
+
+    @pl.when(t == n_t - 1)
+    def _():
+        for i in range(n):
+            xfin_ref[i, 0] = xn[i]
+        cost_ref[0] = cost_scr[0] + model.final_cost_soa(p, xn)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+def _pack_tail(x, nb):
+    """(BB, T, ...) → (T, ..., NB, S, L)."""
+    rest = x.shape[1:]
+    perm = tuple(range(1, x.ndim)) + (0,)
+    return jnp.transpose(x, perm).reshape(rest + (nb, S, L))
+
+
+def _unpack_tail(y, bb):
+    rest = y.shape[:-3]
+    y = y.reshape(rest + (bb,))
+    perm = (y.ndim - 1,) + tuple(range(y.ndim - 1))
+    return jnp.transpose(y, perm)
+
+
+def rollout_batched(model, integrator: str, clamp: bool,
+                    params, dt, x0, u_ff, xs_ref, K,
+                    interpret: bool = False):
+    """Batched fused rollout.
+
+    Args: x0 (B, n), u_ff (B, T, m), xs_ref (B, T+1, n) (row T unused),
+    K (B, T, m, n); params shared (unbatched pytree), dt scalar.
+    Returns (xs (B, T+1, n), us (B, T, m), cost (B,)) in f32.
+    """
+    B, T, m = u_ff.shape
+    n = x0.shape[1]
+    f32 = jnp.float32
+
+    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
+    nb = bb // BLOCK
+    pad = bb - B
+
+    def prep(x):
+        x = x.astype(f32)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0
+            )
+        return x
+
+    x0_p = _pack_tail(prep(x0), nb)               # (n, NB, S, L)
+    uff_p = _pack_tail(prep(u_ff), nb)            # (T, m, NB, S, L)
+    xsr_p = _pack_tail(prep(xs_ref[:, :-1]), nb)  # (T, n, NB, S, L)
+    K_p = _pack_tail(prep(K), nb)                 # (T, m, n, NB, S, L)
+    params_p, treedef, shapes = pack_params(params, dt)
+    P = params_p.shape[0]
+
+    specs_in = [
+        pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),  # params (resident)
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # x0
+        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # u_ff
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # xs_ref
+        pl.BlockSpec((1, m, n, 1, S, L), lambda b, t: (t, 0, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # K
+    ]
+    specs_out = [
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # xs[0..T-1]
+        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # us
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # final x
+        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cost
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((nb, S, L), f32),
+    ]
+    scratch = [
+        pltpu.VMEM((n, S, L), f32),
+        pltpu.VMEM((1, S, L), f32),
+    ]
+
+    xs_body, us_p, xfin, cost_p = pl.pallas_call(
+        functools.partial(_kernel, model, n, m, integrator, clamp,
+                          treedef, shapes),
+        grid=(nb, T),
+        in_specs=specs_in,
+        out_specs=specs_out,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(params_p, x0_p, uff_p, xsr_p, K_p)
+
+    xs_b = _unpack_tail(xs_body, bb)[:B]    # (B, T, n)
+    xf = _unpack_tail(xfin, bb)[:B]         # (B, n)
+    xs = jnp.concatenate([xs_b, xf[:, None]], axis=1)
+    us = _unpack_tail(us_p, bb)[:B]
+    cost = _unpack_tail(cost_p, bb)[:B]
+    return xs, us, cost

@@ -1,0 +1,119 @@
+"""Fused Pallas rollout-kernel tests (interpret mode on CPU) and the SoA
+model contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.models import list_models
+from ilqr_tpu.ops.pallas_rollout import (
+    pack_params,
+    rollout_batched,
+)
+from ilqr_tpu.ops.rollout import _rollout_scan
+
+
+def _f32_params(model):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), model.default_params()
+    )
+
+
+@pytest.mark.parametrize("name", ["acrobot", "double_integrator",
+                                  "pendulum", "cartpole"])
+def test_soa_matches_aos(name):
+    """SoA model functions agree with the per-problem versions on a tile."""
+    mo = get_model(name)
+    assert mo.has_soa
+    p = _f32_params(mo)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(mo.n, 4)), jnp.float32)
+    U = jnp.asarray(rng.normal(size=(mo.m, 4)), jnp.float32)
+
+    dx = mo.dynamics_soa(p, X, U)
+    c = mo.cost_soa(p, X, U)
+    f = mo.final_cost_soa(p, X)
+    for b in range(4):
+        np.testing.assert_allclose(
+            np.asarray(dx[:, b]), np.asarray(mo.dynamics(p, X[:, b], U[:, b])),
+            atol=1e-4, err_msg=f"{name} dynamics lane {b}",
+        )
+        assert abs(float(c[b]) - float(mo.cost(p, X[:, b], U[:, b]))) < 1e-3
+        assert abs(float(f[b]) - float(mo.final_cost(p, X[:, b]))) < 1e-2
+
+
+@pytest.mark.parametrize("name,clamp,integ", [
+    ("acrobot", True, "euler"),
+    ("acrobot", False, "rk4"),
+    ("double_integrator", False, "euler"),
+    ("pendulum", True, "euler"),
+    ("cartpole", False, "euler"),
+])
+def test_kernel_matches_scan(name, clamp, integ):
+    mo = get_model(name)
+    p = _f32_params(mo)
+    rng = np.random.default_rng(1)
+    B, T = 3, 9
+    x0 = jnp.asarray(rng.normal(size=(B, mo.n)) * 0.3, jnp.float32)
+    uff = jnp.asarray(rng.normal(size=(B, T, mo.m)) * 0.5, jnp.float32)
+    xsr = jnp.asarray(rng.normal(size=(B, T + 1, mo.n)) * 0.3, jnp.float32)
+    K = jnp.asarray(rng.normal(size=(B, T, mo.m, mo.n)) * 0.2, jnp.float32)
+
+    cfg = SolverConfig(clamp_forward=clamp, integrator=integ)
+    xs_k, us_k, c_k = rollout_batched(
+        mo, integ, clamp, p, 0.02, x0, uff, xsr, K, interpret=True)
+    ref = jax.vmap(
+        lambda a, b, c, d: _rollout_scan(mo, p, cfg, 0.02, a, b, c, d)
+    )(x0, uff, xsr, K)
+    np.testing.assert_allclose(np.asarray(xs_k), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(us_k), np.asarray(ref[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(ref[2]), rtol=1e-5)
+
+
+def test_pack_params_roundtrip_structure():
+    mo = get_model("acrobot")
+    p = _f32_params(mo)
+    packed, treedef, shapes = pack_params(p, 0.02)
+    n_scalars = sum(int(np.prod(s)) if s else 1 for s in shapes)
+    assert packed.shape == (n_scalars + 1, 8, 128)  # +1 = dt row
+    # dt lives in the last row, broadcast across the tile
+    np.testing.assert_allclose(np.asarray(packed[-1]), 0.02)
+
+
+def test_fused_line_search_matches_plain():
+    """Batched line search through the custom_vmap fused rule equals the
+    plain per-problem implementation."""
+    from ilqr_tpu.ops.rollout import line_search
+    from ilqr_tpu.solver import init_state
+
+    mo = get_model("acrobot")
+    p = _f32_params(mo)
+    rng = np.random.default_rng(2)
+    B, T = 3, 9
+    cfg_x = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                         rollout_kernel="xla")
+    cfg_p = cfg_x.replace(rollout_kernel="pallas")
+    x0 = jnp.asarray(rng.normal(size=(B, mo.n)) * 0.1, jnp.float32)
+    u0 = jnp.asarray(rng.normal(size=(B, T, mo.m)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, mo.m)) * 0.1, jnp.float32)
+    K = jnp.zeros((B, T, mo.m, mo.n), jnp.float32)
+    dV = jnp.broadcast_to(jnp.asarray([-1.0, 0.1], jnp.float32), (B, 2))
+
+    def run(cfg):
+        def one(x0b, u0b, kb, Kb):
+            st = init_state(mo, p, cfg, 0.02, x0b, u0b)
+            return line_search(mo, p, cfg, 0.02, x0b, st.xs, st.us, kb, Kb,
+                               dV[0], st.cost)
+        return jax.vmap(one)(x0, u0, k, K)
+
+    rx = run(cfg_x)
+    rp = run(cfg_p)
+    np.testing.assert_allclose(np.asarray(rx.cost), np.asarray(rp.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rx.alpha), np.asarray(rp.alpha))
+    np.testing.assert_array_equal(np.asarray(rx.accepted),
+                                  np.asarray(rp.accepted))
+    np.testing.assert_allclose(np.asarray(rx.us), np.asarray(rp.us),
+                               atol=1e-5)
