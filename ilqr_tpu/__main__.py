@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trajectory CSV path (ref hardcodes ilqr_result.csv)")
     p.add_argument("--quiet", action="store_true",
                    help="skip the per-iteration table (single fused solve)")
+    p.add_argument("--profile", action="store_true",
+                   help="print the per-phase timing breakdown (the "
+                        "reference's TIMESTUFF report, ilqr_core.cpp:290-298)")
+    p.add_argument("--plot", metavar="PNG",
+                   help="save a state/control plot of the result")
     return p
 
 
@@ -134,6 +139,19 @@ def main(argv=None) -> int:
     print(f"Solve took {elapsed:.3f} seconds (incl. compile).")
     write_trajectory_csv(args.output, sol.xs, sol.us)
     print(f"Wrote trajectory to {args.output}")
+
+    if args.profile:
+        from ilqr_tpu.utils.timing import profile_phases
+
+        _timer, report = profile_phases(
+            model, params, cfg, args.dt, x0, u0, n_iters=5)
+        print(report)
+    if args.plot:
+        from ilqr_tpu.utils.plotting import plot_trajectory
+
+        plot_trajectory(sol.xs, sol.us, dt=args.dt,
+                        title=args.problem, save_path=args.plot)
+        print(f"Wrote plot to {args.plot}")
     return 0
 
 

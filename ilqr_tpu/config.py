@@ -83,6 +83,8 @@ class SolverConfig:
     # when m == 1 in f32; "auto" enables it on the TPU backend only.
     rollout_kernel: str = "auto"  # same for rollouts / line searches via
     # the fused SoA rollout kernel (ops/pallas_rollout); needs model SoA fns.
+    deriv_kernel: str = "auto"  # same for the analytic linearization stage
+    # via the fused in-kernel-JVP derivative kernel (ops/pallas_derivs).
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":

@@ -186,8 +186,60 @@ def fd_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Derivs:
     )
 
 
+import functools
+
+
+def _use_fused_derivs(model: Model, cfg: SolverConfig, dtype) -> bool:
+    return (
+        cfg.deriv_mode == "analytic"
+        and model.has_soa
+        and dtype == jnp.float32
+        and cfg.deriv_kernel != "xla"
+        and (cfg.deriv_kernel == "pallas"
+             or jax.default_backend() == "tpu")
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _get_derivs_cv(model: Model, cfg: SolverConfig):
+    from ilqr_tpu.ops.pallas_derivs import derivs_batched
+
+    @jax.custom_batching.custom_vmap
+    def _cv(params, dt, xs, us):
+        return analytic_derivs(model, params, cfg, dt, xs, us)
+
+    @_cv.def_vmap
+    def _rule(axis_size, in_batched, params, dt, xs, us):
+        pb, dtb, xsb, usb = in_batched
+        if any(jax.tree_util.tree_leaves(pb)) or dtb:
+            out = jax.vmap(
+                lambda p_, d_, a, b: analytic_derivs(model, p_, cfg, d_, a, b),
+                in_axes=(jax.tree_util.tree_map(
+                    lambda bt: 0 if bt else None, pb),
+                    0 if dtb else None, 0 if xsb else None,
+                    0 if usb else None),
+                axis_size=axis_size,
+            )(params, dt, xs, us)
+            return out, jax.tree_util.tree_map(lambda _: True, out)
+
+        def bc(a, b):
+            return a if b else jnp.broadcast_to(
+                a[None], (axis_size,) + a.shape)
+
+        out = derivs_batched(
+            model, cfg.integrator, params, dt, bc(xs, xsb), bc(us, usb),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return _cv
+
+
 def compute_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Derivs:
     if cfg.deriv_mode == "analytic":
+        if _use_fused_derivs(model, cfg, jnp.asarray(xs).dtype):
+            fn = _get_derivs_cv(model, cfg)
+            return fn(params, jnp.asarray(dt, jnp.float32), xs, us)
         return analytic_derivs(model, params, cfg, dt, xs, us)
     if cfg.deriv_mode == "fd":
         return fd_derivs(model, params, cfg, dt, xs, us)

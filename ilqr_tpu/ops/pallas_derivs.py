@@ -1,0 +1,246 @@
+"""Fused Pallas TPU kernel for the batched linearization stage.
+
+Computes fx, fu, cx, cu, cxx, cxu, cuu for every (problem, timestep) — the
+stage that dominates the reference's solve time (ref notes.md:45, via
+per-step central differences in src/derivatives.cpp). Here each grid step
+produces EXACT derivatives for 1024 problems at one timestep by running
+nested forward-mode JVPs of the model's SoA functions *inside the kernel*:
+
+- first derivatives: one JVP per basis direction (n+m of them),
+- second derivatives: nested JVP-of-JVP per direction pair (symmetric
+  pairs computed once and mirrored),
+- everything unrolled over the (tiny) state/control dims, so each JVP is a
+  short chain of elementwise VPU ops over the (8, 128) problem tile.
+
+This is exact like `jax.jacfwd` (it IS forward-mode AD, just staged
+manually), with none of the XLA-level batching overhead, and one HBM
+read of (x_t, u_t) per step amortized over all ~75 directional evaluations
+— the fusion the reference attempted with OpenMP and abandoned
+(ref derivatives.cpp:18-123, notes.md:12).
+
+Layout mirrors ops/pallas_backward.py; the terminal row (cx[T], cxx[T]
+from final_cost, ref derivatives.cpp:48-49,92) is produced by the same
+kernel at grid step t == T.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ilqr_tpu.ops.pallas_rollout import pack_params, unpack_params
+from ilqr_tpu.types import Derivs
+
+S = 8
+L = 128
+BLOCK = S * L
+
+
+def _basis(k, dims, like):
+    """Tangent tuple: ones-tile at row k, zeros elsewhere."""
+    one = jnp.ones_like(like)
+    zero = jnp.zeros_like(like)
+    return jnp.stack([one if i == k else zero for i in range(dims)])
+
+
+def _kernel(model, n, m, integrator, treedef, shapes,
+            params_ref, xs_ref, us_ref,
+            fx_ref, fu_ref, cx_ref, cu_ref, cxx_ref, cxu_ref, cuu_ref,
+            ):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)  # == T + 1
+    p, dt = unpack_params(params_ref, treedef, shapes)
+
+    x = jnp.stack([xs_ref[0, i, 0] for i in range(n)])
+    u = jnp.stack([us_ref[0, j, 0] for j in range(m)])
+    tile = x[0]
+
+    def step_fn(xv, uv):
+        d = model.dynamics_soa(p, xv, uv)
+        if integrator == "euler":
+            return xv + d * dt
+        if integrator == "rk4":
+            k1 = d
+            k2 = model.dynamics_soa(p, xv + 0.5 * dt * k1, uv)
+            k3 = model.dynamics_soa(p, xv + 0.5 * dt * k2, uv)
+            k4 = model.dynamics_soa(p, xv + dt * k3, uv)
+            return xv + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        raise ValueError(integrator)
+
+    cost_fn = lambda xv, uv: model.cost_soa(p, xv, uv)
+    final_fn = lambda xv: model.final_cost_soa(p, xv)
+
+    zx = jnp.zeros_like(x)
+    zu = jnp.zeros_like(u)
+
+    # ---- running rows: everything but the terminal cx/cxx (t < T)
+    @pl.when(t < n_t - 1)
+    def _():
+        # fx/fu: JVPs of the discrete step (ref derivatives.cpp:15-26)
+        for i in range(n):
+            _, dcol = jax.jvp(step_fn, (x, u), (_basis(i, n, tile), zu))
+            for r in range(n):
+                fx_ref[0, r, i, 0] = dcol[r]
+        for j in range(m):
+            _, dcol = jax.jvp(step_fn, (x, u), (zx, _basis(j, m, tile)))
+            for r in range(n):
+                fu_ref[0, r, j, 0] = dcol[r]
+
+        # cx/cu: cost gradient (ref derivatives.cpp:29-54)
+        def dcost(i, wrt_x):
+            tang = ((_basis(i, n, tile), zu) if wrt_x
+                    else (zx, _basis(i, m, tile)))
+            return jax.jvp(cost_fn, (x, u), tang)[1]
+
+        for i in range(n):
+            cx_ref[0, i, 0] = dcost(i, True)
+        for j in range(m):
+            cu_ref[0, j, 0] = dcost(j, False)
+
+        # second derivatives: nested JVPs (ref derivatives.cpp:57-144);
+        # symmetric blocks computed on the upper triangle and mirrored.
+        def hess(i, wrt_x_i, j, wrt_x_j):
+            ti = ((_basis(i, n, tile), zu) if wrt_x_i
+                  else (zx, _basis(i, m, tile)))
+            tj = ((_basis(j, n, tile), zu) if wrt_x_j
+                  else (zx, _basis(j, m, tile)))
+
+            def inner(xv, uv):
+                return jax.jvp(cost_fn, (xv, uv), ti)[1]
+
+            return jax.jvp(inner, (x, u), tj)[1]
+
+        for i in range(n):
+            for j in range(i, n):
+                h = hess(i, True, j, True)
+                cxx_ref[0, i, j, 0] = h
+                if i != j:
+                    cxx_ref[0, j, i, 0] = h
+        for i in range(n):
+            for j in range(m):
+                cxu_ref[0, i, j, 0] = hess(i, True, j, False)
+        for i in range(m):
+            for j in range(i, m):
+                h = hess(i, False, j, False)
+                cuu_ref[0, i, j, 0] = h
+                if i != j:
+                    cuu_ref[0, j, i, 0] = h
+
+    # ---- terminal row: cx[T], cxx[T] from final_cost (t == T)
+    @pl.when(t == n_t - 1)
+    def _():
+        for i in range(n):
+            cx_ref[0, i, 0] = jax.jvp(
+                final_fn, (x,), (_basis(i, n, tile),))[1]
+        for i in range(n):
+            for j in range(i, n):
+                def inner(xv, _i=i):
+                    return jax.jvp(final_fn, (xv,), (_basis(_i, n, tile),))[1]
+
+                h = jax.jvp(inner, (x,), (_basis(j, n, tile),))[1]
+                cxx_ref[0, i, j, 0] = h
+                if i != j:
+                    cxx_ref[0, j, i, 0] = h
+
+
+def _pack_tail(x, nb):
+    rest = x.shape[1:]
+    perm = tuple(range(1, x.ndim)) + (0,)
+    return jnp.transpose(x, perm).reshape(rest + (nb, S, L))
+
+
+def _unpack_tail(y, bb):
+    rest = y.shape[:-3]
+    y = y.reshape(rest + (bb,))
+    perm = (y.ndim - 1,) + tuple(range(y.ndim - 1))
+    return jnp.transpose(y, perm)
+
+
+def derivs_batched(model, integrator: str, params, dt, xs, us,
+                   interpret: bool = False) -> Derivs:
+    """Batched linearization via the fused kernel.
+
+    Args: xs (B, T+1, n), us (B, T, m); params shared, dt scalar.
+    Returns a Derivs with a leading batch axis, f32.
+    """
+    B, T, m = us.shape
+    n = xs.shape[2]
+    f32 = jnp.float32
+
+    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
+    nb = bb // BLOCK
+    pad = bb - B
+
+    def prep(x):
+        x = x.astype(f32)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0)
+        return x
+
+    xs_p = _pack_tail(prep(xs), nb)   # (T+1, n, NB, S, L)
+    us_p = _pack_tail(prep(us), nb)   # (T, m, NB, S, L)
+    params_p, treedef, shapes = pack_params(params, dt)
+    P = params_p.shape[0]
+
+    # us and the T-row outputs have no row T; clamp those indices. At t==T
+    # the clamped blocks are revisited but never written, so the data from
+    # t==T-1 is flushed untouched.
+    clamp_t = lambda t: jnp.minimum(t, T - 1)
+
+    specs_in = [
+        pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m, 1, S, L),
+                     lambda b, t: (clamp_t(t), 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    run_idx = lambda b, t: (clamp_t(t), 0, 0, b, 0, 0)
+    run_idx3 = lambda b, t: (clamp_t(t), 0, b, 0, 0)
+    specs_out = [
+        pl.BlockSpec((1, n, n, 1, S, L), run_idx,
+                     memory_space=pltpu.VMEM),  # fx (T rows)
+        pl.BlockSpec((1, n, m, 1, S, L), run_idx,
+                     memory_space=pltpu.VMEM),  # fu
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cx (T+1 rows)
+        pl.BlockSpec((1, m, 1, S, L), run_idx3,
+                     memory_space=pltpu.VMEM),  # cu
+        pl.BlockSpec((1, n, n, 1, S, L), lambda b, t: (t, 0, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cxx (T+1 rows)
+        pl.BlockSpec((1, n, m, 1, S, L), run_idx,
+                     memory_space=pltpu.VMEM),  # cxu
+        pl.BlockSpec((1, m, m, 1, S, L), run_idx,
+                     memory_space=pltpu.VMEM),  # cuu
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, n, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T + 1, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T + 1, n, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, n, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, m, nb, S, L), f32),
+    ]
+
+    fx, fu, cx, cu, cxx, cxu, cuu = pl.pallas_call(
+        functools.partial(_kernel, model, n, m, integrator, treedef, shapes),
+        grid=(nb, T + 1),
+        in_specs=specs_in,
+        out_specs=specs_out,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(params_p, xs_p, us_p)
+
+    up = lambda a: _unpack_tail(a, bb)[:B]
+    return Derivs(fx=up(fx), fu=up(fu), cx=up(cx), cu=up(cu),
+                  cxx=up(cxx), cxu=up(cxu), cuu=up(cuu))

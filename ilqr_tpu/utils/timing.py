@@ -42,3 +42,77 @@ def profile(logdir: str = "/tmp/ilqr_tpu_profile"):
     """jax.profiler trace wrapper (view with tensorboard/xprof)."""
     with jax.profiler.trace(logdir):
         yield
+
+
+def profile_phases(model, params, cfg, dt, x0, u0, n_iters: int = 5,
+                   batch: int = 0):
+    """Per-phase breakdown of one solve — the reference's TIMESTUFF report
+    (ref: src/ilqr_core.cpp:95-100, 290-298: total / derivatives / backward
+    / forward / other), measured with device fences around separately-jitted
+    phases. ``batch`` > 0 profiles a vmapped batch of that size instead of
+    a single problem. Returns (PhaseTimer, report string).
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from ilqr_tpu.ops.backward import backward_pass
+    from ilqr_tpu.ops.derivatives import compute_derivs
+    from ilqr_tpu.ops.rollout import line_search
+    from ilqr_tpu.solver import init_state
+
+    if batch:
+        x0 = jnp.broadcast_to(x0, (batch,) + jnp.shape(x0))
+        u0 = jnp.broadcast_to(u0, (batch,) + jnp.shape(u0))
+        maybe_vmap = lambda f, in_axes: jax.vmap(f, in_axes=in_axes)
+    else:
+        maybe_vmap = lambda f, in_axes: f
+
+    derivs_fn = jax.jit(maybe_vmap(
+        lambda xs, us: compute_derivs(model, params, cfg, dt, xs, us),
+        (0, 0)))
+    bwd_fn = jax.jit(maybe_vmap(
+        lambda d, us, lam, k_last: backward_pass(
+            d, us, lam, params.u_min, params.u_max, cfg, k_last),
+        (0, 0, 0, 0)))
+    ls_fn = jax.jit(maybe_vmap(
+        lambda x0_, xs, us, k, K, dV, c: line_search(
+            model, params, cfg, dt, x0_, xs, us, k, K, dV, c),
+        (0,) * 7))
+    init_fn = jax.jit(maybe_vmap(
+        lambda a, b: init_state(model, params, cfg, dt, a, b), (0, 0)))
+
+    timer = PhaseTimer()
+    state = init_fn(x0, u0)
+    jax.block_until_ready(state.cost)
+
+    lam = state.lam
+    k_last = state.k[..., -1, :] if batch else state.k[-1]
+    xs, us, cost = state.xs, state.us, state.cost
+
+    # warm-up (compile) outside the timers
+    d = derivs_fn(xs, us)
+    br = bwd_fn(d, us, lam, k_last)
+    ls = ls_fn(x0, xs, us, br.k, br.K, br.dV, cost)
+    jax.block_until_ready(ls.cost)
+
+    for _ in range(n_iters):
+        with timer.phase("derivatives", None):
+            d = derivs_fn(xs, us)
+            jax.block_until_ready(d.fx)
+        with timer.phase("backward_pass", None):
+            br = bwd_fn(d, us, lam, k_last)
+            jax.block_until_ready(br.k)
+        with timer.phase("forward_pass", None):
+            ls = ls_fn(x0, xs, us, br.k, br.K, br.dV, cost)
+            jax.block_until_ready(ls.cost)
+        with timer.phase("other", None):
+            xs = jnp.where(ls.accepted[..., None, None] if batch
+                           else ls.accepted, ls.xs, xs)
+            us = jnp.where(ls.accepted[..., None, None] if batch
+                           else ls.accepted, ls.us, us)
+            cost = jnp.where(ls.accepted, ls.cost, cost)
+            k_last = br.k[..., -1, :] if batch else br.k[-1]
+            jax.block_until_ready(cost)
+
+    return timer, timer.report()

@@ -1,0 +1,72 @@
+"""Fused Pallas derivative-kernel tests (interpret mode on CPU). The kernel
+computes exact derivatives via nested in-kernel JVPs, so it must match
+jax.jacfwd-based analytic_derivs to f32 roundoff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.ops.derivatives import analytic_derivs
+from ilqr_tpu.ops.pallas_derivs import derivs_batched
+
+FIELDS = ("fx", "fu", "cx", "cu", "cxx", "cxu", "cuu")
+
+
+def _problem(mo, B=3, T=7, seed=0):
+    rng = np.random.default_rng(seed)
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), mo.default_params())
+    xs = jnp.asarray(rng.normal(size=(B, T + 1, mo.n)) * 0.4, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(B, T, mo.m)) * 0.4, jnp.float32)
+    return p, xs, us
+
+
+@pytest.mark.parametrize("name", ["acrobot", "double_integrator",
+                                  "pendulum", "cartpole"])
+@pytest.mark.parametrize("integ", ["euler", "rk4"])
+def test_kernel_matches_jacfwd(name, integ):
+    mo = get_model(name)
+    p, xs, us = _problem(mo)
+    cfg = SolverConfig(integrator=integ)
+    d_k = derivs_batched(mo, integ, p, 0.02, xs, us, interpret=True)
+    d_r = jax.vmap(
+        lambda a, b: analytic_derivs(mo, p, cfg, 0.02, a, b))(xs, us)
+    for f in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(d_k, f)), np.asarray(getattr(d_r, f)),
+            atol=1e-4, err_msg=f"{name}/{integ}/{f}",
+        )
+
+
+def test_terminal_row_from_final_cost():
+    """cx[T]/cxx[T] come from final_cost, not the running cost
+    (ref derivatives.cpp:48-49, 92)."""
+    mo = get_model("acrobot")
+    p, xs, us = _problem(mo, B=2, T=5)
+    d = derivs_batched(mo, "euler", p, 0.02, xs, us, interpret=True)
+    gT = jax.vmap(jax.grad(lambda x: mo.final_cost(p, x)))(xs[:, -1])
+    hT = jax.vmap(jax.hessian(lambda x: mo.final_cost(p, x)))(xs[:, -1])
+    np.testing.assert_allclose(np.asarray(d.cx[:, -1]), np.asarray(gT),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cxx[:, -1]), np.asarray(hT),
+                               atol=1e-4)
+
+
+def test_compute_derivs_dispatch_forced_pallas():
+    """compute_derivs routes batched analytic calls through the kernel when
+    deriv_kernel='pallas' (interpret off-TPU)."""
+    from ilqr_tpu.ops.derivatives import compute_derivs
+
+    mo = get_model("acrobot")
+    p, xs, us = _problem(mo, B=2, T=5)
+    cfg = SolverConfig(deriv_kernel="pallas")
+    d_k = jax.vmap(
+        lambda a, b: compute_derivs(mo, p, cfg, 0.02, a, b))(xs, us)
+    d_r = jax.vmap(
+        lambda a, b: analytic_derivs(mo, p, cfg, 0.02, a, b))(xs, us)
+    for f in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(d_k, f)), np.asarray(getattr(d_r, f)),
+            atol=1e-4, err_msg=f)
