@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ilqr_tpu import SolverConfig, get_model
-from ilqr_tpu.batch import make_batch_solver
 from ilqr_tpu.models import acrobot as ac
 
 # Reference binary: acrobot swing-up, T=499, maxIter=100 → 0.47-0.58 s/solve
@@ -55,24 +54,30 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    dtype = jnp.zeros(()).dtype  # f32 on TPU, f64 only if x64 explicitly on
-    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), dtype)
-    u0 = jnp.zeros((T, 1), dtype)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
+    u0 = jnp.zeros((B, T, 1), jnp.float32)
 
-    solver = make_batch_solver(model, cfg)
+    # params/dt closed over as constants (constant-folded into the program);
+    # only the batched initial state varies between calls.
+    from ilqr_tpu.solver import solve
 
-    # Warm-up / compile (first TPU compile of the full solve is ~30-60 s).
+    solver = jax.jit(jax.vmap(
+        lambda x, u: solve(model, params, cfg, 0.02, x, u)
+    ))
+
+    # Warm-up / compile (first TPU trace+compile of the full solve is
+    # ~30-60 s cold).
     t0 = time.perf_counter()
-    sol = solver(params, dt=0.02, x0=x0, u0=u0)
+    sol = solver(x0, u0)
     jax.block_until_ready(sol.cost)
     compile_and_first = time.perf_counter() - t0
 
     # Timed runs on fresh initial states (no cached solutions possible).
     times = []
     for rep in range(3):
-        x0r = jnp.asarray(0.05 * rng.normal(size=(B, 4)), dtype)
+        x0r = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
         t0 = time.perf_counter()
-        sol = solver(params, dt=0.02, x0=x0r, u0=u0)
+        sol = solver(x0r, u0)
         jax.block_until_ready(sol.cost)
         times.append(time.perf_counter() - t0)
 
