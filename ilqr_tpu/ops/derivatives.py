@@ -206,6 +206,12 @@ def _get_derivs_cv(model: Model, cfg: SolverConfig):
 
     @jax.custom_batching.custom_vmap
     def _cv(params, dt, xs, us):
+        # Single-problem path: kernel with a B=1 block on TPU (see
+        # ops/pallas_rollout.py) — keeps unbatched MPC replans fast.
+        if jax.default_backend() == "tpu":
+            d = derivs_batched(model, cfg.integrator, params, dt,
+                               xs[None], us[None])
+            return jax.tree_util.tree_map(lambda a: a[0], d)
         return analytic_derivs(model, params, cfg, dt, xs, us)
 
     @_cv.def_vmap

@@ -132,6 +132,14 @@ def _get_rollout_cv(model: Model, cfg: SolverConfig):
 
     @jax.custom_batching.custom_vmap
     def _cv(params, dt, x0, u_ff, xs_ref, K):
+        # Single-problem path: still use the kernel on TPU (B=1 block,
+        # ~0.1 ms vs T scan dispatches) — the real-time MPC latency path.
+        if jax.default_backend() == "tpu":
+            xs, us, cost = rollout_batched(
+                model, cfg.integrator, cfg.clamp_forward, params, dt,
+                x0[None], u_ff[None], xs_ref[None], K[None],
+            )
+            return xs[0], us[0], cost[0]
         return _rollout_scan(model, params, cfg, dt, x0, u_ff, xs_ref, K)
 
     @_cv.def_vmap
