@@ -14,8 +14,6 @@ the batch axis over a mesh (see ilqr_tpu.parallel).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 

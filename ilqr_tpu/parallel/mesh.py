@@ -13,7 +13,6 @@ spans all global devices and each host feeds its local shard.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -26,8 +26,6 @@ Exact semantics preserved (each with its reference site):
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

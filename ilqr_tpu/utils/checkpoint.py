@@ -13,7 +13,6 @@ dependency-free default and is what the tests pin down.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Any
 

@@ -52,8 +52,6 @@ def profile_phases(model, params, cfg, dt, x0, u0, n_iters: int = 5,
     phases. ``batch`` > 0 profiles a vmapped batch of that size instead of
     a single problem. Returns (PhaseTimer, report string).
     """
-    import functools
-
     import jax.numpy as jnp
 
     from ilqr_tpu.ops.backward import backward_pass
