@@ -85,6 +85,9 @@ class SolverConfig:
     # the fused SoA rollout kernel (ops/pallas_rollout); needs model SoA fns.
     deriv_kernel: str = "auto"  # same for the analytic linearization stage
     # via the fused in-kernel-JVP derivative kernel (ops/pallas_derivs).
+    backward_mode: str = "scan"  # "scan" (serial recursion) | "assoc"
+    # (O(log T)-depth parallel-in-time associative scan; unconstrained
+    # problems only — see ops/assoc_backward.py).
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":

@@ -42,6 +42,13 @@ def backward_pass(
     dtype = us.dtype
     eye_m = jnp.eye(m, dtype=dtype)
 
+    # Parallel-in-time mode (unconstrained only): O(log T) associative scan
+    # instead of the serial recursion (see ops/assoc_backward.py).
+    if cfg.backward_mode == "assoc" and not cfg.use_control_limits:
+        from ilqr_tpu.ops.assoc_backward import backward_pass_assoc
+
+        return backward_pass_assoc(derivs, us, lam, cfg)
+
     # Fused-kernel dispatch: for m=1/f32 control-limited sweeps, route
     # through a custom_vmap function — unbatched solves run the lax.scan
     # below either way, but vmapped solves hit the Pallas TPU kernel
