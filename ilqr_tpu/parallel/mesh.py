@@ -43,6 +43,14 @@ def make_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
     return Mesh(devices.reshape(-1), (axis_name,))
 
 
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
 def make_sharded_solver(
     model: Model,
     cfg: SolverConfig,
@@ -54,34 +62,42 @@ def make_sharded_solver(
     The returned fn maps (params, dt, x0:(B,n), u0:(B,T,m)) → Solution with
     every output sharded the same way. B must be divisible by mesh size.
 
-    Implementation: ``jax.jit`` with NamedSharding constraints — XLA GSPMD
-    partitions the vmapped while_loop across devices; since solves are
-    independent there is no cross-device communication in the hot loop.
+    Implementation: ``shard_map`` — manual partitioning, so each device runs
+    its LOCAL batch through the full solver (including the fused Pallas
+    kernels, which GSPMD cannot partition automatically). Solves are
+    independent, so the hot loop has no cross-device communication at all;
+    collectives appear only in :func:`sharded_convergence_stats`.
     """
     mesh = make_mesh() if mesh is None else mesh
     batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
     repl = NamedSharding(mesh, P())
 
-    def batched(params, dt, x0, u0):
+    def local_solve(params, dt, x0, u0):
         in_axes = (0 if params_batched else None, None, 0, 0)
         return jax.vmap(
             lambda p, d, x, u: solve(model, p, cfg, d, x, u), in_axes=in_axes
         )(params, dt, x0, u0)
 
+    p_spec = P(BATCH_AXIS) if params_batched else P()
+    fn = _shard_map()(
+        local_solve,
+        mesh=mesh,
+        in_specs=(p_spec, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        # flg_change's lax.cond mixes batch-varying and carried-zero
+        # branches; replication-safety is by construction (independent
+        # solves, batch-sharded outputs).
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
     param_shard = batch_spec if params_batched else repl
 
-    def shard_leaf(tree, sharding):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), tree
-        )
-
-    jitted = jax.jit(batched)
-
     def run(params, dt, x0, u0) -> Solution:
-        params = shard_leaf(params, param_shard)
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, param_shard), params)
         x0 = jax.device_put(x0, batch_spec)
         u0 = jax.device_put(u0, batch_spec)
-        return jitted(params, dt, x0, u0)
+        return jitted(params, jnp.asarray(dt), x0, u0)
 
     return run
 
@@ -94,10 +110,7 @@ def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
     ``pmax`` over the batch axis (inside ``shard_map``) to aggregate cost and
     convergence counters without gathering trajectories to the host.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map()
 
     def local_solve_and_reduce(params, dt, x0, u0):
         in_axes = (0 if params_batched else None, None, 0, 0)
