@@ -191,8 +191,7 @@ import functools
 
 def _use_fused_derivs(model: Model, cfg: SolverConfig, dtype) -> bool:
     return (
-        cfg.deriv_mode == "analytic"
-        and model.has_soa
+        model.has_soa
         and dtype == jnp.float32
         and cfg.deriv_kernel != "xla"
         and (cfg.deriv_kernel == "pallas"
@@ -204,22 +203,33 @@ def _use_fused_derivs(model: Model, cfg: SolverConfig, dtype) -> bool:
 def _get_derivs_cv(model: Model, cfg: SolverConfig):
     from ilqr_tpu.ops.pallas_derivs import derivs_batched
 
+    # "analytic" → exact in-kernel JVPs; "fd" → the reference's central
+    # stencils with cfg.fd_eps, evaluated in-kernel.
+    kmode = "jvp" if cfg.deriv_mode == "analytic" else "fd"
+    xla_impl = analytic_derivs if cfg.deriv_mode == "analytic" else fd_derivs
+
+    def kernel_call(params, dt, xs, us):
+        return derivs_batched(
+            model, cfg.integrator, params, dt, xs, us,
+            mode=kmode, eps=cfg.fd_eps,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     @jax.custom_batching.custom_vmap
     def _cv(params, dt, xs, us):
         # Single-problem path: kernel with a B=1 block on TPU (see
         # ops/pallas_rollout.py) — keeps unbatched MPC replans fast.
         if jax.default_backend() == "tpu":
-            d = derivs_batched(model, cfg.integrator, params, dt,
-                               xs[None], us[None])
+            d = kernel_call(params, dt, xs[None], us[None])
             return jax.tree_util.tree_map(lambda a: a[0], d)
-        return analytic_derivs(model, params, cfg, dt, xs, us)
+        return xla_impl(model, params, cfg, dt, xs, us)
 
     @_cv.def_vmap
     def _rule(axis_size, in_batched, params, dt, xs, us):
         pb, dtb, xsb, usb = in_batched
         if any(jax.tree_util.tree_leaves(pb)) or dtb:
             out = jax.vmap(
-                lambda p_, d_, a, b: analytic_derivs(model, p_, cfg, d_, a, b),
+                lambda p_, d_, a, b: xla_impl(model, p_, cfg, d_, a, b),
                 in_axes=(jax.tree_util.tree_map(
                     lambda bt: 0 if bt else None, pb),
                     0 if dtb else None, 0 if xsb else None,
@@ -232,21 +242,18 @@ def _get_derivs_cv(model: Model, cfg: SolverConfig):
             return a if b else jnp.broadcast_to(
                 a[None], (axis_size,) + a.shape)
 
-        out = derivs_batched(
-            model, cfg.integrator, params, dt, bc(xs, xsb), bc(us, usb),
-            interpret=jax.default_backend() != "tpu",
-        )
+        out = kernel_call(params, dt, bc(xs, xsb), bc(us, usb))
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return _cv
 
 
 def compute_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Derivs:
+    if cfg.deriv_mode not in ("analytic", "fd"):
+        raise ValueError(f"unknown deriv_mode {cfg.deriv_mode!r}")
+    if _use_fused_derivs(model, cfg, jnp.asarray(xs).dtype):
+        fn = _get_derivs_cv(model, cfg)
+        return fn(params, jnp.asarray(dt, jnp.float32), xs, us)
     if cfg.deriv_mode == "analytic":
-        if _use_fused_derivs(model, cfg, jnp.asarray(xs).dtype):
-            fn = _get_derivs_cv(model, cfg)
-            return fn(params, jnp.asarray(dt, jnp.float32), xs, us)
         return analytic_derivs(model, params, cfg, dt, xs, us)
-    if cfg.deriv_mode == "fd":
-        return fd_derivs(model, params, cfg, dt, xs, us)
-    raise ValueError(f"unknown deriv_mode {cfg.deriv_mode!r}")
+    return fd_derivs(model, params, cfg, dt, xs, us)

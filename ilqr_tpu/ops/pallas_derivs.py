@@ -47,7 +47,7 @@ def _basis(k, dims, like):
     return jnp.stack([one if i == k else zero for i in range(dims)])
 
 
-def _kernel(model, n, m, integrator, treedef, shapes,
+def _kernel(model, n, m, integrator, mode, eps, treedef, shapes,
             params_ref, xs_ref, us_ref,
             fx_ref, fu_ref, cx_ref, cu_ref, cxx_ref, cxu_ref, cuu_ref,
             ):
@@ -77,55 +77,68 @@ def _kernel(model, n, m, integrator, treedef, shapes,
     zx = jnp.zeros_like(x)
     zu = jnp.zeros_like(u)
 
+    def ei(i, wrt_x):
+        return ((_basis(i, n, tile), zu) if wrt_x
+                else (zx, _basis(i, m, tile)))
+
+    # Directional first/second derivatives, either exact (forward-mode JVP)
+    # or central differences with the reference's eps (finite_diff.h:9 /
+    # derivatives.cpp:10 — gradient/Jacobian 2-point, Hessian 4-point
+    # stencils, finite_diff.h:22-86).
+    def d1(f, tang):
+        if mode == "jvp":
+            return jax.jvp(f, (x, u), tang)[1]
+        tx, tu = tang
+        return (f(x + eps * tx, u + eps * tu)
+                - f(x - eps * tx, u - eps * tu)) / (2.0 * eps)
+
+    def d2(f, ti, tj):
+        if mode == "jvp":
+            def inner(xv, uv):
+                return jax.jvp(f, (xv, uv), ti)[1]
+
+            return jax.jvp(inner, (x, u), tj)[1]
+        txi, tui = ti
+        txj, tuj = tj
+        fpp = f(x + eps * (txi + txj), u + eps * (tui + tuj))
+        fpm = f(x + eps * (txi - txj), u + eps * (tui - tuj))
+        fmp = f(x - eps * (txi - txj), u - eps * (tui - tuj))
+        fmm = f(x - eps * (txi + txj), u - eps * (tui + tuj))
+        return (fpp - fpm - fmp + fmm) / (4.0 * eps * eps)
+
     # ---- running rows: everything but the terminal cx/cxx (t < T)
     @pl.when(t < n_t - 1)
     def _():
-        # fx/fu: JVPs of the discrete step (ref derivatives.cpp:15-26)
+        # fx/fu: Jacobians of the discrete step (ref derivatives.cpp:15-26)
         for i in range(n):
-            _, dcol = jax.jvp(step_fn, (x, u), (_basis(i, n, tile), zu))
+            dcol = d1(step_fn, ei(i, True))
             for r in range(n):
                 fx_ref[0, r, i, 0] = dcol[r]
         for j in range(m):
-            _, dcol = jax.jvp(step_fn, (x, u), (zx, _basis(j, m, tile)))
+            dcol = d1(step_fn, ei(j, False))
             for r in range(n):
                 fu_ref[0, r, j, 0] = dcol[r]
 
         # cx/cu: cost gradient (ref derivatives.cpp:29-54)
-        def dcost(i, wrt_x):
-            tang = ((_basis(i, n, tile), zu) if wrt_x
-                    else (zx, _basis(i, m, tile)))
-            return jax.jvp(cost_fn, (x, u), tang)[1]
-
         for i in range(n):
-            cx_ref[0, i, 0] = dcost(i, True)
+            cx_ref[0, i, 0] = d1(cost_fn, ei(i, True))
         for j in range(m):
-            cu_ref[0, j, 0] = dcost(j, False)
+            cu_ref[0, j, 0] = d1(cost_fn, ei(j, False))
 
-        # second derivatives: nested JVPs (ref derivatives.cpp:57-144);
-        # symmetric blocks computed on the upper triangle and mirrored.
-        def hess(i, wrt_x_i, j, wrt_x_j):
-            ti = ((_basis(i, n, tile), zu) if wrt_x_i
-                  else (zx, _basis(i, m, tile)))
-            tj = ((_basis(j, n, tile), zu) if wrt_x_j
-                  else (zx, _basis(j, m, tile)))
-
-            def inner(xv, uv):
-                return jax.jvp(cost_fn, (xv, uv), ti)[1]
-
-            return jax.jvp(inner, (x, u), tj)[1]
-
+        # second derivatives (ref derivatives.cpp:57-144); symmetric blocks
+        # computed on the upper triangle and mirrored.
         for i in range(n):
             for j in range(i, n):
-                h = hess(i, True, j, True)
+                h = d2(cost_fn, ei(i, True), ei(j, True))
                 cxx_ref[0, i, j, 0] = h
                 if i != j:
                     cxx_ref[0, j, i, 0] = h
         for i in range(n):
             for j in range(m):
-                cxu_ref[0, i, j, 0] = hess(i, True, j, False)
+                cxu_ref[0, i, j, 0] = d2(cost_fn, ei(i, True), ei(j, False))
         for i in range(m):
             for j in range(i, m):
-                h = hess(i, False, j, False)
+                h = d2(cost_fn, ei(i, False), ei(j, False))
                 cuu_ref[0, i, j, 0] = h
                 if i != j:
                     cuu_ref[0, j, i, 0] = h
@@ -133,15 +146,12 @@ def _kernel(model, n, m, integrator, treedef, shapes,
     # ---- terminal row: cx[T], cxx[T] from final_cost (t == T)
     @pl.when(t == n_t - 1)
     def _():
+        ffn = lambda xv, uv: final_fn(xv)
         for i in range(n):
-            cx_ref[0, i, 0] = jax.jvp(
-                final_fn, (x,), (_basis(i, n, tile),))[1]
+            cx_ref[0, i, 0] = d1(ffn, ei(i, True))
         for i in range(n):
             for j in range(i, n):
-                def inner(xv, _i=i):
-                    return jax.jvp(final_fn, (xv,), (_basis(_i, n, tile),))[1]
-
-                h = jax.jvp(inner, (x,), (_basis(j, n, tile),))[1]
+                h = d2(ffn, ei(i, True), ei(j, True))
                 cxx_ref[0, i, j, 0] = h
                 if i != j:
                     cxx_ref[0, j, i, 0] = h
@@ -161,11 +171,14 @@ def _unpack_tail(y, bb):
 
 
 def derivs_batched(model, integrator: str, params, dt, xs, us,
+                   mode: str = "jvp", eps: float = 1e-3,
                    interpret: bool = False) -> Derivs:
     """Batched linearization via the fused kernel.
 
     Args: xs (B, T+1, n), us (B, T, m); params shared, dt scalar.
-    Returns a Derivs with a leading batch axis, f32.
+    ``mode``: "jvp" (exact forward-mode AD) or "fd" (the reference's
+    central-difference stencils with ``eps``). Returns a Derivs with a
+    leading batch axis, f32.
     """
     B, T, m = us.shape
     n = xs.shape[2]
@@ -230,7 +243,8 @@ def derivs_batched(model, integrator: str, params, dt, xs, us,
     ]
 
     fx, fu, cx, cu, cxx, cxu, cuu = pl.pallas_call(
-        functools.partial(_kernel, model, n, m, integrator, treedef, shapes),
+        functools.partial(_kernel, model, n, m, integrator, mode, float(eps),
+                          treedef, shapes),
         grid=(nb, T + 1),
         in_specs=specs_in,
         out_specs=specs_out,

@@ -54,6 +54,25 @@ def test_terminal_row_from_final_cost():
                                atol=1e-4)
 
 
+def test_fd_mode_stencils():
+    """The kernel's FD mode implements the reference's central stencils
+    (finite_diff.h:22-86). Validated on the quadratic model — where the
+    2-/4-point stencils are exact for any eps — with eps large enough that
+    f32 rounding noise (the limiting factor of FD Hessians in f32, see
+    ops/pallas_derivs.py) stays well below tolerance."""
+    mo = get_model("double_integrator")
+    p, xs, us = _problem(mo)
+    d_k = derivs_batched(mo, "euler", p, 0.02, xs, us, mode="fd", eps=0.05,
+                         interpret=True)
+    d_r = jax.vmap(
+        lambda a, b: analytic_derivs(mo, p, SolverConfig(), 0.02, a, b)
+    )(xs, us)
+    for f in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(d_k, f)), np.asarray(getattr(d_r, f)),
+            atol=2e-3, err_msg=f)
+
+
 def test_compute_derivs_dispatch_forced_pallas():
     """compute_derivs routes batched analytic calls through the kernel when
     deriv_kernel='pallas' (interpret off-TPU)."""
