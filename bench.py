@@ -14,6 +14,7 @@ Environment knobs:
   BENCH_BACKEND   'cpu' to force CPU (default: whatever jax picks, i.e. TPU)
 """
 
+import functools
 import json
 import os
 import sys
@@ -57,13 +58,22 @@ def main():
     x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
     u0 = jnp.zeros((B, T, 1), jnp.float32)
 
-    # params/dt closed over as constants (constant-folded into the program);
-    # only the batched initial state varies between calls.
-    from ilqr_tpu.solver import solve
+    # The fully-fused batch solver keeps all state in kernel layout —
+    # no per-iteration relayout (see ilqr_tpu/fused.py). Set BENCH_VMAP=1
+    # to bench the composable vmap(solve) path instead.
+    if os.environ.get("BENCH_VMAP") or jax.default_backend() != "tpu":
+        # composable path (also the CPU fallback — the fused solver's
+        # off-TPU mode is the Pallas interpreter, far too slow to bench)
+        from ilqr_tpu.solver import solve
 
-    solver = jax.jit(jax.vmap(
-        lambda x, u: solve(model, params, cfg, 0.02, x, u)
-    ))
+        solver = jax.jit(jax.vmap(
+            lambda x, u: solve(model, params, cfg, 0.02, x, u)
+        ))
+    else:
+        from ilqr_tpu.fused import solve_batch_fused
+
+        solver = jax.jit(functools.partial(
+            solve_batch_fused, model, params, cfg, 0.02))
 
     # Warm-up / compile (first TPU trace+compile of the full solve is
     # ~30-60 s cold).

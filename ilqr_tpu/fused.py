@@ -1,0 +1,324 @@
+"""Fully-fused batch solver: the whole iLQR loop in kernel layout.
+
+The composable path (``vmap(solve)``) re-lays-out data around every kernel
+call: solver state lives batch-major ``(B, T, …)`` while the kernels want
+time-major with trailing ``(NB, 8, 128)`` problem tiles, and the pack/unpack
+transposes move the batch to the minor-most axis — the slowest relayout
+class on TPU — several times per iteration.
+
+This module keeps ALL solver state in kernel layout end-to-end: the three
+fused kernels (ops/pallas_derivs, ops/pallas_backward, ops/pallas_rollout)
+chain directly on packed arrays, every per-problem scalar of the outer loop
+(λ, cost, termination state) is an ``(NB, 8, 128)`` tile, and the only
+relayouts are one pack of the inputs and one unpack of the Solution.
+
+Semantics match ilqr_tpu.solver (same reference citations) with the batched
+interpretations the vmapped path already has:
+- derivatives are recomputed every iteration (a vmapped ``lax.cond`` on
+  flg_change evaluates both branches anyway — identical results since
+  re-linearizing an unchanged trajectory is idempotent);
+- the λ-escalation retry loop and the outer loop run until every live lane
+  finishes, with converged/padded lanes frozen by masking.
+
+Requirements (the bench/flagship configuration): m == 1, model with SoA
+functions, shared params, f32, boxqp_mode="auto". Use ``vmap(solve)`` for
+anything else.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ilqr_tpu.config import SolverConfig
+from ilqr_tpu.models.base import Model
+from ilqr_tpu.ops.pallas_backward import backward_sweep_packed
+from ilqr_tpu.ops.pallas_derivs import derivs_packed
+from ilqr_tpu.ops.pallas_rollout import (
+    BLOCK,
+    L,
+    S,
+    pack_params,
+    rollout_packed,
+)
+from ilqr_tpu.types import Solution, TerminationReason
+
+
+class FusedState(NamedTuple):
+    xs: jnp.ndarray        # (T+1, n, NB, S, L)
+    us: jnp.ndarray        # (T, 1, NB, S, L)
+    cost: jnp.ndarray      # (NB, S, L)
+    lam: jnp.ndarray       # (NB, S, L)
+    dlam: jnp.ndarray      # (NB, S, L)
+    k: jnp.ndarray         # (T, NB, S, L)
+    K: jnp.ndarray         # (T, n, NB, S, L)
+    iteration: jnp.ndarray  # (NB, S, L) int32
+    done: jnp.ndarray       # (NB, S, L) bool
+    reason: jnp.ndarray     # (NB, S, L) int32
+    gnorm: jnp.ndarray      # (NB, S, L)
+    dcost: jnp.ndarray      # (NB, S, L)
+    expected: jnp.ndarray   # (NB, S, L)
+
+
+def _pack_tail(x, nb):
+    rest = x.shape[1:]
+    perm = tuple(range(1, x.ndim)) + (0,)
+    return jnp.transpose(x, perm).reshape(rest + (nb, S, L))
+
+
+def _unpack_tail(y, bb):
+    rest = y.shape[:-3]
+    y = y.reshape(rest + (bb,))
+    perm = (y.ndim - 1,) + tuple(range(y.ndim - 1))
+    return jnp.transpose(y, perm)
+
+
+def _iteration(model: Model, cfg: SolverConfig, packed_params,
+               u_min, u_max, interpret, state: FusedState) -> FusedState:
+    T = state.us.shape[0]
+    n = state.xs.shape[1]
+    nb = state.xs.shape[2]
+    f32 = jnp.float32
+    factor = jnp.asarray(cfg.lambda_factor, f32)
+    kmode = "jvp" if cfg.deriv_mode == "analytic" else "fd"
+
+    # ---- STEP 1: linearize (ref ilqr_core.cpp:115-120)
+    d = derivs_packed(model, cfg.integrator, packed_params,
+                      state.xs, state.us, mode=kmode, eps=cfg.fd_eps,
+                      interpret=interpret)
+    fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p = d
+    lo_p = u_min - state.us[:, 0]
+    hi_p = u_max - state.us[:, 0]
+
+    def run_backward(lam):
+        return backward_sweep_packed(
+            fx_p, fu_p[:, :, 0], cx_p[:-1], cu_p[:, 0], cxx_p[:-1],
+            cxu_p[:, :, 0], cuu_p[:, 0, 0], lo_p, hi_p, lam,
+            cx_p[-1], cxx_p[-1], interpret=interpret)
+
+    # ---- STEP 2: backward with per-lane λ escalation (ref :136-150)
+    def bp_cond(carry):
+        lam, _dlam, _k, _K, _dV, ok = carry
+        return jnp.any(~ok & (lam <= cfg.lambda_max) & ~state.done)
+
+    def bp_body(carry):
+        lam, dlam, k, K, dV, ok = carry
+        k_n, K_n, dV_n, div_n = run_backward(lam)
+        retry = ~ok
+        new_ok = div_n < 0.5
+        k = jnp.where(retry[None], k_n, k)
+        K = jnp.where(retry[None, None], K_n, K)
+        dV = jnp.where(retry[None], dV_n, dV)
+        failed = retry & ~new_ok
+        dlam_n = jnp.where(failed, jnp.maximum(dlam * factor, factor), dlam)
+        lam_n = jnp.where(failed, jnp.maximum(lam * dlam_n, cfg.lambda_min),
+                          lam)
+        return lam_n, dlam_n, k, K, dV, ok | (retry & new_ok)
+
+    init = (state.lam, state.dlam, state.k, state.K,
+            jnp.zeros((2, nb, S, L), f32), state.done)
+    lam, dlam, k, K, dV, back_ok = lax.while_loop(bp_cond, bp_body, init)
+
+    # ---- gradient-norm termination (ref :153-159)
+    gnorm = jnp.mean(jnp.abs(k) / (jnp.abs(state.us[:, 0]) + 1.0), axis=0)
+    grad_term = back_ok & (gnorm < cfg.tol_grad) & (lam < cfg.lambda_grad_term)
+
+    # ---- STEP 3: line search, α folded into the block axis (ref :184-226)
+    alphas = tuple(float(a) for a in cfg.alphas)
+    A = len(alphas)
+    al = jnp.asarray(alphas, f32).reshape(A, 1, 1, 1)
+
+    # candidates stacked along the NB axis: block a*nb + b is candidate
+    # α_a of problem-block b
+    uff_all = (state.us[:, 0][:, None] + al[None] * k[:, None]) \
+        .reshape(T, 1, A * nb, S, L)
+
+    def tile(x, axis):
+        reps = [1] * (x.ndim + 1)
+        reps[axis] = A
+        expanded = jnp.expand_dims(x, axis)
+        tiled = jnp.tile(expanded, reps)
+        shp = list(x.shape)
+        shp[axis] = A * shp[axis]
+        return tiled.reshape(shp)
+
+    xsr_all = tile(state.xs[:T], 2)                      # (T,n,A*NB,S,L)
+    K_all = tile(K[:, None], 3)                          # (T,1,n,A*NB,S,L)
+    x0_all = tile(state.xs[0], 1)                        # (n,A*NB,S,L)
+
+    xs_body, us_new, x_fin, costs = rollout_packed(
+        model, cfg.integrator, cfg.clamp_forward, packed_params,
+        x0_all, uff_all, xsr_all, K_all, interpret=interpret)
+
+    costs = costs.reshape(A, nb, S, L)
+    dcost = state.cost[None] - costs
+    expected = -al * (dV[0][None] + al * dV[1][None])
+    z = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
+    accept = z > cfg.z_min
+    accepted = jnp.any(accept, axis=0)
+
+    # first (largest-α) accepted candidate per lane, selected elementwise
+    def select(stacked_axis0):
+        sel = stacked_axis0[0]
+        chosen = accept[0]
+        for a in range(1, A):
+            take = accept[a] & ~chosen
+            sel = jnp.where(take, stacked_axis0[a], sel)
+            chosen = chosen | accept[a]
+        return sel
+
+    xs_all = jnp.concatenate(
+        [xs_body, x_fin[None]], axis=0).reshape(T + 1, n, A, nb, S, L)
+    xs_all = jnp.moveaxis(xs_all, 2, 0)                  # (A,T+1,n,NB,S,L)
+    us_all = jnp.moveaxis(
+        us_new.reshape(T, 1, A, nb, S, L), 2, 0)         # (A,T,1,NB,S,L)
+
+    ls_xs = select(xs_all)
+    ls_us = select(us_all)
+    ls_cost = select(costs)
+    ls_dcost = select(dcost)
+    ls_expected = select(expected)
+
+    accepted = back_ok & accepted
+    take_step = accepted & ~grad_term
+
+    # ---- STEP 4: accept/reject + λ schedule (ref :242-282)
+    dlam_acc = jnp.minimum(dlam / factor, 1.0 / factor)
+    lam_acc = lam * dlam_acc * (lam > cfg.lambda_min).astype(f32)
+    dlam_rej = jnp.maximum(dlam * factor, factor)
+    lam_rej = jnp.maximum(lam * dlam_rej, cfg.lambda_min)
+
+    sched = ~grad_term
+    lam_new = jnp.where(sched, jnp.where(accepted, lam_acc, lam_rej), lam)
+    dlam_new = jnp.where(sched, jnp.where(accepted, dlam_acc, dlam_rej), dlam)
+
+    xs_new = jnp.where(take_step[None, None], ls_xs, state.xs)
+    us_new = jnp.where(take_step[None, None], ls_us, state.us)
+    cost_new = jnp.where(take_step, ls_cost, state.cost)
+
+    # ---- termination (refs :153-159, :257-262, :276-281)
+    fun_term = take_step & (ls_dcost < cfg.tol_fun)
+    lam_term = ~grad_term & ~accepted & (lam_new > cfg.lambda_max)
+    done = grad_term | fun_term | lam_term
+    reason = jnp.where(
+        grad_term, TerminationReason.GRAD_TOL,
+        jnp.where(fun_term, TerminationReason.FUN_TOL,
+                  jnp.where(lam_term, TerminationReason.LAMBDA_MAX,
+                            TerminationReason.RUNNING))).astype(jnp.int32)
+
+    new = FusedState(
+        xs=xs_new, us=us_new, cost=cost_new, lam=lam_new, dlam=dlam_new,
+        k=k, K=K, iteration=state.iteration + 1, done=done, reason=reason,
+        gnorm=gnorm, dcost=ls_dcost, expected=ls_expected,
+    )
+    # freeze lanes that were already done
+    frz = state.done
+    return FusedState(*[
+        jnp.where(frz.reshape((1,) * (o.ndim - 3) + frz.shape), o, nw)
+        for o, nw in zip(state, new)
+    ])
+
+
+def solve_batch_fused(
+    model: Model, params, cfg: SolverConfig, dt, x0, u0,
+    interpret=None,
+) -> Solution:
+    """Batched solve entirely in kernel layout (see module docstring).
+
+    Args: x0 (B, n); u0 (T, m) shared or (B, T, m). Requires m == 1, a
+    model with SoA functions, shared params. Returns a Solution with
+    leading batch axis B.
+    """
+    if model.m != 1:
+        raise ValueError("solve_batch_fused requires m == 1")
+    if not model.has_soa:
+        raise ValueError("solve_batch_fused requires SoA model functions")
+    if not (cfg.use_control_limits and cfg.boxqp_mode == "auto"):
+        raise ValueError(
+            "solve_batch_fused requires use_control_limits=True with "
+            "boxqp_mode='auto' (closed-form m=1 QP)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    f32 = jnp.float32
+    x0 = jnp.asarray(x0, f32)
+    B, n = x0.shape
+    u0 = jnp.asarray(u0, f32)
+    if u0.ndim == 2:
+        u0 = jnp.broadcast_to(u0[None], (B,) + u0.shape)
+    T = u0.shape[1]
+
+    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
+    nb = bb // BLOCK
+    pad = bb - B
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0)
+        return x
+
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), params)
+    packed_params = pack_params(params, dt)
+    u_min = jnp.asarray(params.u_min[0], f32)
+    u_max = jnp.asarray(params.u_max[0], f32)
+
+    x0_p = _pack_tail(prep(x0), nb)          # (n, NB, S, L)
+    us_p = _pack_tail(prep(u0), nb)          # (T, 1, NB, S, L)
+
+    # initial open-loop rollout (ref init_traj, ilqr_core.cpp:11-56)
+    zK = jnp.zeros((T, 1, n, nb, S, L), f32)
+    zref = jnp.zeros((T, n, nb, S, L), f32)
+    xs_body, us_p, x_fin, cost = rollout_packed(
+        model, cfg.integrator, cfg.clamp_forward, packed_params,
+        x0_p, us_p, zref, zK, interpret=interpret)
+    xs_p = jnp.concatenate([xs_body, x_fin[None]], axis=0)
+
+    # padded lanes start (and stay) done so they never drive the loops
+    pad_mask = _pack_tail(jnp.arange(bb) >= B, nb)
+
+    state = FusedState(
+        xs=xs_p,
+        us=us_p,
+        cost=cost,
+        lam=jnp.full((nb, S, L), cfg.lambda_init, f32),
+        dlam=jnp.full((nb, S, L), cfg.dlambda_init, f32),
+        k=jnp.zeros((T, nb, S, L), f32),
+        K=jnp.zeros((T, n, nb, S, L), f32),
+        iteration=jnp.zeros((nb, S, L), jnp.int32),
+        done=pad_mask,
+        reason=jnp.zeros((nb, S, L), jnp.int32),
+        gnorm=jnp.zeros((nb, S, L), f32),
+        dcost=jnp.zeros((nb, S, L), f32),
+        expected=jnp.zeros((nb, S, L), f32),
+    )
+
+    step = functools.partial(_iteration, model, cfg, packed_params,
+                             u_min, u_max, interpret)
+
+    def cond(s: FusedState):
+        return jnp.any(~s.done & (s.iteration < cfg.max_iter))
+
+    state = lax.while_loop(cond, step, state)
+
+    reason = jnp.where(
+        state.done, state.reason,
+        jnp.asarray(TerminationReason.MAX_ITER, jnp.int32))
+
+    up = lambda a: _unpack_tail(a, bb)[:B]
+    return Solution(
+        xs=up(state.xs),                      # (B, T+1, n)
+        us=up(state.us[:, 0])[..., None],     # (B, T, 1)
+        k=up(state.k)[..., None],
+        K=up(state.K)[:, :, None, :],
+        cost=up(state.cost),
+        lam=up(state.lam),
+        dlam=up(state.dlam),
+        iterations=up(state.iteration),
+        reason=up(reason),
+        gnorm=up(state.gnorm),
+    )

@@ -182,6 +182,84 @@ def _unpack_tail(y, bb):
     return jnp.transpose(y, perm)
 
 
+def backward_sweep_packed(fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p,
+                          lo_p, hi_p, lam_p, cxT_p, cxxT_p,
+                          interpret: bool = False):
+    """Kernel-layout entry point (no relayout): inputs/outputs are packed
+    (time-major, trailing (NB, S, L) problem tiles) — the layout the fused
+    batch solver (ilqr_tpu/fused.py) keeps end-to-end.
+
+    Shapes: fx_p (T,n,n,NB,S,L), fu_p/cx_p/cxu_p (T,n,NB,S,L),
+    cu_p/cuu_p/lo_p/hi_p (T,NB,S,L), lam_p (NB,S,L), cxT_p (n,NB,S,L),
+    cxxT_p (n,n,NB,S,L). Returns packed (k (T,NB,S,L), K (T,n,NB,S,L),
+    dv (2,NB,S,L), diverged (NB,S,L) f32 0/1).
+    """
+    T, n, _n2, nb, _s, _l = fx_p.shape
+
+    specs_in = [
+        pl.BlockSpec((1, n, n, 1, S, L), lambda b, t: (T - 1 - t, 0, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # fx
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # fu
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cx
+        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cu
+        pl.BlockSpec((1, n, n, 1, S, L), lambda b, t: (T - 1 - t, 0, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cxx
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cxu
+        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cuu
+        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # lo
+        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # hi
+        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),  # lam
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cxT
+        pl.BlockSpec((n, n, 1, S, L), lambda b, t: (0, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # cxxT
+    ]
+    specs_out = [
+        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # K
+        pl.BlockSpec((2, 1, S, L), lambda b, t: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # dv
+        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),  # diverged
+    ]
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((T, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((2, nb, S, L), f32),
+        jax.ShapeDtypeStruct((nb, S, L), f32),
+    ]
+    scratch = [
+        pltpu.VMEM((n, S, L), f32),     # vx
+        pltpu.VMEM((n, n, S, L), f32),  # vxx
+        pltpu.VMEM((2, S, L), f32),     # dv accumulator
+        pltpu.VMEM((1, S, L), f32),     # diverged latch
+    ]
+    return pl.pallas_call(
+        functools.partial(_kernel, n),
+        grid=(nb, T),
+        in_specs=specs_in,
+        out_specs=specs_out,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p, lo_p, hi_p, lam_p,
+      cxT_p, cxxT_p)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def backward_sweep_batched(
     fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam, interpret: bool = False
@@ -226,68 +304,9 @@ def backward_sweep_batched(
     cxT_p = _pack_tail(prep(cx[:, -1]), nb)              # (n,NB,S,L)
     cxxT_p = _pack_tail(prep(cxx[:, -1]), nb)            # (n,n,NB,S,L)
 
-    specs_in = [
-        pl.BlockSpec((1, n, n, 1, S, L), lambda b, t: (T - 1 - t, 0, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # fx
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # fu
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cx
-        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cu
-        pl.BlockSpec((1, n, n, 1, S, L), lambda b, t: (T - 1 - t, 0, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cxx
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cxu
-        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cuu
-        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # lo
-        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # hi
-        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
-                     memory_space=pltpu.VMEM),  # lam
-        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cxT
-        pl.BlockSpec((n, n, 1, S, L), lambda b, t: (0, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cxxT
-    ]
-    specs_out = [
-        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # K
-        pl.BlockSpec((2, 1, S, L), lambda b, t: (0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # dv
-        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
-                     memory_space=pltpu.VMEM),  # diverged
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((2, nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),
-    ]
-    scratch = [
-        pltpu.VMEM((n, S, L), f32),     # vx
-        pltpu.VMEM((n, n, S, L), f32),  # vxx
-        pltpu.VMEM((2, S, L), f32),     # dv accumulator
-        pltpu.VMEM((1, S, L), f32),     # diverged latch
-    ]
-
-    k_p, K_p, dv_p, div_p = pl.pallas_call(
-        functools.partial(_kernel, n),
-        grid=(nb, T),
-        in_specs=specs_in,
-        out_specs=specs_out,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-    )(fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p, lo_p, hi_p, lam_p,
-      cxT_p, cxxT_p)
+    k_p, K_p, dv_p, div_p = backward_sweep_packed(
+        fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p, lo_p, hi_p, lam_p,
+        cxT_p, cxxT_p, interpret=interpret)
 
     k = _unpack_tail(k_p, bb)[:B][..., None]            # (B,T,1)
     K = _unpack_tail(K_p, bb)[:B][:, :, None, :]        # (B,T,1,n)

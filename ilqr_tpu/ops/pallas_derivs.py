@@ -170,35 +170,22 @@ def _unpack_tail(y, bb):
     return jnp.transpose(y, perm)
 
 
-def derivs_batched(model, integrator: str, params, dt, xs, us,
-                   mode: str = "jvp", eps: float = 1e-3,
-                   interpret: bool = False) -> Derivs:
-    """Batched linearization via the fused kernel.
+def derivs_packed(model, integrator: str, packed_params, xs_p, us_p,
+                  mode: str = "jvp", eps: float = 1e-3,
+                  interpret: bool = False):
+    """Kernel-layout entry point (no relayout) — see
+    :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
-    Args: xs (B, T+1, n), us (B, T, m); params shared, dt scalar.
-    ``mode``: "jvp" (exact forward-mode AD) or "fd" (the reference's
-    central-difference stencils with ``eps``). Returns a Derivs with a
-    leading batch axis, f32.
+    Shapes: xs_p (T+1, n, NB, S, L), us_p (T, m, NB, S, L). Returns the
+    packed tuple (fx (T,n,n,NB,S,L), fu (T,n,m,NB,S,L), cx (T+1,n,NB,S,L),
+    cu (T,m,NB,S,L), cxx (T+1,n,n,NB,S,L), cxu (T,n,m,NB,S,L),
+    cuu (T,m,m,NB,S,L)).
     """
-    B, T, m = us.shape
-    n = xs.shape[2]
-    f32 = jnp.float32
-
-    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
-    nb = bb // BLOCK
-    pad = bb - B
-
-    def prep(x):
-        x = x.astype(f32)
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0)
-        return x
-
-    xs_p = _pack_tail(prep(xs), nb)   # (T+1, n, NB, S, L)
-    us_p = _pack_tail(prep(us), nb)   # (T, m, NB, S, L)
-    params_p, treedef, shapes = pack_params(params, dt)
+    params_p, treedef, shapes = packed_params
+    T, m, nb, _s, _l = us_p.shape
+    n = xs_p.shape[1]
     P = params_p.shape[0]
+    f32 = jnp.float32
 
     # us and the T-row outputs have no row T; clamp those indices. At t==T
     # the clamped blocks are revisited but never written, so the data from
@@ -242,7 +229,7 @@ def derivs_batched(model, integrator: str, params, dt, xs, us,
         jax.ShapeDtypeStruct((T, m, m, nb, S, L), f32),
     ]
 
-    fx, fu, cx, cu, cxx, cxu, cuu = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, mode, float(eps),
                           treedef, shapes),
         grid=(nb, T + 1),
@@ -254,6 +241,39 @@ def derivs_batched(model, integrator: str, params, dt, xs, us,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(params_p, xs_p, us_p)
+
+
+def derivs_batched(model, integrator: str, params, dt, xs, us,
+                   mode: str = "jvp", eps: float = 1e-3,
+                   interpret: bool = False) -> Derivs:
+    """Batched linearization via the fused kernel.
+
+    Args: xs (B, T+1, n), us (B, T, m); params shared, dt scalar.
+    ``mode``: "jvp" (exact forward-mode AD) or "fd" (the reference's
+    central-difference stencils with ``eps``). Returns a Derivs with a
+    leading batch axis, f32.
+    """
+    B, T, m = us.shape
+    f32 = jnp.float32
+
+    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
+    nb = bb // BLOCK
+    pad = bb - B
+
+    def prep(x):
+        x = x.astype(f32)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0)
+        return x
+
+    xs_p = _pack_tail(prep(xs), nb)   # (T+1, n, NB, S, L)
+    us_p = _pack_tail(prep(us), nb)   # (T, m, NB, S, L)
+    packed_params = pack_params(params, dt)
+
+    fx, fu, cx, cu, cxx, cxu, cuu = derivs_packed(
+        model, integrator, packed_params, xs_p, us_p,
+        mode=mode, eps=eps, interpret=interpret)
 
     up = lambda a: _unpack_tail(a, bb)[:B]
     return Derivs(fx=up(fx), fu=up(fu), cx=up(cx), cu=up(cu),

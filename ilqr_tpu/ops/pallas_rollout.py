@@ -157,37 +157,21 @@ def _unpack_tail(y, bb):
     return jnp.transpose(y, perm)
 
 
-def rollout_batched(model, integrator: str, clamp: bool,
-                    params, dt, x0, u_ff, xs_ref, K,
-                    interpret: bool = False):
-    """Batched fused rollout.
+def rollout_packed(model, integrator: str, clamp: bool, packed_params,
+                   x0_p, uff_p, xsr_p, K_p, interpret: bool = False):
+    """Kernel-layout entry point (no relayout) — see
+    :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
-    Args: x0 (B, n), u_ff (B, T, m), xs_ref (B, T+1, n) (row T unused),
-    K (B, T, m, n); params shared (unbatched pytree), dt scalar.
-    Returns (xs (B, T+1, n), us (B, T, m), cost (B,)) in f32.
+    ``packed_params`` = the (array, treedef, shapes) triple from
+    :func:`pack_params`. Shapes: x0_p (n,NB,S,L), uff_p (T,m,NB,S,L),
+    xsr_p (T,n,NB,S,L), K_p (T,m,n,NB,S,L). Returns packed
+    (xs_body (T,n,NB,S,L), us (T,m,NB,S,L), x_final (n,NB,S,L),
+    cost (NB,S,L)).
     """
-    B, T, m = u_ff.shape
-    n = x0.shape[1]
-    f32 = jnp.float32
-
-    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
-    nb = bb // BLOCK
-    pad = bb - B
-
-    def prep(x):
-        x = x.astype(f32)
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0
-            )
-        return x
-
-    x0_p = _pack_tail(prep(x0), nb)               # (n, NB, S, L)
-    uff_p = _pack_tail(prep(u_ff), nb)            # (T, m, NB, S, L)
-    xsr_p = _pack_tail(prep(xs_ref[:, :-1]), nb)  # (T, n, NB, S, L)
-    K_p = _pack_tail(prep(K), nb)                 # (T, m, n, NB, S, L)
-    params_p, treedef, shapes = pack_params(params, dt)
+    params_p, treedef, shapes = packed_params
+    T, m, n, nb, _s, _l = K_p.shape
     P = params_p.shape[0]
+    f32 = jnp.float32
 
     specs_in = [
         pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
@@ -222,7 +206,7 @@ def rollout_batched(model, integrator: str, clamp: bool,
         pltpu.VMEM((1, S, L), f32),
     ]
 
-    xs_body, us_p, xfin, cost_p = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, clamp,
                           treedef, shapes),
         grid=(nb, T),
@@ -235,6 +219,41 @@ def rollout_batched(model, integrator: str, clamp: bool,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(params_p, x0_p, uff_p, xsr_p, K_p)
+
+
+def rollout_batched(model, integrator: str, clamp: bool,
+                    params, dt, x0, u_ff, xs_ref, K,
+                    interpret: bool = False):
+    """Batched fused rollout.
+
+    Args: x0 (B, n), u_ff (B, T, m), xs_ref (B, T+1, n) (row T unused),
+    K (B, T, m, n); params shared (unbatched pytree), dt scalar.
+    Returns (xs (B, T+1, n), us (B, T, m), cost (B,)) in f32.
+    """
+    B, T, m = u_ff.shape
+    f32 = jnp.float32
+
+    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
+    nb = bb // BLOCK
+    pad = bb - B
+
+    def prep(x):
+        x = x.astype(f32)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0
+            )
+        return x
+
+    x0_p = _pack_tail(prep(x0), nb)               # (n, NB, S, L)
+    uff_p = _pack_tail(prep(u_ff), nb)            # (T, m, NB, S, L)
+    xsr_p = _pack_tail(prep(xs_ref[:, :-1]), nb)  # (T, n, NB, S, L)
+    K_p = _pack_tail(prep(K), nb)                 # (T, m, n, NB, S, L)
+    packed_params = pack_params(params, dt)
+
+    xs_body, us_p, xfin, cost_p = rollout_packed(
+        model, integrator, clamp, packed_params,
+        x0_p, uff_p, xsr_p, K_p, interpret=interpret)
 
     xs_b = _unpack_tail(xs_body, bb)[:B]    # (B, T, n)
     xf = _unpack_tail(xfin, bb)[:B]         # (B, n)

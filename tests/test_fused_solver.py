@@ -1,0 +1,80 @@
+"""Fully-fused (kernel-layout) batch solver tests, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.batch import solve_batch
+from ilqr_tpu.fused import solve_batch_fused
+from ilqr_tpu.models import acrobot as ac
+from ilqr_tpu.models import pendulum as pend
+
+
+def _p32(model):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), model.default_params())
+
+
+ALL_PALLAS = dict(backward_kernel="pallas", rollout_kernel="pallas",
+                  deriv_kernel="pallas")
+
+
+def test_matches_vmapped_path():
+    m = get_model("acrobot")
+    p = _p32(m)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(3, 4)), jnp.float32)
+    u0 = jnp.zeros((29, 1), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=8, **ALL_PALLAS)
+    ref = solve_batch(m, p, cfg, 0.02, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fus.iterations),
+                                  np.asarray(ref.iterations))
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 0.05
+    assert fus.xs.shape == ref.xs.shape
+    assert fus.K.shape == ref.K.shape
+
+
+def test_pendulum_converges():
+    m = get_model("pendulum")
+    p = _p32(m)
+    x0 = jnp.zeros((2, 2), jnp.float32)
+    u0 = jnp.zeros((40, 1), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=30, **ALL_PALLAS)
+    fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
+    ref = solve_batch(m, p, cfg, 0.05, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-3)
+
+
+def test_identical_lanes_identical_results():
+    m = get_model("acrobot")
+    p = _p32(m)
+    x0 = jnp.broadcast_to(jnp.asarray([0.1, -0.05, 0.0, 0.0], jnp.float32),
+                          (4, 4))
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=5, **ALL_PALLAS)
+    fus = solve_batch_fused(m, p, cfg, 0.02, x0, jnp.zeros((19, 1),
+                                                           jnp.float32))
+    c = np.asarray(fus.cost)
+    assert np.all(c == c[0])
+
+
+def test_unsupported_configs_raise():
+    di = get_model("double_integrator")  # m == 2
+    with pytest.raises(ValueError):
+        solve_batch_fused(di, _p32(di), SolverConfig(), 0.02,
+                          jnp.zeros((2, 4), jnp.float32),
+                          jnp.zeros((5, 2), jnp.float32))
+    m = get_model("acrobot")
+    with pytest.raises(ValueError):
+        solve_batch_fused(m, _p32(m),
+                          SolverConfig(use_control_limits=False), 0.02,
+                          jnp.zeros((2, 4), jnp.float32),
+                          jnp.zeros((5, 1), jnp.float32))
