@@ -127,7 +127,10 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     gnorm = jnp.mean(jnp.abs(k) / (jnp.abs(state.us[:, 0]) + 1.0), axis=0)
     grad_term = back_ok & (gnorm < cfg.tol_grad) & (lam < cfg.lambda_grad_term)
 
-    # ---- STEP 3: line search, α folded into the block axis (ref :184-226)
+    # ---- STEP 3: line search, two passes (ref :184-226). Pass 1 sweeps
+    # all α-candidates (folded into the block axis) through a COST-ONLY
+    # rollout — no trajectory is written, so the sweep is HBM-write-free.
+    # Pass 2 re-rolls out only each lane's selected α with full outputs.
     alphas = tuple(float(a) for a in cfg.alphas)
     A = len(alphas)
     al = jnp.asarray(alphas, f32).reshape(A, 1, 1, 1)
@@ -150,9 +153,10 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     K_all = tile(K[:, None], 3)                          # (T,1,n,A*NB,S,L)
     x0_all = tile(state.xs[0], 1)                        # (n,A*NB,S,L)
 
-    xs_body, us_new, x_fin, costs = rollout_packed(
+    costs = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        x0_all, uff_all, xsr_all, K_all, interpret=interpret)
+        x0_all, uff_all, xsr_all, K_all, interpret=interpret,
+        costs_only=True)
 
     costs = costs.reshape(A, nb, S, L)
     dcost = state.cost[None] - costs
@@ -161,7 +165,7 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     accept = z > cfg.z_min
     accepted = jnp.any(accept, axis=0)
 
-    # first (largest-α) accepted candidate per lane, selected elementwise
+    # first (largest-α) accepted value per lane, selected elementwise
     def select(stacked_axis0):
         sel = stacked_axis0[0]
         chosen = accept[0]
@@ -171,17 +175,19 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
             chosen = chosen | accept[a]
         return sel
 
-    xs_all = jnp.concatenate(
-        [xs_body, x_fin[None]], axis=0).reshape(T + 1, n, A, nb, S, L)
-    xs_all = jnp.moveaxis(xs_all, 2, 0)                  # (A,T+1,n,NB,S,L)
-    us_all = jnp.moveaxis(
-        us_new.reshape(T, 1, A, nb, S, L), 2, 0)         # (A,T,1,NB,S,L)
-
-    ls_xs = select(xs_all)
-    ls_us = select(us_all)
+    alpha_sel = select(jnp.broadcast_to(al, (A, nb, S, L)))  # (NB,S,L)
     ls_cost = select(costs)
     ls_dcost = select(dcost)
     ls_expected = select(expected)
+
+    # pass 2: one full rollout at each lane's chosen α (lanes that rejected
+    # every candidate get α₀'s trajectory, discarded by take_step below)
+    uff_sel = (state.us[:, 0] + alpha_sel[None] * k)[:, None]
+    ls_xs_body, ls_us, ls_xfin, _c2 = rollout_packed(
+        model, cfg.integrator, cfg.clamp_forward, packed_params,
+        state.xs[0], uff_sel, state.xs[:T], K[:, None],
+        interpret=interpret)
+    ls_xs = jnp.concatenate([ls_xs_body, ls_xfin[None]], axis=0)
 
     accepted = back_ok & accepted
     take_step = accepted & ~grad_term

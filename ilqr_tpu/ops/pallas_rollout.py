@@ -93,10 +93,16 @@ def _integrate(model, integrator, p, xv, uv, dt):
     raise ValueError(f"unknown integrator {integrator!r}")
 
 
-def _kernel(model, n, m, integrator, clamp, treedef, shapes,
-            params_ref, x0_ref, uff_ref, xsr_ref, K_ref,
-            xs_ref_out, us_ref_out, xfin_ref, cost_ref,
-            x_scr, cost_scr):
+def _kernel(model, n, m, integrator, clamp, costs_only, treedef, shapes,
+            *refs):
+    if costs_only:
+        (params_ref, x0_ref, uff_ref, xsr_ref, K_ref,
+         cost_ref, x_scr, cost_scr) = refs
+        xs_ref_out = us_ref_out = xfin_ref = None
+    else:
+        (params_ref, x0_ref, uff_ref, xsr_ref, K_ref,
+         xs_ref_out, us_ref_out, xfin_ref, cost_ref,
+         x_scr, cost_scr) = refs
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     p, dt = unpack_params(params_ref, treedef, shapes)
@@ -119,10 +125,11 @@ def _kernel(model, n, m, integrator, clamp, treedef, shapes,
             acc = jnp.clip(acc, p.u_min[j], p.u_max[j])
         u.append(acc)
 
-    for i in range(n):
-        xs_ref_out[0, i, 0] = x[i]
-    for j in range(m):
-        us_ref_out[0, j, 0] = u[j]
+    if not costs_only:
+        for i in range(n):
+            xs_ref_out[0, i, 0] = x[i]
+        for j in range(m):
+            us_ref_out[0, j, 0] = u[j]
 
     xv = jnp.stack(x)
     uv = jnp.stack(u)
@@ -134,8 +141,9 @@ def _kernel(model, n, m, integrator, clamp, treedef, shapes,
 
     @pl.when(t == n_t - 1)
     def _():
-        for i in range(n):
-            xfin_ref[i, 0] = xn[i]
+        if not costs_only:
+            for i in range(n):
+                xfin_ref[i, 0] = xn[i]
         cost_ref[0] = cost_scr[0] + model.final_cost_soa(p, xn)
 
 
@@ -158,7 +166,8 @@ def _unpack_tail(y, bb):
 
 
 def rollout_packed(model, integrator: str, clamp: bool, packed_params,
-                   x0_p, uff_p, xsr_p, K_p, interpret: bool = False):
+                   x0_p, uff_p, xsr_p, K_p, interpret: bool = False,
+                   costs_only: bool = False):
     """Kernel-layout entry point (no relayout) — see
     :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
@@ -166,7 +175,9 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     :func:`pack_params`. Shapes: x0_p (n,NB,S,L), uff_p (T,m,NB,S,L),
     xsr_p (T,n,NB,S,L), K_p (T,m,n,NB,S,L). Returns packed
     (xs_body (T,n,NB,S,L), us (T,m,NB,S,L), x_final (n,NB,S,L),
-    cost (NB,S,L)).
+    cost (NB,S,L)); with ``costs_only`` just cost — the trajectory is
+    neither stored nor written, which makes candidate sweeps (line
+    search) HBM-write-free.
     """
     params_p, treedef, shapes = packed_params
     T, m, n, nb, _s, _l = K_p.shape
@@ -185,22 +196,27 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
         pl.BlockSpec((1, m, n, 1, S, L), lambda b, t: (t, 0, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # K
     ]
-    specs_out = [
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # xs[0..T-1]
-        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # us
-        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # final x
-        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
-                     memory_space=pltpu.VMEM),  # cost
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),
-    ]
+    cost_spec = pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if costs_only:
+        specs_out = cost_spec
+        out_shape = jax.ShapeDtypeStruct((nb, S, L), f32)
+    else:
+        specs_out = [
+            pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                         memory_space=pltpu.VMEM),  # xs[0..T-1]
+            pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                         memory_space=pltpu.VMEM),  # us
+            pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),  # final x
+            cost_spec,                              # cost
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
+            jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
+            jax.ShapeDtypeStruct((n, nb, S, L), f32),
+            jax.ShapeDtypeStruct((nb, S, L), f32),
+        ]
     scratch = [
         pltpu.VMEM((n, S, L), f32),
         pltpu.VMEM((1, S, L), f32),
@@ -208,7 +224,7 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
 
     return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, clamp,
-                          treedef, shapes),
+                          costs_only, treedef, shapes),
         grid=(nb, T),
         in_specs=specs_in,
         out_specs=specs_out,
