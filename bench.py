@@ -70,10 +70,14 @@ def main():
             lambda x, u: solve(model, params, cfg, 0.02, x, u)
         ))
     else:
+        # solve_batch_fused jits its single-block program internally and
+        # host-loops chunks of 1024 — do NOT wrap it in jax.jit (that
+        # would inline the chunk loop into one huge program, and on the
+        # axon backend large remote compiles are slow/fragile).
         from ilqr_tpu.fused import solve_batch_fused
 
-        solver = jax.jit(functools.partial(
-            solve_batch_fused, model, params, cfg, 0.02))
+        solver = functools.partial(
+            solve_batch_fused, model, params, cfg, 0.02)
 
     # Warm-up / compile (first TPU trace+compile of the full solve is
     # ~30-60 s cold).

@@ -259,7 +259,7 @@ def solve_batch_fused(
     T = u0.shape[1]
 
     bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
-    nb = bb // BLOCK
+    n_chunks = bb // BLOCK
     pad = bb - B
 
     def prep(x):
@@ -273,8 +273,53 @@ def solve_batch_fused(
     u_min = jnp.asarray(params.u_min[0], f32)
     u_max = jnp.asarray(params.u_max[0], f32)
 
-    x0_p = _pack_tail(prep(x0), nb)          # (n, NB, S, L)
-    us_p = _pack_tail(prep(u0), nb)          # (T, 1, NB, S, L)
+    pad_flags = jnp.arange(bb) >= B
+
+    # One 1024-problem block per solve pass. Larger batches loop over
+    # blocks from the HOST, reusing one jitted single-block program:
+    # measured on v5e, a multi-block grid runs ~2× slower per solve than
+    # chained single-block solves, chunked while_loops stop early per
+    # chunk, and (crucially on the axon backend) the program compiled is
+    # always the same small one. Do NOT wrap solve_batch_fused itself in
+    # jax.jit for B > 1024 — that would inline the host loop.
+    solve_block = _get_block_solver(
+        model, cfg, interpret, T, n, packed_params[1], packed_params[2])
+    args = (packed_params[0], u_min, u_max)
+    if n_chunks == 1:
+        sol = solve_block(*args, prep(x0), prep(u0), pad_flags)
+    else:
+        xc = prep(x0).reshape(n_chunks, BLOCK, n)
+        uc = prep(u0).reshape(n_chunks, BLOCK, T, 1)
+        pc = pad_flags.reshape(n_chunks, BLOCK)
+        sols = [solve_block(*args, xc[c], uc[c], pc[c])
+                for c in range(n_chunks)]
+        sol = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *sols)
+    return jax.tree_util.tree_map(lambda a: a[:B], sol)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_block_solver(model, cfg, interpret, T, n, treedef, shapes):
+    """jitted single-block solver, cached per static configuration; only
+    the packed params array, limits, and problem data are traced."""
+
+    def run(params_arr, u_min, u_max, x0, u0, pad_flags):
+        packed_params = (params_arr, treedef, shapes)
+        return _solve_block(model, cfg, packed_params, u_min, u_max,
+                            interpret, T, n, (x0, u0, pad_flags))
+
+    return jax.jit(run)
+
+
+def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
+                 args) -> Solution:
+    """One 1024-problem block in kernel layout (nb == 1)."""
+    x0, u0, pad_flags = args
+    f32 = jnp.float32
+    nb = 1
+
+    x0_p = _pack_tail(x0, nb)                # (n, NB, S, L)
+    us_p = _pack_tail(u0, nb)                # (T, 1, NB, S, L)
 
     # initial open-loop rollout (ref init_traj, ilqr_core.cpp:11-56)
     zK = jnp.zeros((T, 1, n, nb, S, L), f32)
@@ -285,7 +330,7 @@ def solve_batch_fused(
     xs_p = jnp.concatenate([xs_body, x_fin[None]], axis=0)
 
     # padded lanes start (and stay) done so they never drive the loops
-    pad_mask = _pack_tail(jnp.arange(bb) >= B, nb)
+    pad_mask = _pack_tail(pad_flags, nb)
 
     state = FusedState(
         xs=xs_p,
@@ -315,7 +360,7 @@ def solve_batch_fused(
         state.done, state.reason,
         jnp.asarray(TerminationReason.MAX_ITER, jnp.int32))
 
-    up = lambda a: _unpack_tail(a, bb)[:B]
+    up = lambda a: _unpack_tail(a, BLOCK)
     return Solution(
         xs=up(state.xs),                      # (B, T+1, n)
         us=up(state.us[:, 0])[..., None],     # (B, T, 1)
