@@ -43,6 +43,7 @@ from ilqr_tpu.ops.pallas_rollout import (
     L,
     S,
     pack_params,
+    pack_params_batched,
     rollout_packed,
 )
 from ilqr_tpu.types import Solution, TerminationReason
@@ -231,13 +232,15 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
 def solve_batch_fused(
     model: Model, params, cfg: SolverConfig, dt, x0, u0,
-    interpret=None,
+    params_batched: bool = False, interpret=None,
 ) -> Solution:
     """Batched solve entirely in kernel layout (see module docstring).
 
-    Args: x0 (B, n); u0 (T, m) shared or (B, T, m). Requires m == 1, a
-    model with SoA functions, shared params. Returns a Solution with
-    leading batch axis B.
+    Args: x0 (B, n); u0 (T, m) shared or (B, T, m). With
+    ``params_batched=True`` every params leaf carries a leading B axis
+    (per-problem goals/masses/limits — each params scalar becomes one
+    per-problem row of the kernel's resident tile). Requires m == 1 and a
+    model with SoA functions. Returns a Solution with leading batch axis B.
     """
     if model.m != 1:
         raise ValueError("solve_batch_fused requires m == 1")
@@ -269,10 +272,6 @@ def solve_batch_fused(
         return x
 
     params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), params)
-    packed_params = pack_params(params, dt)
-    u_min = jnp.asarray(params.u_min[0], f32)
-    u_max = jnp.asarray(params.u_max[0], f32)
-
     pad_flags = jnp.arange(bb) >= B
 
     # One 1024-problem block per solve pass. Larger batches loop over
@@ -282,17 +281,40 @@ def solve_batch_fused(
     # chunk, and (crucially on the axon backend) the program compiled is
     # always the same small one. Do NOT wrap solve_batch_fused itself in
     # jax.jit for B > 1024 — that would inline the host loop.
+    if params_batched:
+        # pad each leaf's batch axis; limits become per-problem tiles
+        params = jax.tree_util.tree_map(prep, params)
+
+        def chunk_args(c):
+            pc = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_chunks, BLOCK) + a.shape[1:])[c],
+                params)
+            arr, treedef, shapes = pack_params_batched(pc, dt, 1)
+            u_min = _pack_tail(pc.u_min[:, 0], 1)
+            u_max = _pack_tail(pc.u_max[:, 0], 1)
+            return arr, u_min, u_max, treedef, shapes
+    else:
+        arr0, treedef0, shapes0 = pack_params(params, dt)
+        u_min0 = jnp.asarray(params.u_min[0], f32)
+        u_max0 = jnp.asarray(params.u_max[0], f32)
+
+        def chunk_args(c):
+            return arr0, u_min0, u_max0, treedef0, shapes0
+
+    arr, u_min, u_max, treedef, shapes = chunk_args(0)
     solve_block = _get_block_solver(
-        model, cfg, interpret, T, n, packed_params[1], packed_params[2])
-    args = (packed_params[0], u_min, u_max)
+        model, cfg, interpret, T, n, treedef, shapes)
     if n_chunks == 1:
-        sol = solve_block(*args, prep(x0), prep(u0), pad_flags)
+        sol = solve_block(arr, u_min, u_max, prep(x0), prep(u0), pad_flags)
     else:
         xc = prep(x0).reshape(n_chunks, BLOCK, n)
         uc = prep(u0).reshape(n_chunks, BLOCK, T, 1)
-        pc = pad_flags.reshape(n_chunks, BLOCK)
-        sols = [solve_block(*args, xc[c], uc[c], pc[c])
-                for c in range(n_chunks)]
+        pflags = pad_flags.reshape(n_chunks, BLOCK)
+        sols = []
+        for c in range(n_chunks):
+            arr, u_min, u_max, _td, _sh = chunk_args(c)
+            sols.append(
+                solve_block(arr, u_min, u_max, xc[c], uc[c], pflags[c]))
         sol = jax.tree_util.tree_map(
             lambda *leaves: jnp.concatenate(leaves, axis=0), *sols)
     return jax.tree_util.tree_map(lambda a: a[:B], sol)

@@ -192,9 +192,14 @@ def derivs_packed(model, integrator: str, packed_params, xs_p, us_p,
     # t==T-1 is flushed untouched.
     clamp_t = lambda t: jnp.minimum(t, T - 1)
 
+    if params_p.ndim == 4:  # per-problem params (P, NB, S, L)
+        params_spec = pl.BlockSpec((P, 1, S, L), lambda b, t: (0, b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:                   # shared params (P, S, L), resident
+        params_spec = pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
     specs_in = [
-        pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        params_spec,
         pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, m, 1, S, L),

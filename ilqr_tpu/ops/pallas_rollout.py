@@ -44,7 +44,7 @@ BLOCK = S * L
 def pack_params(params, dt):
     """Returns (packed (P, S, L) f32, treedef, shapes) with dt as the last
     row. Leaves are flattened in tree order; each scalar element is one row
-    broadcast across the (8, 128) tile."""
+    broadcast across the (8, 128) tile. Shared (unbatched) params."""
     leaves, treedef = jax.tree_util.tree_flatten(params)
     shapes = tuple(jnp.shape(l) for l in leaves)
     flat = [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves]
@@ -54,22 +54,50 @@ def pack_params(params, dt):
     return packed, treedef, shapes
 
 
+def pack_params_batched(params, dt, nb):
+    """Per-problem params: every leaf carries a leading batch dim BB =
+    nb·1024. Returns (packed (P, NB, S, L) f32, treedef, shapes) where
+    ``shapes`` are the per-problem leaf shapes; dt (scalar, shared) is the
+    last row."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    bb = jnp.shape(leaves[0])[0]
+    shapes = tuple(jnp.shape(l)[1:] for l in leaves)
+    rows = []
+    for leaf in leaves:
+        leaf = jnp.asarray(leaf, jnp.float32).reshape(bb, -1)
+        # element axis to the front: each scalar element is one row of
+        # (BB,) values, packed to (NB, S, L)
+        rows.append(jnp.transpose(leaf))          # (size, BB)
+    rows.append(jnp.broadcast_to(
+        jnp.asarray(dt, jnp.float32).reshape(1, 1), (1, bb)))
+    mat = jnp.concatenate(rows, axis=0)           # (P, BB)
+    packed = mat.reshape(mat.shape[0], nb, S, L)
+    return packed, treedef, shapes
+
+
 def unpack_params(ref, treedef, shapes):
-    """Inside-kernel inverse of :func:`pack_params`: rebuilds the params
-    pytree with (leaf_shape…, S, L) leaves, plus the trailing dt row."""
+    """Inside-kernel inverse of :func:`pack_params` /
+    :func:`pack_params_batched`: rebuilds the params pytree with
+    (leaf_shape…, S, L) leaves, plus the trailing dt row. Batched packing
+    is detected by the ref's rank ((P, 1, S, L) block vs (P, S, L))."""
+    batched = len(ref.shape) == 4
+
+    def row(i):
+        return ref[i, 0] if batched else ref[i]
+
     leaves = []
-    row = 0
+    r = 0
     for shape in shapes:
         size = 1
         for d in shape:
             size *= d
-        elems = [ref[row + i] for i in range(size)]
-        row += size
+        elems = [row(r + i) for i in range(size)]
+        r += size
         if shape == ():
             leaves.append(elems[0])
         else:
             leaves.append(jnp.stack(elems).reshape(shape + (S, L)))
-    dt = ref[row]
+    dt = row(r)
     return jax.tree_util.tree_unflatten(treedef, leaves), dt
 
 
@@ -184,9 +212,14 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     P = params_p.shape[0]
     f32 = jnp.float32
 
+    if params_p.ndim == 4:  # per-problem params (P, NB, S, L)
+        params_spec = pl.BlockSpec((P, 1, S, L), lambda b, t: (0, b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:                   # shared params (P, S, L), resident
+        params_spec = pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
     specs_in = [
-        pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
-                     memory_space=pltpu.VMEM),  # params (resident)
+        params_spec,
         pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # x0
         pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),

@@ -1,0 +1,80 @@
+"""Fused solver with per-problem params (batched goals/limits)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.fused import solve_batch_fused
+from ilqr_tpu.models import pendulum as pend
+from ilqr_tpu.ops.pallas_rollout import pack_params_batched, unpack_params
+
+
+def test_pack_params_batched_layout():
+    """Each params scalar becomes one per-problem row; lane b of the tile
+    carries problem b's value; dt is the shared last row."""
+    bb = 1024
+    base = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), pend.default_params())
+    batched = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (bb,) + a.shape).copy(), base)
+    goals = jnp.stack(
+        [jnp.arange(bb, dtype=jnp.float32),
+         jnp.zeros(bb, jnp.float32)], axis=1)
+    batched = batched._replace(goal=goals)
+    arr, _treedef, shapes = pack_params_batched(batched, 0.05, 1)
+    assert arr.shape[1:] == (1, 8, 128)
+    assert shapes[0] == (2,)  # per-problem goal shape
+    # goal[0] is the first row: lane b carries problem b's value
+    flat = np.asarray(arr[0]).reshape(-1)
+    np.testing.assert_allclose(flat[:10], np.arange(10), atol=0)
+    # dt is the last row, shared
+    np.testing.assert_allclose(np.asarray(arr[-1]), 0.05)
+
+
+def test_batched_goals_each_solved_to_own_goal():
+    m = get_model("pendulum")
+    B = 3
+    base = pend.default_params()
+    goals = jnp.asarray([[3.14159, 0.0], [2.0, 0.0], [-2.5, 0.0]],
+                        jnp.float32)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(
+            jnp.asarray(a, jnp.float32)[None],
+            (B,) + jnp.shape(a)).copy(), base)
+    params = params._replace(goal=goals)
+    # loosen the torque limit so every goal is reachable
+    params = params._replace(
+        u_min=jnp.full((B, 1), -8.0, jnp.float32),
+        u_max=jnp.full((B, 1), 8.0, jnp.float32))
+
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=40)
+    sol = solve_batch_fused(m, params, cfg, 0.05,
+                            jnp.zeros((B, 2), jnp.float32),
+                            jnp.zeros((60, 1), jnp.float32),
+                            params_batched=True)
+    xf = np.asarray(sol.xs[:, -1, 0])
+    np.testing.assert_allclose(xf, np.asarray(goals[:, 0]), atol=0.2)
+
+
+def test_batched_matches_shared_when_identical():
+    """Batched params equal across the batch give the same answer as
+    shared params."""
+    m = get_model("pendulum")
+    B = 2
+    base = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), pend.default_params())
+    batched = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(), base)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=10)
+    x0 = jnp.asarray([[0.3, 0.0], [-0.2, 0.1]], jnp.float32)
+    u0 = jnp.zeros((25, 1), jnp.float32)
+    s_shared = solve_batch_fused(m, base, cfg, 0.05, x0, u0)
+    s_batched = solve_batch_fused(m, batched, cfg, 0.05, x0, u0,
+                                  params_batched=True)
+    np.testing.assert_allclose(np.asarray(s_batched.cost),
+                               np.asarray(s_shared.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_batched.us),
+                               np.asarray(s_shared.us), atol=1e-6)
