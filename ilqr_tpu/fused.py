@@ -320,22 +320,90 @@ def solve_batch_fused(
     return jax.tree_util.tree_map(lambda a: a[:B], sol)
 
 
+def solve_batch_fused_warm(
+    model: Model, params, cfg: SolverConfig, dt, x0, prev: Solution,
+    interpret=None,
+) -> Solution:
+    """Warm-started fused batch solve (MPC re-plan for a whole fleet):
+    re-rollout ``prev.us`` with ``prev.K`` against ``prev.xs`` from the new
+    ``x0`` (ref generate_trajectory overload 2, ilqr_core.cpp:65-76) and
+    carry λ/dλ per lane. Shared params; B ≤ 1024 per chunk like
+    :func:`solve_batch_fused`."""
+    if model.m != 1 or not model.has_soa:
+        raise ValueError("fused warm start requires m == 1 and SoA model")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    x0 = jnp.asarray(x0, f32)
+    B, n = x0.shape
+    T = prev.us.shape[1]
+
+    bb = ((B + BLOCK - 1) // BLOCK) * BLOCK
+    n_chunks = bb // BLOCK
+    pad = bb - B
+
+    def prep(x):
+        x = jnp.asarray(x, f32)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], f32)], axis=0)
+        return x
+
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), params)
+    arr, treedef, shapes = pack_params(params, dt)
+    u_min = jnp.asarray(params.u_min[0], f32)
+    u_max = jnp.asarray(params.u_max[0], f32)
+    pad_flags = jnp.arange(bb) >= B
+
+    solve_block = _get_block_solver(
+        model, cfg, interpret, T, n, treedef, shapes, warm=True)
+
+    def block(sl):
+        return solve_block(
+            arr, u_min, u_max, prep(x0)[sl], prep(prev.us)[sl],
+            pad_flags[sl], prep(prev.xs)[sl], prep(prev.K)[sl],
+            prep(prev.lam)[sl], prep(prev.dlam)[sl])
+
+    if n_chunks == 1:
+        sol = block(slice(None))
+    else:
+        sols = [block(slice(c * BLOCK, (c + 1) * BLOCK))
+                for c in range(n_chunks)]
+        sol = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *sols)
+    return jax.tree_util.tree_map(lambda a: a[:B], sol)
+
+
 @functools.lru_cache(maxsize=None)
-def _get_block_solver(model, cfg, interpret, T, n, treedef, shapes):
+def _get_block_solver(model, cfg, interpret, T, n, treedef, shapes,
+                      warm: bool = False):
     """jitted single-block solver, cached per static configuration; only
     the packed params array, limits, and problem data are traced."""
 
-    def run(params_arr, u_min, u_max, x0, u0, pad_flags):
-        packed_params = (params_arr, treedef, shapes)
-        return _solve_block(model, cfg, packed_params, u_min, u_max,
-                            interpret, T, n, (x0, u0, pad_flags))
+    if warm:
+        def run(params_arr, u_min, u_max, x0, u0, pad_flags,
+                xs_ref, K_prev, lam0, dlam0):
+            packed_params = (params_arr, treedef, shapes)
+            return _solve_block(
+                model, cfg, packed_params, u_min, u_max, interpret, T, n,
+                (x0, u0, pad_flags),
+                warm=(xs_ref, K_prev, lam0, dlam0))
+    else:
+        def run(params_arr, u_min, u_max, x0, u0, pad_flags):
+            packed_params = (params_arr, treedef, shapes)
+            return _solve_block(model, cfg, packed_params, u_min, u_max,
+                                interpret, T, n, (x0, u0, pad_flags))
 
     return jax.jit(run)
 
 
 def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
-                 args) -> Solution:
-    """One 1024-problem block in kernel layout (nb == 1)."""
+                 args, warm=None) -> Solution:
+    """One 1024-problem block in kernel layout (nb == 1). ``warm``
+    optionally carries (xs_ref (B,T+1,n), K (B,T,1,n), lam (B,), dlam (B,))
+    from a previous Solution — the MPC warm start (ref ilqr_core.cpp:65-76:
+    re-rollout the previous controls WITH the previous gains from the new
+    x0, λ/dλ carried over explicitly)."""
     x0, u0, pad_flags = args
     f32 = jnp.float32
     nb = 1
@@ -343,12 +411,22 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
     x0_p = _pack_tail(x0, nb)                # (n, NB, S, L)
     us_p = _pack_tail(u0, nb)                # (T, 1, NB, S, L)
 
-    # initial open-loop rollout (ref init_traj, ilqr_core.cpp:11-56)
-    zK = jnp.zeros((T, 1, n, nb, S, L), f32)
-    zref = jnp.zeros((T, n, nb, S, L), f32)
+    if warm is None:
+        # initial open-loop rollout (ref init_traj, ilqr_core.cpp:11-56)
+        K0 = jnp.zeros((T, 1, n, nb, S, L), f32)
+        ref0 = jnp.zeros((T, n, nb, S, L), f32)
+        lam0 = jnp.full((nb, S, L), cfg.lambda_init, f32)
+        dlam0 = jnp.full((nb, S, L), cfg.dlambda_init, f32)
+    else:
+        xs_ref, K_prev, lam_w, dlam_w = warm
+        ref0 = _pack_tail(xs_ref[:, :T], nb)
+        K0 = _pack_tail(K_prev, nb)
+        lam0 = _pack_tail(lam_w, nb)
+        dlam0 = _pack_tail(dlam_w, nb)
+
     xs_body, us_p, x_fin, cost = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        x0_p, us_p, zref, zK, interpret=interpret)
+        x0_p, us_p, ref0, K0, interpret=interpret)
     xs_p = jnp.concatenate([xs_body, x_fin[None]], axis=0)
 
     # padded lanes start (and stay) done so they never drive the loops
@@ -358,8 +436,8 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
         xs=xs_p,
         us=us_p,
         cost=cost,
-        lam=jnp.full((nb, S, L), cfg.lambda_init, f32),
-        dlam=jnp.full((nb, S, L), cfg.dlambda_init, f32),
+        lam=lam0,
+        dlam=dlam0,
         k=jnp.zeros((T, nb, S, L), f32),
         K=jnp.zeros((T, n, nb, S, L), f32),
         iteration=jnp.zeros((nb, S, L), jnp.int32),

@@ -66,6 +66,25 @@ def test_identical_lanes_identical_results():
     assert np.all(c == c[0])
 
 
+def test_warm_start_resumes_cheaply():
+    """Fleet warm start: re-solving from the same states with the previous
+    Solution takes far fewer iterations and never worsens the cost
+    (ref ilqr_core.cpp:65-76 warm-start semantics, fleet-scale)."""
+    from ilqr_tpu.fused import solve_batch_fused_warm
+
+    m = get_model("acrobot")
+    p = _p32(m)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(3, 4)), jnp.float32)
+    u0 = jnp.zeros((25, 1), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=15)
+    sol = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    warm = solve_batch_fused_warm(m, p, cfg, 0.02, x0, sol)
+    assert int(np.asarray(warm.iterations).max()) <= 8
+    assert np.all(np.asarray(warm.cost) <= np.asarray(sol.cost) + 1e-3)
+
+
 def test_unsupported_configs_raise():
     di = get_model("double_integrator")  # m == 2
     with pytest.raises(ValueError):
