@@ -88,6 +88,10 @@ class SolverConfig:
     backward_mode: str = "scan"  # "scan" (serial recursion) | "assoc"
     # (O(log T)-depth parallel-in-time associative scan; unconstrained
     # problems only — see ops/assoc_backward.py).
+    sweep_kernel: str = "merged"  # fused-solver linearize+backward:
+    # "merged" = one kernel re-deriving the model in-registers (no HBM
+    # round-trip for the linearization, ops/pallas_sweep.py); "split" =
+    # separate derivative + backward kernels.
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":

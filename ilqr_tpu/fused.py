@@ -87,19 +87,31 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     factor = jnp.asarray(cfg.lambda_factor, f32)
     kmode = "jvp" if cfg.deriv_mode == "analytic" else "fd"
 
-    # ---- STEP 1: linearize (ref ilqr_core.cpp:115-120)
-    d = derivs_packed(model, cfg.integrator, packed_params,
-                      state.xs, state.us, mode=kmode, eps=cfg.fd_eps,
-                      interpret=interpret)
-    fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p = d
-    lo_p = u_min - state.us[:, 0]
-    hi_p = u_max - state.us[:, 0]
+    # ---- STEPs 1+2 combined per backward attempt. "merged" re-derives
+    # the linearization inside the backward kernel every attempt (no HBM
+    # round-trip, ops/pallas_sweep.py); "split" materializes it once via
+    # the derivative kernel (ref ilqr_core.cpp:115-120) and replays the
+    # backward kernel on λ retries.
+    if cfg.sweep_kernel == "merged":
+        from ilqr_tpu.ops.pallas_sweep import sweep_packed
 
-    def run_backward(lam):
-        return backward_sweep_packed(
-            fx_p, fu_p[:, :, 0], cx_p[:-1], cu_p[:, 0], cxx_p[:-1],
-            cxu_p[:, :, 0], cuu_p[:, 0, 0], lo_p, hi_p, lam,
-            cx_p[-1], cxx_p[-1], interpret=interpret)
+        def run_backward(lam):
+            return sweep_packed(
+                model, cfg.integrator, packed_params, state.xs, state.us,
+                lam, mode=kmode, eps=cfg.fd_eps, interpret=interpret)
+    else:
+        d = derivs_packed(model, cfg.integrator, packed_params,
+                          state.xs, state.us, mode=kmode, eps=cfg.fd_eps,
+                          interpret=interpret)
+        fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p = d
+        lo_p = u_min - state.us[:, 0]
+        hi_p = u_max - state.us[:, 0]
+
+        def run_backward(lam):
+            return backward_sweep_packed(
+                fx_p, fu_p[:, :, 0], cx_p[:-1], cu_p[:, 0], cxx_p[:-1],
+                cxu_p[:, :, 0], cuu_p[:, 0, 0], lo_p, hi_p, lam,
+                cx_p[-1], cxx_p[-1], interpret=interpret)
 
     # ---- STEP 2: backward with per-lane λ escalation (ref :136-150)
     def bp_cond(carry):

@@ -66,6 +66,25 @@ def test_identical_lanes_identical_results():
     assert np.all(c == c[0])
 
 
+def test_merged_sweep_matches_split():
+    """The merged linearize+backward kernel (ops/pallas_sweep) gives the
+    same solve as the split derivative+backward kernels."""
+    m = get_model("acrobot")
+    p = _p32(m)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(3, 4)), jnp.float32)
+    u0 = jnp.zeros((25, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=10)
+    s_split = solve_batch_fused(
+        m, p, SolverConfig(sweep_kernel="split", **kw), 0.02, x0, u0)
+    s_merged = solve_batch_fused(
+        m, p, SolverConfig(sweep_kernel="merged", **kw), 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(s_merged.cost),
+                               np.asarray(s_split.cost), rtol=1e-5)
+    assert np.abs(np.asarray(s_merged.us)
+                  - np.asarray(s_split.us)).max() < 5e-3
+
+
 def test_warm_start_resumes_cheaply():
     """Fleet warm start: re-solving from the same states with the previous
     Solution takes far fewer iterations and never worsens the cost
