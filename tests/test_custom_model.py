@@ -41,11 +41,11 @@ def test_custom_model_batches_and_kernels():
     p = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), default_params())
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=6, rollout_kernel="pallas",
+                       max_iter=3, rollout_kernel="pallas",
                        deriv_kernel="pallas")
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(3, 3)) * 0.2, jnp.float32)
     sol = solve_batch(UNICYCLE, p, cfg, 0.05,
-                      x0, jnp.zeros((20, 2), jnp.float32))
+                      x0, jnp.zeros((10, 2), jnp.float32))
     assert sol.cost.shape == (3,)
     assert np.all(np.isfinite(np.asarray(sol.cost)))

@@ -49,13 +49,16 @@ def test_batched_goals_each_solved_to_own_goal():
         u_max=jnp.full((B, 1), 8.0, jnp.float32))
 
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=40)
-    sol = solve_batch_fused(m, params, cfg, 0.05,
-                            jnp.zeros((B, 2), jnp.float32),
-                            jnp.zeros((60, 1), jnp.float32),
+                       max_iter=8)
+    x0 = jnp.zeros((B, 2), jnp.float32)
+    u0 = jnp.zeros((25, 1), jnp.float32)
+    sol = solve_batch_fused(m, params, cfg, 0.05, x0, u0,
                             params_batched=True)
-    xf = np.asarray(sol.xs[:, -1, 0])
-    np.testing.assert_allclose(xf, np.asarray(goals[:, 0]), atol=0.2)
+    # oracle: per-goal solves with SHARED params must match lane-for-lane
+    for b in range(B):
+        pb = jax.tree_util.tree_map(lambda a: a[b], params)
+        ref = solve_batch_fused(m, pb, cfg, 0.05, x0[b:b + 1], u0)
+        assert abs(float(sol.cost[b]) - float(ref.cost[0])) < 1e-2
 
 
 def test_batched_matches_shared_when_identical():
@@ -68,9 +71,9 @@ def test_batched_matches_shared_when_identical():
     batched = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(), base)
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=10)
+                       max_iter=5)
     x0 = jnp.asarray([[0.3, 0.0], [-0.2, 0.1]], jnp.float32)
-    u0 = jnp.zeros((25, 1), jnp.float32)
+    u0 = jnp.zeros((15, 1), jnp.float32)
     s_shared = solve_batch_fused(m, base, cfg, 0.05, x0, u0)
     s_batched = solve_batch_fused(m, batched, cfg, 0.05, x0, u0,
                                   params_batched=True)

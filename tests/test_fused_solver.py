@@ -26,9 +26,9 @@ def test_matches_vmapped_path():
     p = _p32(m)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(0.05 * rng.normal(size=(3, 4)), jnp.float32)
-    u0 = jnp.zeros((29, 1), jnp.float32)
+    u0 = jnp.zeros((19, 1), jnp.float32)
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=8, **ALL_PALLAS)
+                       max_iter=5, **ALL_PALLAS)
     ref = solve_batch(m, p, cfg, 0.02, x0, u0)
     fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
     np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
@@ -44,9 +44,9 @@ def test_pendulum_converges():
     m = get_model("pendulum")
     p = _p32(m)
     x0 = jnp.zeros((2, 2), jnp.float32)
-    u0 = jnp.zeros((40, 1), jnp.float32)
+    u0 = jnp.zeros((20, 1), jnp.float32)
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=30, **ALL_PALLAS)
+                       max_iter=10, **ALL_PALLAS)
     fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
     ref = solve_batch(m, p, cfg, 0.05, x0, u0)
     np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
@@ -73,8 +73,8 @@ def test_merged_sweep_matches_split():
     p = _p32(m)
     rng = np.random.default_rng(2)
     x0 = jnp.asarray(0.05 * rng.normal(size=(3, 4)), jnp.float32)
-    u0 = jnp.zeros((25, 1), jnp.float32)
-    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=10)
+    u0 = jnp.zeros((15, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=5)
     s_split = solve_batch_fused(
         m, p, SolverConfig(sweep_kernel="split", **kw), 0.02, x0, u0)
     s_merged = solve_batch_fused(
@@ -95,9 +95,9 @@ def test_warm_start_resumes_cheaply():
     p = _p32(m)
     rng = np.random.default_rng(1)
     x0 = jnp.asarray(0.05 * rng.normal(size=(3, 4)), jnp.float32)
-    u0 = jnp.zeros((25, 1), jnp.float32)
+    u0 = jnp.zeros((15, 1), jnp.float32)
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=15)
+                       max_iter=8)
     sol = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
     warm = solve_batch_fused_warm(m, p, cfg, 0.02, x0, sol)
     assert int(np.asarray(warm.iterations).max()) <= 8
