@@ -104,6 +104,28 @@ def test_warm_start_resumes_cheaply():
     assert np.all(np.asarray(warm.cost) <= np.asarray(sol.cost) + 1e-3)
 
 
+@pytest.mark.slow
+def test_multi_chunk_matches_single_chunk():
+    """B > 1024 splits into host-looped chunks; results must equal the
+    corresponding single-chunk solves lane-for-lane."""
+    m = get_model("acrobot")
+    p = _p32(m)
+    rng = np.random.default_rng(3)
+    B = 1026  # 2 chunks, second one mostly padding
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
+    u0 = jnp.zeros((9, 1), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=2)
+    sol = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    assert sol.cost.shape == (B,)
+    # lanes 1024..1025 re-solved alone must match
+    ref = solve_batch_fused(m, p, cfg, 0.02, x0[1024:], u0)
+    np.testing.assert_allclose(np.asarray(sol.cost[1024:]),
+                               np.asarray(ref.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol.us[1024:]),
+                               np.asarray(ref.us), atol=1e-6)
+
+
 def test_unsupported_configs_raise():
     di = get_model("double_integrator")  # m == 2
     with pytest.raises(ValueError):
