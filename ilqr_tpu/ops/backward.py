@@ -110,6 +110,16 @@ def backward_pass(
             k_mat = jnp.where(
                 clamped | div_here, jnp.zeros_like(qux), -qux / q_safe
             )
+        elif cfg.use_control_limits and m <= 3 and cfg.boxqp_mode == "enum":
+            # exact loop-free active-set enumeration (see ops/boxqp.py)
+            from ilqr_tpu.ops.boxqp import boxqp_enum
+
+            res = boxqp_enum(quuF, qu, u_min - u, u_max - u)
+            k_i = res.x
+            div_here = res.status < 1
+            k_mat = -jax.vmap(
+                lambda col: free_solve(res.chol_free, col, res.free)
+            )(qux.T).T
         elif cfg.use_control_limits:
             res = boxqp(quuF, qu, k_next, u_min - u, u_max - u, cfg.boxqp)
             k_i = res.x

@@ -102,6 +102,75 @@ def quadclamp_line_search(x0, search, Q, c, lower, upper, cfg: BoxQPConfig):
     return xc, v, failed | bad_direction, n
 
 
+def boxqp_enum(Q, c, lower, upper) -> BoxQPResult:
+    """Exact box QP by active-set enumeration — for small m (≤ 3).
+
+    A strictly convex box QP has a unique KKT point; with m dims there are
+    3^m candidate active sets (each dim at lower / free / at upper). All
+    candidates are evaluated with fixed shapes and no loops: solve the
+    free subspace in closed form, clamp actives, and keep the candidate
+    whose KKT conditions hold (primal feasibility on free dims, dual sign
+    on clamped dims). Loop-free → trace-light and TPU-friendly, replacing
+    the iterative projected Newton (ref src/boxqp.cpp) wholesale for the
+    reference's control sizes (m=1, 2). Select with
+    ``SolverConfig(boxqp_mode="enum")``.
+
+    Returns the same BoxQPResult contract as :func:`boxqp` (status 5 on
+    success, −1 for a non-PD Hessian; chol_free = identity-padded factor
+    of the free subspace for the backward pass's K solve).
+    """
+    import itertools
+
+    m = Q.shape[0]
+    assert m <= 3, "active-set enumeration is for m <= 3"
+    dtype = Q.dtype
+
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    best_val = big
+    best_x = jnp.zeros((m,), dtype)
+    best_free = jnp.zeros((m,), bool)
+    found = jnp.zeros((), bool)
+
+    chol_full = jnp.linalg.cholesky(Q)
+    not_pd = jnp.any(jnp.isnan(chol_full))
+
+    for combo in itertools.product((0, 1, 2), repeat=m):
+        free = jnp.asarray([s == 1 for s in combo], bool)
+        x_clamp = jnp.asarray(
+            [0.0 if s == 1 else (-1.0 if s == 0 else 1.0) for s in combo],
+            dtype)
+        xc = jnp.where(x_clamp < 0, lower,
+                       jnp.where(x_clamp > 0, upper, jnp.zeros_like(lower)))
+        # free block solve: Q_ff x_f = -(c_f + Q_fc x_c)
+        chol = masked_cholesky(Q, free)
+        rhs = -(c + Q @ jnp.where(free, jnp.zeros_like(xc), xc))
+        xf = free_solve(chol, jnp.where(free, rhs, jnp.zeros_like(rhs)),
+                        free)
+        x = jnp.where(free, xf, xc)
+        g = Q @ x + c
+        primal_ok = jnp.all(
+            jnp.where(free, (x >= lower) & (x <= upper), True))
+        dual_ok = jnp.all(jnp.where(
+            free, True,
+            jnp.where(x_clamp < 0, g >= 0, g <= 0)))
+        valid = primal_ok & dual_ok & ~jnp.any(jnp.isnan(x))
+        val = quad_cost(Q, c, x)
+        take = valid & (val < best_val)
+        best_val = jnp.where(take, val, best_val)
+        best_x = jnp.where(take, x, best_x)
+        best_free = jnp.where(take, free, best_free)
+        found = found | valid
+
+    status = jnp.where(not_pd | ~found, -1, 5).astype(jnp.int32)
+    return BoxQPResult(
+        x=best_x,
+        status=status,
+        free=best_free,
+        chol_free=masked_cholesky(Q, best_free),
+        n_iters=jnp.asarray(1, jnp.int32),
+    )
+
+
 def boxqp(Q, c, x0, lower, upper, cfg: BoxQPConfig = BoxQPConfig()) -> BoxQPResult:
     """Fixed-shape projected-Newton boxQP (ref: src/boxqp.cpp:26-139)."""
     m = x0.shape[0]

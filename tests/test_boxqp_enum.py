@@ -1,0 +1,85 @@
+"""Active-set-enumeration boxQP tests (exact, loop-free, m ≤ 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model, solve
+from ilqr_tpu.models import double_integrator as di
+from ilqr_tpu.ops.boxqp import boxqp, boxqp_enum, quad_cost
+
+
+@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_enum_matches_scipy(seed, m):
+    from scipy.optimize import minimize
+
+    rng = np.random.default_rng(seed * 10 + m)
+    A = rng.normal(size=(m, m))
+    Q = A @ A.T + m * np.eye(m)
+    c = rng.normal(size=m)
+    lo = -rng.uniform(0.05, 1.0, size=m)
+    hi = rng.uniform(0.05, 1.0, size=m)
+
+    res = boxqp_enum(jnp.asarray(Q), jnp.asarray(c), jnp.asarray(lo),
+                     jnp.asarray(hi))
+    assert int(res.status) == 5
+    ref = minimize(
+        lambda x: 0.5 * x @ Q @ x + x @ c,
+        np.clip(np.zeros(m), lo, hi),
+        jac=lambda x: Q @ x + c,
+        bounds=list(zip(lo, hi)), method="L-BFGS-B", tol=1e-14,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-6)
+
+
+def test_enum_agrees_with_iterative():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        m = 2
+        A = rng.normal(size=(m, m))
+        Q = jnp.asarray(A @ A.T + 2 * np.eye(m))
+        c = jnp.asarray(rng.normal(size=m))
+        lo = jnp.full((m,), -0.4)
+        hi = jnp.full((m,), 0.4)
+        e = boxqp_enum(Q, c, lo, hi)
+        it = boxqp(Q, c, jnp.zeros(m), lo, hi)
+        assert float(quad_cost(Q, c, e.x)) <= float(quad_cost(Q, c, it.x)) + 1e-8
+        np.testing.assert_allclose(np.asarray(e.x), np.asarray(it.x),
+                                   atol=1e-3)
+
+
+def test_enum_non_pd():
+    Q = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+    res = boxqp_enum(Q, jnp.asarray([0.1, 0.1]), jnp.full((2,), -1.0),
+                     jnp.full((2,), 1.0))
+    assert int(res.status) < 1
+
+
+def test_enum_vmaps():
+    rng = np.random.default_rng(1)
+    B, m = 8, 2
+    A = rng.normal(size=(B, m, m))
+    Q = jnp.asarray(A @ np.swapaxes(A, 1, 2) + 2 * np.eye(m))
+    c = jnp.asarray(rng.normal(size=(B, m)))
+    lo = jnp.full((B, m), -0.5)
+    hi = jnp.full((B, m), 0.5)
+    res = jax.vmap(boxqp_enum)(Q, c, lo, hi)
+    assert res.x.shape == (B, m)
+    assert bool(jnp.all(res.status == 5))
+
+
+def test_enum_mode_solves_integrator():
+    """Full solve with boxqp_mode='enum' lands on the same optimum as the
+    iterative mode on the reference's m=2 workload."""
+    model = get_model("double_integrator")
+    p = di.default_params(goal=(1.0, 0.5, 0.0, 0.0))
+    x0 = jnp.array([-1.0, 0.0, 0.0, -0.2])
+    u0 = jnp.zeros((99, 2))
+    s_it = solve(model, p, SolverConfig(deriv_mode="analytic"), 0.02, x0, u0)
+    s_en = solve(model, p,
+                 SolverConfig(deriv_mode="analytic", boxqp_mode="enum"),
+                 0.02, x0, u0)
+    assert abs(float(s_it.cost) - float(s_en.cost)) < 1e-3
+    assert np.abs(np.asarray(s_it.us) - np.asarray(s_en.us)).max() < 1e-2
