@@ -153,23 +153,13 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     uff_all = (state.us[:, 0][:, None] + al[None] * k[:, None]) \
         .reshape(T, 1, A * nb, S, L)
 
-    def tile(x, axis):
-        reps = [1] * (x.ndim + 1)
-        reps[axis] = A
-        expanded = jnp.expand_dims(x, axis)
-        tiled = jnp.tile(expanded, reps)
-        shp = list(x.shape)
-        shp[axis] = A * shp[axis]
-        return tiled.reshape(shp)
-
-    xsr_all = tile(state.xs[:T], 2)                      # (T,n,A*NB,S,L)
-    K_all = tile(K[:, None], 3)                          # (T,1,n,A*NB,S,L)
-    x0_all = tile(state.xs[0], 1)                        # (n,A*NB,S,L)
-
+    # shared inputs (x0, x̄, K, params) are NOT tiled: the kernel indexes
+    # them modulo NB across the A·NB candidate grid (candidates=A), so the
+    # sweep reads each exactly once from HBM.
     costs = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        x0_all, uff_all, xsr_all, K_all, interpret=interpret,
-        costs_only=True)
+        state.xs[0], uff_all, state.xs[:T], K[:, None],
+        interpret=interpret, costs_only=True, candidates=A)
 
     costs = costs.reshape(A, nb, S, L)
     dcost = state.cost[None] - costs

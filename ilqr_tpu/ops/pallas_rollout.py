@@ -195,7 +195,7 @@ def _unpack_tail(y, bb):
 
 def rollout_packed(model, integrator: str, clamp: bool, packed_params,
                    x0_p, uff_p, xsr_p, K_p, interpret: bool = False,
-                   costs_only: bool = False):
+                   costs_only: bool = False, candidates: int = 1):
     """Kernel-layout entry point (no relayout) — see
     :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
@@ -206,35 +206,46 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     cost (NB,S,L)); with ``costs_only`` just cost — the trajectory is
     neither stored nor written, which makes candidate sweeps (line
     search) HBM-write-free.
+
+    ``candidates`` > 1 evaluates A line-search candidates per problem
+    block WITHOUT tiling the shared inputs: only ``uff_p`` carries
+    A·NB blocks (candidate a of block p at index a·NB + p); x0/x̄/K (and
+    per-problem params) are indexed modulo NB by the grid, so the A-fold
+    candidate sweep reads them once each from HBM instead of A times.
     """
     params_p, treedef, shapes = packed_params
     T, m, n, nb, _s, _l = K_p.shape
     P = params_p.shape[0]
     f32 = jnp.float32
+    grid_nb = nb * candidates
+    pb = (lambda b: b % nb) if candidates > 1 else (lambda b: b)
 
     if params_p.ndim == 4:  # per-problem params (P, NB, S, L)
-        params_spec = pl.BlockSpec((P, 1, S, L), lambda b, t: (0, b, 0, 0),
+        params_spec = pl.BlockSpec((P, 1, S, L),
+                                   lambda b, t: (0, pb(b), 0, 0),
                                    memory_space=pltpu.VMEM)
     else:                   # shared params (P, S, L), resident
         params_spec = pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
                                    memory_space=pltpu.VMEM)
     specs_in = [
         params_spec,
-        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, pb(b), 0, 0),
                      memory_space=pltpu.VMEM),  # x0
         pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # u_ff
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # u_ff (per candidate)
+        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, pb(b), 0, 0),
                      memory_space=pltpu.VMEM),  # xs_ref
-        pl.BlockSpec((1, m, n, 1, S, L), lambda b, t: (t, 0, 0, b, 0, 0),
+        pl.BlockSpec((1, m, n, 1, S, L),
+                     lambda b, t: (t, 0, 0, pb(b), 0, 0),
                      memory_space=pltpu.VMEM),  # K
     ]
     cost_spec = pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     if costs_only:
         specs_out = cost_spec
-        out_shape = jax.ShapeDtypeStruct((nb, S, L), f32)
+        out_shape = jax.ShapeDtypeStruct((grid_nb, S, L), f32)
     else:
+        assert candidates == 1, "full outputs require candidates == 1"
         specs_out = [
             pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
                          memory_space=pltpu.VMEM),  # xs[0..T-1]
@@ -258,7 +269,7 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, clamp,
                           costs_only, treedef, shapes),
-        grid=(nb, T),
+        grid=(grid_nb, T),
         in_specs=specs_in,
         out_specs=specs_out,
         out_shape=out_shape,
