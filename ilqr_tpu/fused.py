@@ -148,18 +148,15 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     A = len(alphas)
     al = jnp.asarray(alphas, f32).reshape(A, 1, 1, 1)
 
-    # candidates stacked along the NB axis: block a*nb + b is candidate
-    # α_a of problem-block b
-    uff_all = (state.us[:, 0][:, None] + al[None] * k[:, None]) \
-        .reshape(T, 1, A * nb, S, L)
-
-    # shared inputs (x0, x̄, K, params) are NOT tiled: the kernel indexes
-    # them modulo NB across the A·NB candidate grid (candidates=A), so the
-    # sweep reads each exactly once from HBM.
+    # Nothing is tiled or materialized: candidate block a·NB + b forms
+    # u_ff = us + α_a·k in-kernel (α_a from SMEM), and all shared inputs
+    # (us, k, x0, x̄, K, params) are indexed modulo NB across the A·NB
+    # candidate grid — each read exactly once from HBM.
     costs = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        state.xs[0], uff_all, state.xs[:T], K[:, None],
-        interpret=interpret, costs_only=True, candidates=A)
+        state.xs[0], state.us, state.xs[:T], K[:, None],
+        interpret=interpret, costs_only=True, candidates=A,
+        k_p=k[:, None], alphas=jnp.asarray(alphas, f32))
 
     costs = costs.reshape(A, nb, S, L)
     dcost = state.cost[None] - costs
@@ -183,13 +180,13 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     ls_dcost = select(dcost)
     ls_expected = select(expected)
 
-    # pass 2: one full rollout at each lane's chosen α (lanes that rejected
-    # every candidate get α₀'s trajectory, discarded by take_step below)
-    uff_sel = (state.us[:, 0] + alpha_sel[None] * k)[:, None]
+    # pass 2: one full rollout at each lane's chosen α, formed in-kernel
+    # from the same shared inputs (lanes that rejected every candidate get
+    # α₀'s trajectory, discarded by take_step below)
     ls_xs_body, ls_us, ls_xfin, _c2 = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        state.xs[0], uff_sel, state.xs[:T], K[:, None],
-        interpret=interpret)
+        state.xs[0], state.us, state.xs[:T], K[:, None],
+        interpret=interpret, k_p=k[:, None], alpha_lanes=alpha_sel)
     ls_xs = jnp.concatenate([ls_xs_body, ls_xfin[None]], axis=0)
 
     accepted = back_ok & accepted

@@ -121,16 +121,21 @@ def _integrate(model, integrator, p, xv, uv, dt):
     raise ValueError(f"unknown integrator {integrator!r}")
 
 
-def _kernel(model, n, m, integrator, clamp, costs_only, treedef, shapes,
-            *refs):
+def _kernel(model, n, m, integrator, clamp, costs_only, alpha_mode,
+            treedef, shapes, *refs):
+    refs = list(refs)
+    params_ref = refs.pop(0)
+    x0_ref = refs.pop(0)
+    uff_ref = refs.pop(0)
+    xsr_ref = refs.pop(0)
+    K_ref = refs.pop(0)
+    k_ref = refs.pop(0) if alpha_mode else None
+    alpha_ref = refs.pop(0) if alpha_mode else None
     if costs_only:
-        (params_ref, x0_ref, uff_ref, xsr_ref, K_ref,
-         cost_ref, x_scr, cost_scr) = refs
+        cost_ref, x_scr, cost_scr = refs
         xs_ref_out = us_ref_out = xfin_ref = None
     else:
-        (params_ref, x0_ref, uff_ref, xsr_ref, K_ref,
-         xs_ref_out, us_ref_out, xfin_ref, cost_ref,
-         x_scr, cost_scr) = refs
+        xs_ref_out, us_ref_out, xfin_ref, cost_ref, x_scr, cost_scr = refs
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     p, dt = unpack_params(params_ref, treedef, shapes)
@@ -143,10 +148,19 @@ def _kernel(model, n, m, integrator, clamp, costs_only, treedef, shapes,
 
     x = [x_scr[i] for i in range(n)]
 
-    # u = u_ff + K (x − x̄)  (ref :316), optional box clamp (corrected mode)
+    if alpha_mode == "scalar":      # candidate α from SMEM (line search p1)
+        alpha = alpha_ref[0, 0]
+    elif alpha_mode == "lane":      # per-lane selected α (line search p2)
+        alpha = alpha_ref[0]
+    else:
+        alpha = None
+
+    # u = u_ff + α·k + K (x − x̄)  (ref :188-195, :316), optional box clamp
     u = []
     for j in range(m):
         acc = uff_ref[0, j, 0]
+        if alpha is not None:
+            acc = acc + alpha * k_ref[0, j, 0]
         for i in range(n):
             acc = acc + K_ref[0, j, i, 0] * (x[i] - xsr_ref[0, i, 0])
         if clamp:
@@ -195,7 +209,8 @@ def _unpack_tail(y, bb):
 
 def rollout_packed(model, integrator: str, clamp: bool, packed_params,
                    x0_p, uff_p, xsr_p, K_p, interpret: bool = False,
-                   costs_only: bool = False, candidates: int = 1):
+                   costs_only: bool = False, candidates: int = 1,
+                   k_p=None, alphas=None, alpha_lanes=None):
     """Kernel-layout entry point (no relayout) — see
     :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
@@ -208,10 +223,13 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     search) HBM-write-free.
 
     ``candidates`` > 1 evaluates A line-search candidates per problem
-    block WITHOUT tiling the shared inputs: only ``uff_p`` carries
-    A·NB blocks (candidate a of block p at index a·NB + p); x0/x̄/K (and
-    per-problem params) are indexed modulo NB by the grid, so the A-fold
-    candidate sweep reads them once each from HBM instead of A times.
+    block WITHOUT tiling any input: u_ff = us + α_a·k is formed in-kernel
+    from the shared ``uff_p`` (= the current controls), ``k_p`` (the
+    feedforward from the backward sweep) and the candidate step ``alphas``
+    ((A, 1) array read from SMEM per block); x0/x̄/K/params are indexed
+    modulo NB by the grid, so the A-fold sweep reads everything exactly
+    once from HBM. ``alpha_lanes`` ((NB, S, L)) instead applies a per-lane
+    α (the pass-2 selected-candidate rollout).
     """
     params_p, treedef, shapes = packed_params
     T, m, n, nb, _s, _l = K_p.shape
@@ -219,6 +237,11 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     f32 = jnp.float32
     grid_nb = nb * candidates
     pb = (lambda b: b % nb) if candidates > 1 else (lambda b: b)
+    assert alphas is None or alpha_lanes is None
+    alpha_mode = ("scalar" if alphas is not None
+                  else "lane" if alpha_lanes is not None else None)
+    if alpha_mode:
+        assert k_p is not None
 
     if params_p.ndim == 4:  # per-problem params (P, NB, S, L)
         params_spec = pl.BlockSpec((P, 1, S, L),
@@ -227,18 +250,38 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     else:                   # shared params (P, S, L), resident
         params_spec = pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
                                    memory_space=pltpu.VMEM)
+    # u_ff is per-candidate only when candidates are materialized (no
+    # alpha_mode); with in-kernel α it's the shared current controls.
+    uff_idx = pb if alpha_mode else (lambda b: b)
     specs_in = [
         params_spec,
         pl.BlockSpec((n, 1, S, L), lambda b, t: (0, pb(b), 0, 0),
                      memory_space=pltpu.VMEM),  # x0
-        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # u_ff (per candidate)
+        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (t, 0, uff_idx(b), 0, 0),
+                     memory_space=pltpu.VMEM),  # u_ff
         pl.BlockSpec((1, n, 1, S, L), lambda b, t: (t, 0, pb(b), 0, 0),
                      memory_space=pltpu.VMEM),  # xs_ref
         pl.BlockSpec((1, m, n, 1, S, L),
                      lambda b, t: (t, 0, 0, pb(b), 0, 0),
                      memory_space=pltpu.VMEM),  # K
     ]
+    inputs = [params_p, x0_p, uff_p, xsr_p, K_p]
+    if alpha_mode:
+        specs_in.append(
+            pl.BlockSpec((1, m, 1, S, L),
+                         lambda b, t: (t, 0, pb(b), 0, 0),
+                         memory_space=pltpu.VMEM))  # k
+        inputs.append(k_p)
+        if alpha_mode == "scalar":
+            specs_in.append(
+                pl.BlockSpec((1, 1), lambda b, t: (b // nb, 0),
+                             memory_space=pltpu.SMEM))  # α per candidate
+            inputs.append(jnp.asarray(alphas, f32).reshape(-1, 1))
+        else:
+            specs_in.append(
+                pl.BlockSpec((1, S, L), lambda b, t: (pb(b), 0, 0),
+                             memory_space=pltpu.VMEM))  # α per lane
+            inputs.append(jnp.asarray(alpha_lanes, f32))
     cost_spec = pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     if costs_only:
@@ -268,7 +311,7 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
 
     return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, clamp,
-                          costs_only, treedef, shapes),
+                          costs_only, alpha_mode, treedef, shapes),
         grid=(grid_nb, T),
         in_specs=specs_in,
         out_specs=specs_out,
@@ -278,7 +321,7 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(params_p, x0_p, uff_p, xsr_p, K_p)
+    )(*inputs)
 
 
 def rollout_batched(model, integrator: str, clamp: bool,
