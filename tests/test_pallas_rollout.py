@@ -11,6 +11,7 @@ from ilqr_tpu.models import list_models
 from ilqr_tpu.ops.pallas_rollout import (
     pack_params,
     rollout_batched,
+    rollout_packed,
 )
 from ilqr_tpu.ops.rollout import _rollout_scan
 
@@ -80,6 +81,72 @@ def test_pack_params_roundtrip_structure():
     assert packed.shape == (n_scalars + 1, 8, 128)  # +1 = dt row
     # dt lives in the last row, broadcast across the tile
     np.testing.assert_allclose(np.asarray(packed[-1]), 0.02)
+
+
+def test_candidate_sweep_in_kernel_alphas():
+    """costs_only + candidates + in-kernel α: cost of candidate a equals a
+    plain rollout at u_ff = us + α_a·k."""
+    from ilqr_tpu.ops.pallas_rollout import pack_params
+
+    mo = get_model("acrobot")
+    p = _f32_params(mo)
+    rng = np.random.default_rng(5)
+    T = 7
+    x0 = jnp.asarray(rng.normal(size=(1024, mo.n)) * 0.2, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(1024, T, 1)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1024, T, 1)) * 0.1, jnp.float32)
+    xsr = jnp.asarray(rng.normal(size=(1024, T + 1, mo.n)) * 0.2,
+                      jnp.float32)
+    K = jnp.asarray(rng.normal(size=(1024, T, 1, mo.n)) * 0.1, jnp.float32)
+    alphas = jnp.asarray([1.0, 0.5, 0.1], jnp.float32)
+
+    from ilqr_tpu.ops.pallas_rollout import (
+        _pack_tail as pt, _unpack_tail as ut)
+
+    pp = pack_params(p, 0.02)
+    costs = rollout_packed(
+        mo, "euler", True, pp, pt(x0, 1), pt(us, 1), pt(xsr[:, :T], 1),
+        pt(K, 1), interpret=True, costs_only=True, candidates=3,
+        k_p=pt(k, 1), alphas=alphas)
+    costs = costs.reshape(3, 1024)  # candidate-major; lanes in pack order
+
+    for a in range(3):
+        _xs, _us, ref = rollout_batched(
+            mo, "euler", True, p, 0.02, x0, us + alphas[a] * k, xsr, K,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(costs[a]), np.asarray(ref),
+                                   rtol=2e-5, err_msg=f"alpha {a}")
+
+
+def test_lane_alpha_rollout():
+    """alpha_lanes: per-lane α applied in-kernel equals per-lane manual
+    feedforwards."""
+    from ilqr_tpu.ops.pallas_rollout import (
+        _pack_tail as pt, _unpack_tail as ut, pack_params)
+
+    mo = get_model("pendulum")
+    p = _f32_params(mo)
+    rng = np.random.default_rng(6)
+    B, T = 1024, 6
+    x0 = jnp.asarray(rng.normal(size=(B, 2)) * 0.2, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(B, T, 1)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, 1)) * 0.1, jnp.float32)
+    xsr = jnp.zeros((B, T + 1, 2), jnp.float32)
+    K = jnp.zeros((B, T, 1, 2), jnp.float32)
+    al = jnp.asarray(rng.uniform(0, 1, size=(B,)), jnp.float32)
+
+    pp = pack_params(p, 0.05)
+    xs_b, us_b, xf, cost = rollout_packed(
+        mo, "euler", False, pp, pt(x0, 1), pt(us, 1), pt(xsr[:, :T], 1),
+        pt(K, 1), interpret=True, k_p=pt(k, 1), alpha_lanes=pt(al, 1))
+    got_us = ut(us_b, B)
+    want_us = us + al[:, None, None] * k
+    np.testing.assert_allclose(np.asarray(got_us), np.asarray(want_us),
+                               atol=1e-6)
+    _xs2, _us2, ref_cost = rollout_batched(
+        mo, "euler", False, p, 0.05, x0, want_us, xsr, K, interpret=True)
+    np.testing.assert_allclose(np.asarray(ut(cost, B)), np.asarray(ref_cost),
+                               rtol=2e-5)
 
 
 def test_fused_line_search_matches_plain():
