@@ -112,7 +112,19 @@ def main(argv=None) -> int:
             rng.normal(size=(args.batch, model.n))
         ).astype(x0.dtype)
         t0 = time.perf_counter()
-        sol = solve_batch(model, params, cfg, args.dt, x0b, u0)
+        use_fused = (model.m == 1 and model.has_soa
+                     and cfg.use_control_limits
+                     and cfg.boxqp_mode == "auto"
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from ilqr_tpu.fused import solve_batch_fused
+
+            sol = solve_batch_fused(
+                model, params, cfg, args.dt,
+                jnp.asarray(x0b, jnp.float32),
+                jnp.asarray(u0, jnp.float32))
+        else:
+            sol = solve_batch(model, params, cfg, args.dt, x0b, u0)
         jax.block_until_ready(sol.cost)
         elapsed = time.perf_counter() - t0
         stats = {k: float(v) for k, v in convergence_stats(sol).items()}

@@ -112,3 +112,49 @@ def run_mpc(
         return s2, (s2.x, s2.plan.cost)
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+# ---------------------------------------------------------------------------
+# Fleet-scale MPC on the fused solver (thousands of controllers per chip)
+# ---------------------------------------------------------------------------
+
+def fleet_init(model: Model, params, cfg: SolverConfig, dt, x0s, u0):
+    """Cold-plan a whole fleet with the fused batch solver.
+
+    x0s (B, n); u0 (T, m) shared initial guess. Returns an MPCState whose
+    leaves carry a leading fleet axis."""
+    from ilqr_tpu.fused import solve_batch_fused
+
+    sol = solve_batch_fused(model, params, cfg, dt, x0s, u0)
+    B = x0s.shape[0]
+    return MPCState(x=jnp.asarray(x0s, sol.us.dtype), plan=sol,
+                    t=jnp.zeros((B,), jnp.int32))
+
+
+def fleet_step(model: Model, params, cfg: SolverConfig, dt,
+               state: MPCState, disturbance=None) -> MPCState:
+    """One replanning cycle for the whole fleet: apply each controller's
+    first control (+feedback), simulate, shift, warm-re-solve everything
+    with one fused batch solve. Host-driven (don't jit-wrap — the fused
+    solver manages its own compilation; see ilqr_tpu/fused.py)."""
+    from ilqr_tpu.fused import solve_batch_fused_warm
+
+    integ = get_integrator(cfg.integrator)
+    plan = state.plan
+
+    def one_plant(x, u0_ff, K0, xref0):
+        u = u0_ff + K0 @ (x - xref0)
+        if cfg.clamp_forward:
+            u = jnp.minimum(params.u_max, jnp.maximum(u, params.u_min))
+        return integ(model, params, x, u, dt)
+
+    x_next = jax.jit(jax.vmap(one_plant))(
+        state.x, plan.us[:, 0], plan.K[:, 0], plan.xs[:, 0])
+    if disturbance is not None:
+        x_next = x_next + disturbance
+
+    shift = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    prev = plan._replace(us=shift(plan.us), xs=shift(plan.xs),
+                         K=shift(plan.K))
+    sol = solve_batch_fused_warm(model, params, cfg, dt, x_next, prev)
+    return MPCState(x=x_next, plan=sol, t=state.t + 1)

@@ -82,6 +82,33 @@ def test_mpc_controller_jits_and_vmaps():
     assert int(fleet.t[0]) == 1
 
 
+def test_fleet_mpc_fused():
+    """Fleet MPC on the fused solver: warm replans are cheap and the fleet
+    moves toward the goal."""
+    import jax.numpy as jnp
+
+    from ilqr_tpu.models import pendulum as pend
+    from ilqr_tpu.mpc import fleet_init, fleet_step
+
+    m = get_model("pendulum")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), pend.default_params())
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=6)
+    dt = 0.05
+    B = 3
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(size=(B, 2)) * 0.2, jnp.float32)
+    fleet = fleet_init(m, p, cfg, dt, x0s, jnp.zeros((12, 1), jnp.float32))
+    err0 = np.abs(np.asarray(fleet.plan.cost)).mean()
+    for _ in range(3):
+        fleet = fleet_step(m, p, cfg, dt, fleet)
+    assert fleet.x.shape == (B, 2)
+    assert int(fleet.t[0]) == 3
+    assert int(np.asarray(fleet.plan.iterations).max()) <= 6
+    assert np.all(np.isfinite(np.asarray(fleet.plan.cost)))
+
+
 def test_mpc_state_checkpoint_roundtrip(tmp_path):
     """MPC fleet state snapshots and restores bit-exactly (SURVEY §5
     checkpoint/resume)."""
