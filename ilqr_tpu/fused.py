@@ -216,10 +216,15 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                   jnp.where(lam_term, TerminationReason.LAMBDA_MAX,
                             TerminationReason.RUNNING))).astype(jnp.int32)
 
+    # lanes whose backward pass never succeeded keep their previous gains
+    # (ref/vmapped-path semantics: ilqr_tpu/solver.py k_new/K_new guards)
+    k_keep = jnp.where(back_ok[None], k, state.k)
+    K_keep = jnp.where(back_ok[None, None], K, state.K)
+
     new = FusedState(
         xs=xs_new, us=us_new, cost=cost_new, lam=lam_new, dlam=dlam_new,
-        k=k, K=K, iteration=state.iteration + 1, done=done, reason=reason,
-        gnorm=gnorm, dcost=ls_dcost, expected=ls_expected,
+        k=k_keep, K=K_keep, iteration=state.iteration + 1, done=done,
+        reason=reason, gnorm=gnorm, dcost=ls_dcost, expected=ls_expected,
     )
     # freeze lanes that were already done
     frz = state.done
