@@ -131,6 +131,21 @@ def fleet_init(model: Model, params, cfg: SolverConfig, dt, x0s, u0):
                     t=jnp.zeros((B,), jnp.int32))
 
 
+@functools.lru_cache(maxsize=None)
+def _get_plant_step(model: Model, cfg: SolverConfig):
+    """Cached jitted fleet plant step (one compile per (model, cfg))."""
+    integ = get_integrator(cfg.integrator)
+
+    def one_plant(params, dt, x, u0_ff, K0, xref0):
+        u = u0_ff + K0 @ (x - xref0)
+        if cfg.clamp_forward:
+            u = jnp.minimum(params.u_max, jnp.maximum(u, params.u_min))
+        return integ(model, params, x, u, dt)
+
+    return jax.jit(jax.vmap(one_plant,
+                            in_axes=(None, None, 0, 0, 0, 0)))
+
+
 def fleet_step(model: Model, params, cfg: SolverConfig, dt,
                state: MPCState, disturbance=None) -> MPCState:
     """One replanning cycle for the whole fleet: apply each controller's
@@ -139,17 +154,9 @@ def fleet_step(model: Model, params, cfg: SolverConfig, dt,
     solver manages its own compilation; see ilqr_tpu/fused.py)."""
     from ilqr_tpu.fused import solve_batch_fused_warm
 
-    integ = get_integrator(cfg.integrator)
     plan = state.plan
-
-    def one_plant(x, u0_ff, K0, xref0):
-        u = u0_ff + K0 @ (x - xref0)
-        if cfg.clamp_forward:
-            u = jnp.minimum(params.u_max, jnp.maximum(u, params.u_min))
-        return integ(model, params, x, u, dt)
-
-    x_next = jax.jit(jax.vmap(one_plant))(
-        state.x, plan.us[:, 0], plan.K[:, 0], plan.xs[:, 0])
+    x_next = _get_plant_step(model, cfg)(
+        params, dt, state.x, plan.us[:, 0], plan.K[:, 0], plan.xs[:, 0])
     if disturbance is not None:
         x_next = x_next + disturbance
 
