@@ -102,6 +102,50 @@ def make_sharded_solver(
     return run
 
 
+def make_sharded_fused_solver(
+    model: Model,
+    cfg: SolverConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Multi-chip deployment of the fused kernel-layout solver
+    (ilqr_tpu/fused.py): the batch axis is sharded over the mesh and each
+    device runs its local shard through the fused single-block path.
+
+    The returned fn maps (params, dt, x0 (B, n), u0 (B, T, m)) → Solution.
+    B must be divisible by the mesh size; the per-device shard should be
+    ≤ 1024 (one kernel block) for peak throughput — larger local shards
+    raise (host-side chunking can't run inside shard_map; call once per
+    1024×n_devices instead). Shared params only.
+    """
+    from ilqr_tpu.fused import solve_batch_fused
+
+    mesh = make_mesh() if mesh is None else mesh
+
+    def local_solve(params, dt, x0, u0):
+        if x0.shape[0] > 1024:
+            raise ValueError(
+                "per-device shard must be <= 1024 for the sharded fused "
+                f"solver; got {x0.shape[0]} (mesh size {mesh.size})")
+        return solve_batch_fused(model, params, cfg, dt, x0, u0)
+
+    fn = _shard_map()(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
+    jitted = jax.jit(fn)
+
+    def run(params, dt, x0, u0) -> Solution:
+        x0 = jax.device_put(x0, batch_spec)
+        u0 = jax.device_put(u0, batch_spec)
+        return jitted(params, jnp.asarray(dt), x0, u0)
+
+    return run
+
+
 def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
                               params_batched: bool = False):
     """Solve + on-device reduction of convergence stats via collectives.

@@ -78,6 +78,30 @@ def test_collective_stats_reduction():
     assert abs(float(stats["max_cost"]) - float(np.max(ref.cost))) < 1e-6
 
 
+def test_sharded_fused_solver_matches_local():
+    """Multi-chip fused deployment: shard_map over the mesh, one fused
+    block per device — must equal the local fused solve bit-exactly."""
+    from ilqr_tpu.fused import solve_batch_fused
+    from ilqr_tpu.models import pendulum as pend
+    from ilqr_tpu.parallel.mesh import make_sharded_fused_solver
+
+    m = get_model("pendulum")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), pend.default_params())
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=2)
+    run = make_sharded_fused_solver(m, cfg, make_mesh())
+    B = 8
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, 2)) * 0.2, jnp.float32)
+    u0 = jnp.zeros((B, 6, 1), jnp.float32)
+    sol = run(p, 0.05, x0, u0)
+    ref = solve_batch_fused(m, p, cfg, 0.05, x0, u0[0])
+    np.testing.assert_array_equal(np.asarray(sol.cost),
+                                  np.asarray(ref.cost))
+    assert len({d.device for d in sol.cost.addressable_shards}) == 8
+
+
 def test_uneven_batch_raises_or_pads():
     """B not divisible by mesh size: NamedSharding requires divisibility for
     even splits; the API contract is 'B divisible by mesh size'."""
