@@ -87,13 +87,17 @@ def main():
     compile_and_first = time.perf_counter() - t0
 
     # Timed runs on fresh initial states (no cached solutions possible).
+    # The timed section ends with a full device→host copy of the costs —
+    # block_until_ready alone proved unreliable under the axon backend's
+    # async dispatch (timings far below the HBM speed-of-light bound).
     times = []
-    for rep in range(3):
+    for rep in range(5):
         x0r = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
         t0 = time.perf_counter()
         sol = solver(x0r, u0)
-        jax.block_until_ready(sol.cost)
+        costs_host = np.asarray(sol.cost)
         times.append(time.perf_counter() - t0)
+        assert np.all(np.isfinite(costs_host))
 
     best = min(times)
     solves_per_s = B / best

@@ -121,7 +121,7 @@ def _integrate(model, integrator, p, xv, uv, dt):
     raise ValueError(f"unknown integrator {integrator!r}")
 
 
-def _kernel(model, n, m, integrator, clamp, costs_only, alpha_mode,
+def _kernel(model, n, m, integrator, clamp, costs_only, alpha_mode, nb,
             treedef, shapes, *refs):
     refs = list(refs)
     params_ref = refs.pop(0)
@@ -149,7 +149,8 @@ def _kernel(model, n, m, integrator, clamp, costs_only, alpha_mode,
     x = [x_scr[i] for i in range(n)]
 
     if alpha_mode == "scalar":      # candidate α from SMEM (line search p1)
-        alpha = alpha_ref[0, 0]
+        # whole (A, 1) schedule is resident in SMEM; candidate id = b // nb
+        alpha = alpha_ref[pl.program_id(0) // nb, 0]
     elif alpha_mode == "lane":      # per-lane selected α (line search p2)
         alpha = alpha_ref[0]
     else:
@@ -274,8 +275,8 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
         inputs.append(k_p)
         if alpha_mode == "scalar":
             specs_in.append(
-                pl.BlockSpec((1, 1), lambda b, t: (b // nb, 0),
-                             memory_space=pltpu.SMEM))  # α per candidate
+                pl.BlockSpec((candidates, 1), lambda b, t: (0, 0),
+                             memory_space=pltpu.SMEM))  # full α schedule
             inputs.append(jnp.asarray(alphas, f32).reshape(-1, 1))
         else:
             specs_in.append(
@@ -311,7 +312,7 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
 
     return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, clamp,
-                          costs_only, alpha_mode, treedef, shapes),
+                          costs_only, alpha_mode, nb, treedef, shapes),
         grid=(grid_nb, T),
         in_specs=specs_in,
         out_specs=specs_out,
