@@ -55,8 +55,8 @@ class FusedState(NamedTuple):
     cost: jnp.ndarray      # (NB, S, L)
     lam: jnp.ndarray       # (NB, S, L)
     dlam: jnp.ndarray      # (NB, S, L)
-    k: jnp.ndarray         # (T, NB, S, L)
-    K: jnp.ndarray         # (T, n, NB, S, L)
+    k: jnp.ndarray         # (T, m, NB, S, L)
+    K: jnp.ndarray         # (T, m, n, NB, S, L)
     iteration: jnp.ndarray  # (NB, S, L) int32
     done: jnp.ndarray       # (NB, S, L) bool
     reason: jnp.ndarray     # (NB, S, L) int32
@@ -104,14 +104,19 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                           state.xs, state.us, mode=kmode, eps=cfg.fd_eps,
                           interpret=interpret)
         fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p = d
-        lo_p = u_min - state.us[:, 0]
-        hi_p = u_max - state.us[:, 0]
+        # split path is m == 1 only; u_min is the shared (1,) limit vector
+        # or a per-lane (NB, S, L) tile from batched params
+        u_lo = u_min[0] if u_min.ndim == 1 else u_min
+        u_hi = u_max[0] if u_max.ndim == 1 else u_max
+        lo_p = u_lo - state.us[:, 0]
+        hi_p = u_hi - state.us[:, 0]
 
         def run_backward(lam):
-            return backward_sweep_packed(
+            k1, K1, dv1, div1 = backward_sweep_packed(
                 fx_p, fu_p[:, :, 0], cx_p[:-1], cu_p[:, 0], cxx_p[:-1],
                 cxu_p[:, :, 0], cuu_p[:, 0, 0], lo_p, hi_p, lam,
                 cx_p[-1], cxx_p[-1], interpret=interpret)
+            return k1[:, None], K1[:, None], dv1, div1
 
     # ---- STEP 2: backward with per-lane λ escalation (ref :136-150)
     def bp_cond(carry):
@@ -123,8 +128,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
         k_n, K_n, dV_n, div_n = run_backward(lam)
         retry = ~ok
         new_ok = div_n < 0.5
-        k = jnp.where(retry[None], k_n, k)
-        K = jnp.where(retry[None, None], K_n, K)
+        k = jnp.where(retry[None, None], k_n, k)
+        K = jnp.where(retry[None, None, None], K_n, K)
         dV = jnp.where(retry[None], dV_n, dV)
         failed = retry & ~new_ok
         dlam_n = jnp.where(failed, jnp.maximum(dlam * factor, factor), dlam)
@@ -137,7 +142,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     lam, dlam, k, K, dV, back_ok = lax.while_loop(bp_cond, bp_body, init)
 
     # ---- gradient-norm termination (ref :153-159)
-    gnorm = jnp.mean(jnp.abs(k) / (jnp.abs(state.us[:, 0]) + 1.0), axis=0)
+    gnorm = jnp.mean(
+        jnp.max(jnp.abs(k) / (jnp.abs(state.us) + 1.0), axis=1), axis=0)
     grad_term = back_ok & (gnorm < cfg.tol_grad) & (lam < cfg.lambda_grad_term)
 
     # ---- STEP 3: line search, two passes (ref :184-226). Pass 1 sweeps
@@ -154,9 +160,9 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     # candidate grid — each read exactly once from HBM.
     costs = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        state.xs[0], state.us, state.xs[:T], K[:, None],
+        state.xs[0], state.us, state.xs[:T], K,
         interpret=interpret, costs_only=True, candidates=A,
-        k_p=k[:, None], alphas=jnp.asarray(alphas, f32))
+        k_p=k, alphas=jnp.asarray(alphas, f32))
 
     costs = costs.reshape(A, nb, S, L)
     dcost = state.cost[None] - costs
@@ -185,8 +191,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     # α₀'s trajectory, discarded by take_step below)
     ls_xs_body, ls_us, ls_xfin, _c2 = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        state.xs[0], state.us, state.xs[:T], K[:, None],
-        interpret=interpret, k_p=k[:, None], alpha_lanes=alpha_sel)
+        state.xs[0], state.us, state.xs[:T], K,
+        interpret=interpret, k_p=k, alpha_lanes=alpha_sel)
     ls_xs = jnp.concatenate([ls_xs_body, ls_xfin[None]], axis=0)
 
     accepted = back_ok & accepted
@@ -218,8 +224,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
     # lanes whose backward pass never succeeded keep their previous gains
     # (ref/vmapped-path semantics: ilqr_tpu/solver.py k_new/K_new guards)
-    k_keep = jnp.where(back_ok[None], k, state.k)
-    K_keep = jnp.where(back_ok[None, None], K, state.K)
+    k_keep = jnp.where(back_ok[None, None], k, state.k)
+    K_keep = jnp.where(back_ok[None, None, None], K, state.K)
 
     new = FusedState(
         xs=xs_new, us=us_new, cost=cost_new, lam=lam_new, dlam=dlam_new,
@@ -246,14 +252,17 @@ def solve_batch_fused(
     per-problem row of the kernel's resident tile). Requires m == 1 and a
     model with SoA functions. Returns a Solution with leading batch axis B.
     """
-    if model.m != 1:
-        raise ValueError("solve_batch_fused requires m == 1")
+    if model.m > 2:
+        raise ValueError("solve_batch_fused requires m <= 2")
+    if model.m == 2 and cfg.sweep_kernel != "merged":
+        raise ValueError("m == 2 needs sweep_kernel='merged' (in-kernel "
+                         "active-set-enumeration QP)")
     if not model.has_soa:
         raise ValueError("solve_batch_fused requires SoA model functions")
-    if not (cfg.use_control_limits and cfg.boxqp_mode == "auto"):
+    if not (cfg.use_control_limits and cfg.boxqp_mode in ("auto", "enum")):
         raise ValueError(
             "solve_batch_fused requires use_control_limits=True with "
-            "boxqp_mode='auto' (closed-form m=1 QP)")
+            "boxqp_mode='auto'/'enum' (exact small-m QP)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -299,8 +308,8 @@ def solve_batch_fused(
             return arr, u_min, u_max, treedef, shapes
     else:
         arr0, treedef0, shapes0 = pack_params(params, dt)
-        u_min0 = jnp.asarray(params.u_min[0], f32)
-        u_max0 = jnp.asarray(params.u_max[0], f32)
+        u_min0 = jnp.asarray(params.u_min, f32)
+        u_max0 = jnp.asarray(params.u_max, f32)
 
         def chunk_args(c):
             return arr0, u_min0, u_max0, treedef0, shapes0
@@ -312,7 +321,7 @@ def solve_batch_fused(
         sol = solve_block(arr, u_min, u_max, prep(x0), prep(u0), pad_flags)
     else:
         xc = prep(x0).reshape(n_chunks, BLOCK, n)
-        uc = prep(u0).reshape(n_chunks, BLOCK, T, 1)
+        uc = prep(u0).reshape(n_chunks, BLOCK, T, model.m)
         pflags = pad_flags.reshape(n_chunks, BLOCK)
         sols = []
         for c in range(n_chunks):
@@ -355,8 +364,8 @@ def solve_batch_fused_warm(
 
     params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32), params)
     arr, treedef, shapes = pack_params(params, dt)
-    u_min = jnp.asarray(params.u_min[0], f32)
-    u_max = jnp.asarray(params.u_max[0], f32)
+    u_min = jnp.asarray(params.u_min, f32)
+    u_max = jnp.asarray(params.u_max, f32)
     pad_flags = jnp.arange(bb) >= B
 
     solve_block = _get_block_solver(
@@ -412,12 +421,13 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
     f32 = jnp.float32
     nb = 1
 
+    m = model.m
     x0_p = _pack_tail(x0, nb)                # (n, NB, S, L)
-    us_p = _pack_tail(u0, nb)                # (T, 1, NB, S, L)
+    us_p = _pack_tail(u0, nb)                # (T, m, NB, S, L)
 
     if warm is None:
         # initial open-loop rollout (ref init_traj, ilqr_core.cpp:11-56)
-        K0 = jnp.zeros((T, 1, n, nb, S, L), f32)
+        K0 = jnp.zeros((T, m, n, nb, S, L), f32)
         ref0 = jnp.zeros((T, n, nb, S, L), f32)
         lam0 = jnp.full((nb, S, L), cfg.lambda_init, f32)
         dlam0 = jnp.full((nb, S, L), cfg.dlambda_init, f32)
@@ -442,8 +452,8 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
         cost=cost,
         lam=lam0,
         dlam=dlam0,
-        k=jnp.zeros((T, nb, S, L), f32),
-        K=jnp.zeros((T, n, nb, S, L), f32),
+        k=jnp.zeros((T, m, nb, S, L), f32),
+        K=jnp.zeros((T, m, n, nb, S, L), f32),
         iteration=jnp.zeros((nb, S, L), jnp.int32),
         done=pad_mask,
         reason=jnp.zeros((nb, S, L), jnp.int32),
@@ -467,9 +477,9 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
     up = lambda a: _unpack_tail(a, BLOCK)
     return Solution(
         xs=up(state.xs),                      # (B, T+1, n)
-        us=up(state.us[:, 0])[..., None],     # (B, T, 1)
-        k=up(state.k)[..., None],
-        K=up(state.K)[:, :, None, :],
+        us=up(state.us),                      # (B, T, m)
+        k=up(state.k),                        # (B, T, m)
+        K=up(state.K),                        # (B, T, m, n)
         cost=up(state.cost),
         lam=up(state.lam),
         dlam=up(state.dlam),

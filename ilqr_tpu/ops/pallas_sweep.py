@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m = 1).
+"""Merged linearize+backward Pallas kernel (m ≤ 2).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -9,9 +9,16 @@ full HBM round-trip of every per-timestep derivative array (~190 MB per
     1. read just (x_t, u_t) — ~20 MB/sweep instead of ~200,
     2. differentiate the model in-registers (forward-mode JVPs, or the
        reference's FD stencils — same modes as ops/pallas_derivs),
-    3. immediately consume fx/fu/cx/cu/cxx/cxu/cuu in the closed-form
-       m=1 DDP backward step (same math as ops/pallas_backward, ref
-       src/ilqr_core.cpp:350-401) with the V-carries in VMEM scratch.
+    3. immediately consume fx/fu/cx/cu/cxx/cxu/cuu in the control-limited
+       DDP backward step (ref src/ilqr_core.cpp:350-401) with the
+       V-carries in VMEM scratch.
+
+The control-limited QP is solved exactly in-registers:
+  - m = 1: closed form clamp(−Qu/QuuF) (see ops/backward.py),
+  - m = 2: active-set enumeration — all 9 (lower/free/upper)² candidate
+    sets solved in closed form with KKT filters (the in-kernel version of
+    ops/boxqp.boxqp_enum). Feedback rows come from the identity-padded
+    free-subspace inverse, zeroed on clamped dims (ref :377-385).
 
 The terminal value (cx_T/cxx_T from final_cost, ref derivatives.cpp:48-49)
 is differentiated in-kernel at the t == 0 initialization step.
@@ -42,11 +49,122 @@ def _basis(k, dims, like):
     return jnp.stack([one if i == k else zero for i in range(dims)])
 
 
-def _kernel(model, n, integrator, mode, eps, treedef, shapes,
+def _qp_m1(quuF, qu, lo, hi):
+    """Closed-form 1-D box QP on tiles. Returns (k, free, bad)."""
+    q11 = quuF[0][0]
+    g1 = qu[0]
+    bad = q11 <= 0.0
+    q_safe = jnp.where(bad, jnp.ones_like(q11), q11)
+    x1 = jnp.clip(-g1 / q_safe, lo[0], hi[0])
+    gk = q11 * x1 + g1
+    clamped = jnp.logical_or(
+        jnp.logical_and(x1 <= lo[0], gk > 0.0),
+        jnp.logical_and(x1 >= hi[0], gk < 0.0),
+    )
+    k = [jnp.where(bad, jnp.zeros_like(x1), x1)]
+    free = [~clamped & ~bad]
+    return k, free, bad
+
+
+def _qp_m2(quuF, qu, lo, hi):
+    """Exact 2-D box QP by active-set enumeration on tiles (9 candidates,
+    closed-form solves, KKT filters — the in-kernel boxqp_enum)."""
+    a, b, c = quuF[0][0], quuF[0][1], quuF[1][1]
+    g0, g1 = qu[0], qu[1]
+    det = a * c - b * b
+    bad = (a <= 0.0) | (det <= 0.0)
+    sa = jnp.where(a <= 0.0, jnp.ones_like(a), a)
+    sc = jnp.where(c <= 0.0, jnp.ones_like(c), c)
+    sdet = jnp.where(det <= 0.0, jnp.ones_like(det), det)
+
+    big = jnp.full_like(a, 3.0e38)
+    best_v = big
+    best0 = jnp.zeros_like(a)
+    best1 = jnp.zeros_like(a)
+    bf0 = jnp.zeros_like(a, dtype=bool)
+    bf1 = jnp.zeros_like(a, dtype=bool)
+
+    def value(x0, x1):
+        return (0.5 * (a * x0 * x0 + 2.0 * b * x0 * x1 + c * x1 * x1)
+                + g0 * x0 + g1 * x1)
+
+    for s0 in (0, 1, 2):       # dim 0: lower / free / upper
+        for s1 in (0, 1, 2):   # dim 1
+            f0 = s0 == 1
+            f1 = s1 == 1
+            x0c = lo[0] if s0 == 0 else hi[0]
+            x1c = lo[1] if s1 == 0 else hi[1]
+            if f0 and f1:
+                x0 = (-g0 * c + g1 * b) / sdet
+                x1 = (-g1 * a + g0 * b) / sdet
+            elif f0:
+                x1 = x1c
+                x0 = -(g0 + b * x1) / sa
+            elif f1:
+                x0 = x0c
+                x1 = -(g1 + b * x0) / sc
+            else:
+                x0 = x0c
+                x1 = x1c
+            gr0 = a * x0 + b * x1 + g0
+            gr1 = b * x0 + c * x1 + g1
+            ok = jnp.ones_like(a, dtype=bool)
+            if f0:
+                ok = ok & (x0 >= lo[0]) & (x0 <= hi[0])
+            else:
+                ok = ok & (gr0 >= 0.0 if s0 == 0 else gr0 <= 0.0)
+            if f1:
+                ok = ok & (x1 >= lo[1]) & (x1 <= hi[1])
+            else:
+                ok = ok & (gr1 >= 0.0 if s1 == 0 else gr1 <= 0.0)
+            v = value(x0, x1)
+            take = ok & (v < best_v)
+            best_v = jnp.where(take, v, best_v)
+            best0 = jnp.where(take, x0, best0)
+            best1 = jnp.where(take, x1, best1)
+            bf0 = jnp.where(take, jnp.full_like(bf0, f0), bf0)
+            bf1 = jnp.where(take, jnp.full_like(bf1, f1), bf1)
+
+    k = [jnp.where(bad, jnp.zeros_like(best0), best0),
+         jnp.where(bad, jnp.zeros_like(best1), best1)]
+    free = [bf0 & ~bad, bf1 & ~bad]
+    return k, free, bad
+
+
+def _free_solve_rows(quuF, free, cols, m):
+    """Rows of −(Q_free)⁻¹ · cols with identity padding on clamped dims and
+    zeroed clamped rows (ref ilqr_core.cpp:377-385). ``cols`` is a list
+    (per state dim) of per-control-row values: cols[j][i] = Qux[j, i]."""
+    if m == 1:
+        q11 = quuF[0][0]
+        q_safe = jnp.where(q11 <= 0.0, jnp.ones_like(q11), q11)
+        return [[jnp.where(free[0], -cols[0][i] / q_safe,
+                           jnp.zeros_like(cols[0][i]))
+                 for i in range(len(cols[0]))]]
+    # m == 2: identity-padded 2×2 inverse
+    a, b, c = quuF[0][0], quuF[0][1], quuF[1][1]
+    both = free[0] & free[1]
+    ap = jnp.where(free[0], a, jnp.ones_like(a))
+    cp = jnp.where(free[1], c, jnp.ones_like(c))
+    bp = jnp.where(both, b, jnp.zeros_like(b))
+    det = ap * cp - bp * bp
+    det = jnp.where(det == 0.0, jnp.ones_like(det), det)
+    n_cols = len(cols[0])
+    out0 = []
+    out1 = []
+    for i in range(n_cols):
+        v0, v1 = cols[0][i], cols[1][i]
+        s0 = (cp * v0 - bp * v1) / det
+        s1 = (ap * v1 - bp * v0) / det
+        out0.append(jnp.where(free[0], -s0, jnp.zeros_like(s0)))
+        out1.append(jnp.where(free[1], -s1, jnp.zeros_like(s1)))
+    return [out0, out1]
+
+
+def _kernel(model, n, m, integrator, mode, eps, treedef, shapes,
             params_ref, xs_ref, xsT_ref, us_ref, lam_ref,
             k_ref, K_ref, dv_ref, div_ref,
             vx, vxx, dv, div):
-    m = 1
     t = pl.program_id(1)
     n_t = pl.num_programs(1)  # == T
     p, dt = unpack_params(params_ref, treedef, shapes)
@@ -115,53 +233,75 @@ def _kernel(model, n, integrator, mode, eps, treedef, shapes,
 
     # --- linearize timestep T-1-t in registers
     fxc = [[None] * n for _ in range(n)]
-    fu1 = [None] * n
     for i in range(n):
         col = d1(step_fn, ei(i, True))
         for r in range(n):
             fxc[r][i] = col[r]
-    colu = d1(step_fn, ei(0, False))
-    for r in range(n):
-        fu1[r] = colu[r]
+    fuc = [[None] * m for _ in range(n)]
+    for j in range(m):
+        col = d1(step_fn, ei(j, False))
+        for r in range(n):
+            fuc[r][j] = col[r]
 
     cx1 = [d1(cost_fn, ei(i, True)) for i in range(n)]
-    cu1 = d1(cost_fn, ei(0, False))
+    cu1 = [d1(cost_fn, ei(j, False)) for j in range(m)]
     cxx1 = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i, n):
             h = d2(cost_fn, ei(i, True), ei(j, True))
             cxx1[i][j] = h
             cxx1[j][i] = h
-    cxu1 = [d2(cost_fn, ei(i, True), ei(0, False)) for i in range(n)]
-    cuu1 = d2(cost_fn, ei(0, False), ei(0, False))
+    cxu1 = [[d2(cost_fn, ei(i, True), ei(j, False)) for j in range(m)]
+            for i in range(n)]
+    cuu1 = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            h = d2(cost_fn, ei(i, False), ei(j, False))
+            cuu1[i][j] = h
+            cuu1[j][i] = h
 
-    # --- backward step (ref ilqr_core.cpp:359-393; see pallas_backward)
+    # --- backward step (ref ilqr_core.cpp:359-393)
     lam = lam_ref[0]
-    fuT_vxx = [None] * n
-    for j in range(n):
-        acc = fu1[0] * vxx[0, j]
-        for i in range(1, n):
-            acc = acc + fu1[i] * vxx[i, j]
-        fuT_vxx[j] = acc
+    # fuᵀVxx: (m, n)
+    fuT_vxx = [[None] * n for _ in range(m)]
+    for jm in range(m):
+        for jn_ in range(n):
+            acc = fuc[0][jm] * vxx[0, jn_]
+            for i in range(1, n):
+                acc = acc + fuc[i][jm] * vxx[i, jn_]
+            fuT_vxx[jm][jn_] = acc
 
-    qu = cu1
-    for i in range(n):
-        qu = qu + fu1[i] * vx[i]
-    quu = cuu1
-    for j in range(n):
-        quu = quu + fuT_vxx[j] * fu1[j]
-    quuF = quu + lam
-
-    qux = [None] * n
-    qx = [None] * n
-    for j in range(n):
-        accq = cxu1[j]
-        accx = cx1[j]
+    qu = []
+    for jm in range(m):
+        acc = cu1[jm]
         for i in range(n):
-            accq = accq + fuT_vxx[i] * fxc[i][j]
-            accx = accx + fxc[i][j] * vx[i]
-        qux[j] = accq
-        qx[j] = accx
+            acc = acc + fuc[i][jm] * vx[i]
+        qu.append(acc)
+
+    quu = [[None] * m for _ in range(m)]
+    for im in range(m):
+        for jm in range(im, m):
+            acc = cuu1[im][jm]
+            for i in range(n):
+                acc = acc + fuT_vxx[im][i] * fuc[i][jm]
+            quu[im][jm] = acc
+            quu[jm][im] = acc
+    quuF = [[quu[im][jm] + (lam if im == jm else 0.0)
+             for jm in range(m)] for im in range(m)]
+
+    # qux (m, n) and qx (n)
+    qux = [[None] * n for _ in range(m)]
+    qx = [None] * n
+    for jn_ in range(n):
+        accx = cx1[jn_]
+        for i in range(n):
+            accx = accx + fxc[i][jn_] * vx[i]
+        qx[jn_] = accx
+        for jm in range(m):
+            accq = cxu1[jn_][jm]
+            for i in range(n):
+                accq = accq + fuT_vxx[jm][i] * fxc[i][jn_]
+            qux[jm][jn_] = accq
 
     w = [[None] * n for _ in range(n)]
     for kk in range(n):
@@ -178,36 +318,51 @@ def _kernel(model, n, integrator, mode, eps, treedef, shapes,
                 acc = acc + fxc[kk][i] * w[kk][j]
             qxx[i][j] = acc
 
-    lo = p.u_min[0] - u[0]
-    hi = p.u_max[0] - u[0]
-    bad = quuF <= 0.0
-    q_safe = jnp.where(bad, jnp.ones_like(quuF), quuF)
-    x1 = jnp.clip(-qu / q_safe, lo, hi)
-    gk = quuF * x1 + qu
-    clamped = jnp.logical_or(
-        jnp.logical_and(x1 <= lo, gk > 0.0),
-        jnp.logical_and(x1 >= hi, gk < 0.0),
-    )
-    k_i = jnp.where(bad, jnp.zeros_like(x1), x1)
-    zero_K = jnp.logical_or(clamped, bad)
-    Krow = [jnp.where(zero_K, jnp.zeros_like(qux[j]), -qux[j] / q_safe)
-            for j in range(n)]
+    lo = [p.u_min[jm] - u[jm] for jm in range(m)]
+    hi = [p.u_max[jm] - u[jm] for jm in range(m)]
+    if m == 1:
+        k_i, free, bad = _qp_m1(quuF, qu, lo, hi)
+    elif m == 2:
+        k_i, free, bad = _qp_m2(quuF, qu, lo, hi)
+    else:
+        raise ValueError("merged sweep kernel supports m <= 2")
+
+    Krow = _free_solve_rows(quuF, free, qux, m)  # (m, n) rows
 
     div[0] = jnp.maximum(div[0], bad.astype(jnp.float32))
-    dv[0] = dv[0] + k_i * qu
-    dv[1] = dv[1] + 0.5 * k_i * quu * k_i
+    for jm in range(m):
+        dv[0] = dv[0] + k_i[jm] * qu[jm]
+    for im in range(m):
+        for jm in range(m):
+            dv[1] = dv[1] + 0.5 * k_i[im] * quu[im][jm] * k_i[jm]
 
-    kq = k_i * quu
-    for j in range(n):
-        vx[j] = qx[j] + Krow[j] * kq + Krow[j] * qu + qux[j] * k_i
+    # quu·k (m)
+    quu_k = []
+    for im in range(m):
+        acc = quu[im][0] * k_i[0]
+        for jm in range(1, m):
+            acc = acc + quu[im][jm] * k_i[jm]
+        quu_k.append(acc)
+
+    for i in range(n):
+        acc = qx[i]
+        for c in range(m):
+            acc = (acc + Krow[c][i] * quu_k[c] + Krow[c][i] * qu[c]
+                   + qux[c][i] * k_i[c])
+        vx[i] = acc
     for i in range(n):
         for j in range(n):
-            vxx[i, j] = (qxx[i][j] + Krow[i] * quu * Krow[j]
-                         + Krow[i] * qux[j] + qux[i] * Krow[j])
+            acc = qxx[i][j]
+            for c in range(m):
+                for d in range(m):
+                    acc = acc + Krow[c][i] * quu[c][d] * Krow[d][j]
+                acc = acc + Krow[c][i] * qux[c][j] + qux[c][i] * Krow[c][j]
+            vxx[i, j] = acc
 
-    k_ref[0, 0] = k_i
-    for j in range(n):
-        K_ref[0, j, 0] = Krow[j]
+    for jm in range(m):
+        k_ref[0, jm, 0] = k_i[jm]
+        for i in range(n):
+            K_ref[0, jm, i, 0] = Krow[jm][i]
 
     @pl.when(t == n_t - 1)
     def _():
@@ -221,15 +376,14 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
                  interpret: bool = False):
     """Merged linearize+backward sweep in kernel layout.
 
-    Shapes: xs_p (T+1, n, NB, S, L), us_p (T, 1, NB, S, L),
+    Shapes: xs_p (T+1, n, NB, S, L), us_p (T, m, NB, S, L),
     lam_p (NB, S, L). Control limits come from the packed params
-    (p.u_min/p.u_max). Returns packed (k (T,NB,S,L), K (T,n,NB,S,L),
-    dv (2,NB,S,L), diverged (NB,S,L) f32 0/1).
+    (p.u_min/p.u_max). Returns packed (k (T,m,NB,S,L),
+    K (T,m,n,NB,S,L), dv (2,NB,S,L), diverged (NB,S,L) f32 0/1).
     """
     params_p, treedef, shapes = packed_params
-    T = us_p.shape[0]
+    T, m, nb = us_p.shape[0], us_p.shape[1], us_p.shape[2]
     n = xs_p.shape[1]
-    nb = xs_p.shape[2]
     P = params_p.shape[0]
     f32 = jnp.float32
 
@@ -245,15 +399,16 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
                      memory_space=pltpu.VMEM),  # x at T-1-t
         pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # terminal x (xs row T)
-        pl.BlockSpec((1, 1, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # u at T-1-t
         pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # lam
     ]
     specs_out = [
-        pl.BlockSpec((1, 1, S, L), lambda b, t: (T - 1 - t, b, 0, 0),
+        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+        pl.BlockSpec((1, m, n, 1, S, L),
+                     lambda b, t: (T - 1 - t, 0, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # K
         pl.BlockSpec((2, 1, S, L), lambda b, t: (0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # dv
@@ -261,8 +416,8 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
                      memory_space=pltpu.VMEM),  # diverged
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((T, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, n, nb, S, L), f32),
         jax.ShapeDtypeStruct((2, nb, S, L), f32),
         jax.ShapeDtypeStruct((nb, S, L), f32),
     ]
@@ -273,7 +428,7 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
         pltpu.VMEM((1, S, L), f32),
     ]
     return pl.pallas_call(
-        functools.partial(_kernel, model, n, integrator, mode, float(eps),
+        functools.partial(_kernel, model, n, m, integrator, mode, float(eps),
                           treedef, shapes),
         grid=(nb, T),
         in_specs=specs_in,

@@ -126,13 +126,39 @@ def test_multi_chunk_matches_single_chunk():
                                np.asarray(ref.us), atol=1e-6)
 
 
+def test_m2_matches_xla_path():
+    """m=2 (double integrator): the in-kernel active-set-enumeration QP
+    path matches the XLA path (iterative boxQP) to f32 tolerance."""
+    from ilqr_tpu.models import double_integrator as di
+
+    m = get_model("double_integrator")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        di.default_params(goal=(1.0, 0.5, 0.0, 0.0)))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.3, jnp.float32)
+    u0 = jnp.zeros((15, 2), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=8, backward_kernel="xla",
+                       rollout_kernel="xla", deriv_kernel="xla")
+    ref = solve_batch(m, p, cfg, 0.02, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
+    assert fus.us.shape == (2, 15, 2)
+    assert fus.K.shape == (2, 15, 2, 4)
+
+
 def test_unsupported_configs_raise():
-    di = get_model("double_integrator")  # m == 2
+    tri = get_model("double_integrator")
+    m = get_model("acrobot")
     with pytest.raises(ValueError):
-        solve_batch_fused(di, _p32(di), SolverConfig(), 0.02,
+        # m == 2 requires the merged sweep kernel
+        solve_batch_fused(tri, _p32(tri),
+                          SolverConfig(sweep_kernel="split"), 0.02,
                           jnp.zeros((2, 4), jnp.float32),
                           jnp.zeros((5, 2), jnp.float32))
-    m = get_model("acrobot")
     with pytest.raises(ValueError):
         solve_batch_fused(m, _p32(m),
                           SolverConfig(use_control_limits=False), 0.02,
