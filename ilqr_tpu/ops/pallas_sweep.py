@@ -81,8 +81,9 @@ def _qp_m2(quuF, qu, lo, hi):
     best_v = big
     best0 = jnp.zeros_like(a)
     best1 = jnp.zeros_like(a)
-    bf0 = jnp.zeros_like(a, dtype=bool)
-    bf1 = jnp.zeros_like(a, dtype=bool)
+    # free-mask carriers as f32 0/1 — Mosaic rejects selects on bool values
+    bf0 = jnp.zeros_like(a)
+    bf1 = jnp.zeros_like(a)
 
     def value(x0, x1):
         return (0.5 * (a * x0 * x0 + 2.0 * b * x0 * x1 + c * x1 * x1)
@@ -122,12 +123,12 @@ def _qp_m2(quuF, qu, lo, hi):
             best_v = jnp.where(take, v, best_v)
             best0 = jnp.where(take, x0, best0)
             best1 = jnp.where(take, x1, best1)
-            bf0 = jnp.where(take, jnp.full_like(bf0, f0), bf0)
-            bf1 = jnp.where(take, jnp.full_like(bf1, f1), bf1)
+            bf0 = jnp.where(take, jnp.full_like(bf0, 1.0 * f0), bf0)
+            bf1 = jnp.where(take, jnp.full_like(bf1, 1.0 * f1), bf1)
 
     k = [jnp.where(bad, jnp.zeros_like(best0), best0),
          jnp.where(bad, jnp.zeros_like(best1), best1)]
-    free = [bf0 & ~bad, bf1 & ~bad]
+    free = [(bf0 > 0.5) & ~bad, (bf1 > 0.5) & ~bad]
     return k, free, bad
 
 
