@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
-                 "cartpole"],
+                 "cartpole", "point_mass_3d"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=0.02,
@@ -37,6 +37,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-control-limits", action="store_true")
     p.add_argument("--integrator-scheme", choices=["euler", "rk4"],
                    default="euler")
+    p.add_argument("--boxqp-mode", choices=["auto", "iterative", "enum"],
+                   default="auto",
+                   help="inner QP: closed-form/enum exact solves (auto/"
+                        "enum) or the reference-semantics projected Newton "
+                        "(iterative, ref src/boxqp.cpp)")
+    p.add_argument("--sweep-kernel", choices=["merged", "split"],
+                   default="merged",
+                   help="fused solver: merged linearize+backward kernel or "
+                        "split derivative+backward kernels")
+    p.add_argument("--backward-mode", choices=["scan", "assoc"],
+                   default="scan",
+                   help="assoc = parallel-in-time associative-scan backward "
+                        "(unconstrained problems only)")
     p.add_argument("--batch", type=int, default=0,
                    help="solve a batch of B perturbed problems instead of one")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -100,7 +113,14 @@ def main(argv=None) -> int:
         clamp_forward=args.clamp_forward,
         use_control_limits=not args.no_control_limits,
         integrator=args.integrator_scheme,
+        boxqp_mode=args.boxqp_mode,
+        sweep_kernel=args.sweep_kernel,
+        backward_mode=args.backward_mode,
     )
+    if args.backward_mode == "assoc" and cfg.use_control_limits:
+        build_parser().error(
+            "--backward-mode assoc requires --no-control-limits "
+            "(the associative-scan backward is unconstrained-only)")
 
     print(f"[ilqr_tpu] {args.problem}: n={model.n} m={model.m} T={T} "
           f"dt={args.dt} deriv={cfg.deriv_mode} backend="
@@ -112,9 +132,12 @@ def main(argv=None) -> int:
             rng.normal(size=(args.batch, model.n))
         ).astype(x0.dtype)
         t0 = time.perf_counter()
-        use_fused = (model.m == 1 and model.has_soa
-                     and cfg.use_control_limits
-                     and cfg.boxqp_mode == "auto"
+        use_fused = (model.has_soa and model.m <= 3
+                     and (cfg.sweep_kernel == "merged" or model.m == 1)
+                     and (cfg.boxqp_mode in ("auto", "enum")
+                          if cfg.use_control_limits
+                          else cfg.sweep_kernel == "merged")
+                     and cfg.backward_mode == "scan"
                      and jax.default_backend() == "tpu")
         if use_fused:
             from ilqr_tpu.fused import solve_batch_fused

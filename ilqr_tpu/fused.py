@@ -20,9 +20,11 @@ interpretations the vmapped path already has:
 - the λ-escalation retry loop and the outer loop run until every live lane
   finishes, with converged/padded lanes frozen by masking.
 
-Requirements (the bench/flagship configuration): m == 1, model with SoA
-functions, shared params, f32, boxqp_mode="auto". Use ``vmap(solve)`` for
-anything else.
+Requirements: m ≤ 3 with ``sweep_kernel="merged"`` (the in-kernel exact
+QP / Newton; m == 1 also works with the split kernels), a model with SoA
+functions, f32. Both control-limited (``boxqp_mode`` auto/enum) and
+unconstrained (``use_control_limits=False``) problems are supported. Use
+``vmap(solve)`` for anything else (m > 3, f64 parity, iterative boxQP).
 """
 
 from __future__ import annotations
@@ -98,7 +100,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
         def run_backward(lam):
             return sweep_packed(
                 model, cfg.integrator, packed_params, state.xs, state.us,
-                lam, mode=kmode, eps=cfg.fd_eps, interpret=interpret)
+                lam, mode=kmode, eps=cfg.fd_eps, interpret=interpret,
+                use_limits=cfg.use_control_limits)
     else:
         d = derivs_packed(model, cfg.integrator, packed_params,
                           state.xs, state.us, mode=kmode, eps=cfg.fd_eps,
@@ -116,34 +119,40 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                 fx_p, fu_p[:, :, 0], cx_p[:-1], cu_p[:, 0], cxx_p[:-1],
                 cxu_p[:, :, 0], cuu_p[:, 0, 0], lo_p, hi_p, lam,
                 cx_p[-1], cxx_p[-1], interpret=interpret)
-            return k1[:, None], K1[:, None], dv1, div1
+            k1 = k1[:, None]
+            # gnorm for the split path (the merged kernel emits it as an
+            # epilogue output; here it needs one jnp pass over packed k)
+            g1 = jnp.mean(
+                jnp.max(jnp.abs(k1) / (jnp.abs(state.us) + 1.0), axis=1),
+                axis=0)
+            return k1, K1[:, None], dv1, div1, g1
 
     # ---- STEP 2: backward with per-lane λ escalation (ref :136-150)
     def bp_cond(carry):
-        lam, _dlam, _k, _K, _dV, ok = carry
+        lam, _dlam, _k, _K, _dV, _g, ok = carry
         return jnp.any(~ok & (lam <= cfg.lambda_max) & ~state.done)
 
     def bp_body(carry):
-        lam, dlam, k, K, dV, ok = carry
-        k_n, K_n, dV_n, div_n = run_backward(lam)
+        lam, dlam, k, K, dV, gnorm, ok = carry
+        k_n, K_n, dV_n, div_n, g_n = run_backward(lam)
         retry = ~ok
         new_ok = div_n < 0.5
         k = jnp.where(retry[None, None], k_n, k)
         K = jnp.where(retry[None, None, None], K_n, K)
         dV = jnp.where(retry[None], dV_n, dV)
+        gnorm = jnp.where(retry, g_n, gnorm)
         failed = retry & ~new_ok
         dlam_n = jnp.where(failed, jnp.maximum(dlam * factor, factor), dlam)
         lam_n = jnp.where(failed, jnp.maximum(lam * dlam_n, cfg.lambda_min),
                           lam)
-        return lam_n, dlam_n, k, K, dV, ok | (retry & new_ok)
+        return lam_n, dlam_n, k, K, dV, gnorm, ok | (retry & new_ok)
 
     init = (state.lam, state.dlam, state.k, state.K,
-            jnp.zeros((2, nb, S, L), f32), state.done)
-    lam, dlam, k, K, dV, back_ok = lax.while_loop(bp_cond, bp_body, init)
+            jnp.zeros((2, nb, S, L), f32), state.gnorm, state.done)
+    lam, dlam, k, K, dV, gnorm, back_ok = lax.while_loop(
+        bp_cond, bp_body, init)
 
     # ---- gradient-norm termination (ref :153-159)
-    gnorm = jnp.mean(
-        jnp.max(jnp.abs(k) / (jnp.abs(state.us) + 1.0), axis=1), axis=0)
     grad_term = back_ok & (gnorm < cfg.tol_grad) & (lam < cfg.lambda_grad_term)
 
     # ---- STEP 3: line search, two passes (ref :184-226). Pass 1 sweeps
@@ -252,17 +261,20 @@ def solve_batch_fused(
     per-problem row of the kernel's resident tile). Requires m == 1 and a
     model with SoA functions. Returns a Solution with leading batch axis B.
     """
-    if model.m > 2:
-        raise ValueError("solve_batch_fused requires m <= 2")
-    if model.m == 2 and cfg.sweep_kernel != "merged":
-        raise ValueError("m == 2 needs sweep_kernel='merged' (in-kernel "
+    if model.m > 3:
+        raise ValueError("solve_batch_fused requires m <= 3")
+    if model.m >= 2 and cfg.sweep_kernel != "merged":
+        raise ValueError("m >= 2 needs sweep_kernel='merged' (in-kernel "
                          "active-set-enumeration QP)")
     if not model.has_soa:
         raise ValueError("solve_batch_fused requires SoA model functions")
-    if not (cfg.use_control_limits and cfg.boxqp_mode in ("auto", "enum")):
+    if not cfg.use_control_limits and cfg.sweep_kernel != "merged":
+        raise ValueError("use_control_limits=False needs "
+                         "sweep_kernel='merged' (in-kernel Newton)")
+    if cfg.use_control_limits and cfg.boxqp_mode not in ("auto", "enum"):
         raise ValueError(
-            "solve_batch_fused requires use_control_limits=True with "
-            "boxqp_mode='auto'/'enum' (exact small-m QP)")
+            "solve_batch_fused requires boxqp_mode='auto'/'enum' "
+            "(exact small-m QP)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

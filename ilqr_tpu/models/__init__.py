@@ -10,7 +10,9 @@ from __future__ import annotations
 from typing import Dict
 
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
-from ilqr_tpu.models import acrobot, double_integrator, cartpole, pendulum
+from ilqr_tpu.models import (
+    acrobot, double_integrator, cartpole, pendulum, point_mass_3d,
+)
 
 _REGISTRY: Dict[str, Model] = {}
 
@@ -39,6 +41,7 @@ register(double_integrator.MODEL)
 register(acrobot.MODEL)
 register(cartpole.MODEL)
 register(pendulum.MODEL)
+register(point_mass_3d.MODEL)
 
 __all__ = [
     "Model",

@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ 2).
+"""Merged linearize+backward Pallas kernel (m ≤ 3).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -15,10 +15,14 @@ full HBM round-trip of every per-timestep derivative array (~190 MB per
 
 The control-limited QP is solved exactly in-registers:
   - m = 1: closed form clamp(−Qu/QuuF) (see ops/backward.py),
-  - m = 2: active-set enumeration — all 9 (lower/free/upper)² candidate
-    sets solved in closed form with KKT filters (the in-kernel version of
-    ops/boxqp.boxqp_enum). Feedback rows come from the identity-padded
-    free-subspace inverse, zeroed on clamped dims (ref :377-385).
+  - m = 2 / m = 3: active-set enumeration — all 3^m (lower/free/upper)^m
+    candidate sets solved in closed form with KKT filters (the in-kernel
+    version of ops/boxqp.boxqp_enum). Feedback rows come from the
+    identity-padded free-subspace inverse, zeroed on clamped dims
+    (ref :377-385).
+  - unconstrained (``use_limits=False``): plain regularized Newton
+    k = −QuuF⁻¹Qu — the infinite-box degenerate
+    (ref src/ilqr_core.cpp:369).
 
 The terminal value (cx_T/cxx_T from final_cost, ref derivatives.cpp:48-49)
 is differentiated in-kernel at the t == 0 initialization step.
@@ -132,6 +136,158 @@ def _qp_m2(quuF, qu, lo, hi):
     return k, free, bad
 
 
+def _qp_m3(quuF, qu, lo, hi):
+    """Exact 3-D box QP by active-set enumeration on tiles: all 27
+    (lower/free/upper)³ candidate sets solved in closed form with KKT
+    filters — the in-kernel ops/boxqp.boxqp_enum at m=3 (ref boxqp.cpp
+    handles arbitrary m; this covers the fused solver to m ≤ 3)."""
+    import itertools
+
+    q = quuF
+    g = qu
+    one = jnp.ones_like(q[0][0])
+    zero = jnp.zeros_like(q[0][0])
+
+    def safe(d):
+        return jnp.where(d <= 0.0, one, d)
+
+    # Sylvester criterion on leading principal minors
+    det2 = q[0][0] * q[1][1] - q[0][1] * q[0][1]
+    det3 = (q[0][0] * (q[1][1] * q[2][2] - q[1][2] * q[1][2])
+            - q[0][1] * (q[0][1] * q[2][2] - q[1][2] * q[0][2])
+            + q[0][2] * (q[0][1] * q[1][2] - q[1][1] * q[0][2]))
+    bad = (q[0][0] <= 0.0) | (det2 <= 0.0) | (det3 <= 0.0)
+
+    best_v = jnp.full_like(one, 3.0e38)
+    best = [zero, zero, zero]
+    # free-mask carriers as f32 0/1 — Mosaic rejects selects on bool values
+    bf = [zero, zero, zero]
+
+    def value(x):
+        v = zero
+        for i in range(3):
+            v = v + g[i] * x[i] + 0.5 * q[i][i] * x[i] * x[i]
+        v = (v + q[0][1] * x[0] * x[1] + q[0][2] * x[0] * x[2]
+             + q[1][2] * x[1] * x[2])
+        return v
+
+    for combo in itertools.product((0, 1, 2), repeat=3):
+        F = [i for i in range(3) if combo[i] == 1]
+        xc = [lo[i] if combo[i] == 0 else hi[i] if combo[i] == 2 else None
+              for i in range(3)]
+
+        def rhs(i):
+            acc = g[i]
+            for j in range(3):
+                if combo[j] != 1:
+                    acc = acc + q[i][j] * xc[j]
+            return acc
+
+        x = [None, None, None]
+        if len(F) == 0:
+            x = list(xc)
+        elif len(F) == 1:
+            i = F[0]
+            x[i] = -rhs(i) / safe(q[i][i])
+            for j in range(3):
+                if j != i:
+                    x[j] = xc[j]
+        elif len(F) == 2:
+            i, j = F
+            aa, bb, cc = q[i][i], q[i][j], q[j][j]
+            d = safe(aa * cc - bb * bb)
+            ri, rj = rhs(i), rhs(j)
+            x[i] = (-ri * cc + rj * bb) / d
+            x[j] = (-rj * aa + ri * bb) / d
+            kd = ({0, 1, 2} - set(F)).pop()
+            x[kd] = xc[kd]
+        else:
+            a, b, c = q[0][0], q[0][1], q[0][2]
+            dd, e, f = q[1][1], q[1][2], q[2][2]
+            A00 = dd * f - e * e
+            A01 = -(b * f - e * c)
+            A02 = b * e - dd * c
+            A11 = a * f - c * c
+            A12 = -(a * e - b * c)
+            A22 = a * dd - b * b
+            det = safe(a * A00 + b * A01 + c * A02)
+            x[0] = -(A00 * g[0] + A01 * g[1] + A02 * g[2]) / det
+            x[1] = -(A01 * g[0] + A11 * g[1] + A12 * g[2]) / det
+            x[2] = -(A02 * g[0] + A12 * g[1] + A22 * g[2]) / det
+
+        gr = []
+        for i in range(3):
+            acc = g[i]
+            for j in range(3):
+                acc = acc + q[i][j] * x[j]
+            gr.append(acc)
+
+        ok = jnp.ones_like(one, dtype=bool)
+        for i in range(3):
+            if combo[i] == 1:
+                ok = ok & (x[i] >= lo[i]) & (x[i] <= hi[i])
+            elif combo[i] == 0:
+                ok = ok & (gr[i] >= 0.0)
+            else:
+                ok = ok & (gr[i] <= 0.0)
+
+        v = value(x)
+        take = ok & (v < best_v)
+        best_v = jnp.where(take, v, best_v)
+        for i in range(3):
+            best[i] = jnp.where(take, x[i], best[i])
+            bf[i] = jnp.where(
+                take, jnp.full_like(bf[i], 1.0 * (combo[i] == 1)), bf[i])
+
+    k = [jnp.where(bad, zero, best[i]) for i in range(3)]
+    free = [(bf[i] > 0.5) & ~bad for i in range(3)]
+    return k, free, bad
+
+
+def _qp_newton(quuF, qu, m):
+    """Unconstrained regularized Newton step on tiles: k = −QuuF⁻¹Qu with a
+    Sylvester PD check — what boxQP degenerates to with an infinite box
+    (ref src/ilqr_core.cpp:369 with no active limits). All dims free."""
+    one = jnp.ones_like(quuF[0][0])
+    zero = jnp.zeros_like(quuF[0][0])
+
+    def safe(d):
+        return jnp.where(d <= 0.0, one, d)
+
+    if m == 1:
+        q11 = quuF[0][0]
+        bad = q11 <= 0.0
+        x = [-qu[0] / safe(q11)]
+    elif m == 2:
+        a, b, c = quuF[0][0], quuF[0][1], quuF[1][1]
+        det = a * c - b * b
+        bad = (a <= 0.0) | (det <= 0.0)
+        sdet = safe(det)
+        x = [(-qu[0] * c + qu[1] * b) / sdet,
+             (-qu[1] * a + qu[0] * b) / sdet]
+    elif m == 3:
+        a, b, c = quuF[0][0], quuF[0][1], quuF[0][2]
+        dd, e, f = quuF[1][1], quuF[1][2], quuF[2][2]
+        det2 = a * dd - b * b
+        A00 = dd * f - e * e
+        A01 = -(b * f - e * c)
+        A02 = b * e - dd * c
+        A11 = a * f - c * c
+        A12 = -(a * e - b * c)
+        A22 = a * dd - b * b
+        det3 = a * A00 + b * A01 + c * A02
+        bad = (a <= 0.0) | (det2 <= 0.0) | (det3 <= 0.0)
+        sdet = safe(det3)
+        adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
+        x = [-(adj[j][0] * qu[0] + adj[j][1] * qu[1] + adj[j][2] * qu[2])
+             / sdet for j in range(3)]
+    else:
+        raise ValueError("in-kernel Newton supports m <= 3")
+    k = [jnp.where(bad, zero, xi) for xi in x]
+    free = [~bad for _ in range(m)]
+    return k, free, bad
+
+
 def _free_solve_rows(quuF, free, cols, m):
     """Rows of −(Q_free)⁻¹ · cols with identity padding on clamped dims and
     zeroed clamped rows (ref ilqr_core.cpp:377-385). ``cols`` is a list
@@ -142,30 +298,56 @@ def _free_solve_rows(quuF, free, cols, m):
         return [[jnp.where(free[0], -cols[0][i] / q_safe,
                            jnp.zeros_like(cols[0][i]))
                  for i in range(len(cols[0]))]]
-    # m == 2: identity-padded 2×2 inverse
-    a, b, c = quuF[0][0], quuF[0][1], quuF[1][1]
-    both = free[0] & free[1]
-    ap = jnp.where(free[0], a, jnp.ones_like(a))
-    cp = jnp.where(free[1], c, jnp.ones_like(c))
-    bp = jnp.where(both, b, jnp.zeros_like(b))
-    det = ap * cp - bp * bp
-    det = jnp.where(det == 0.0, jnp.ones_like(det), det)
-    n_cols = len(cols[0])
-    out0 = []
-    out1 = []
-    for i in range(n_cols):
-        v0, v1 = cols[0][i], cols[1][i]
-        s0 = (cp * v0 - bp * v1) / det
-        s1 = (ap * v1 - bp * v0) / det
-        out0.append(jnp.where(free[0], -s0, jnp.zeros_like(s0)))
-        out1.append(jnp.where(free[1], -s1, jnp.zeros_like(s1)))
-    return [out0, out1]
+    if m == 2:
+        # identity-padded 2×2 inverse
+        a, b, c = quuF[0][0], quuF[0][1], quuF[1][1]
+        both = free[0] & free[1]
+        ap = jnp.where(free[0], a, jnp.ones_like(a))
+        cp = jnp.where(free[1], c, jnp.ones_like(c))
+        bp = jnp.where(both, b, jnp.zeros_like(b))
+        det = ap * cp - bp * bp
+        det = jnp.where(det == 0.0, jnp.ones_like(det), det)
+        n_cols = len(cols[0])
+        out0 = []
+        out1 = []
+        for i in range(n_cols):
+            v0, v1 = cols[0][i], cols[1][i]
+            s0 = (cp * v0 - bp * v1) / det
+            s1 = (ap * v1 - bp * v0) / det
+            out0.append(jnp.where(free[0], -s0, jnp.zeros_like(s0)))
+            out1.append(jnp.where(free[1], -s1, jnp.zeros_like(s1)))
+        return [out0, out1]
+    # m == 3: identity-padded 3×3 inverse via the adjugate
+    one = jnp.ones_like(quuF[0][0])
+    zero = jnp.zeros_like(quuF[0][0])
+    a = jnp.where(free[0], quuF[0][0], one)
+    dd = jnp.where(free[1], quuF[1][1], one)
+    f = jnp.where(free[2], quuF[2][2], one)
+    b = jnp.where(free[0] & free[1], quuF[0][1], zero)
+    c = jnp.where(free[0] & free[2], quuF[0][2], zero)
+    e = jnp.where(free[1] & free[2], quuF[1][2], zero)
+    A00 = dd * f - e * e
+    A01 = -(b * f - e * c)
+    A02 = b * e - dd * c
+    A11 = a * f - c * c
+    A12 = -(a * e - b * c)
+    A22 = a * dd - b * b
+    det = a * A00 + b * A01 + c * A02
+    det = jnp.where(det == 0.0, one, det)
+    adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
+    out = [[], [], []]
+    for i in range(len(cols[0])):
+        v = [cols[0][i], cols[1][i], cols[2][i]]
+        for j in range(3):
+            s = (adj[j][0] * v[0] + adj[j][1] * v[1] + adj[j][2] * v[2]) / det
+            out[j].append(jnp.where(free[j], -s, zero))
+    return out
 
 
-def _kernel(model, n, m, integrator, mode, eps, treedef, shapes,
+def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
             params_ref, xs_ref, xsT_ref, us_ref, lam_ref,
-            k_ref, K_ref, dv_ref, div_ref,
-            vx, vxx, dv, div):
+            k_ref, K_ref, dv_ref, div_ref, gnorm_ref,
+            vx, vxx, dv, div, gacc):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)  # == T
     p, dt = unpack_params(params_ref, treedef, shapes)
@@ -231,6 +413,7 @@ def _kernel(model, n, m, integrator, mode, eps, treedef, shapes,
         dv[0] = jnp.zeros((S, L), jnp.float32)
         dv[1] = jnp.zeros((S, L), jnp.float32)
         div[0] = jnp.zeros((S, L), jnp.float32)
+        gacc[0] = jnp.zeros((S, L), jnp.float32)
 
     # --- linearize timestep T-1-t in registers
     fxc = [[None] * n for _ in range(n)]
@@ -319,14 +502,19 @@ def _kernel(model, n, m, integrator, mode, eps, treedef, shapes,
                 acc = acc + fxc[kk][i] * w[kk][j]
             qxx[i][j] = acc
 
-    lo = [p.u_min[jm] - u[jm] for jm in range(m)]
-    hi = [p.u_max[jm] - u[jm] for jm in range(m)]
-    if m == 1:
-        k_i, free, bad = _qp_m1(quuF, qu, lo, hi)
-    elif m == 2:
-        k_i, free, bad = _qp_m2(quuF, qu, lo, hi)
+    if not use_limits:
+        k_i, free, bad = _qp_newton(quuF, qu, m)
     else:
-        raise ValueError("merged sweep kernel supports m <= 2")
+        lo = [p.u_min[jm] - u[jm] for jm in range(m)]
+        hi = [p.u_max[jm] - u[jm] for jm in range(m)]
+        if m == 1:
+            k_i, free, bad = _qp_m1(quuF, qu, lo, hi)
+        elif m == 2:
+            k_i, free, bad = _qp_m2(quuF, qu, lo, hi)
+        elif m == 3:
+            k_i, free, bad = _qp_m3(quuF, qu, lo, hi)
+        else:
+            raise ValueError("merged sweep kernel supports m <= 3")
 
     Krow = _free_solve_rows(quuF, free, qux, m)  # (m, n) rows
 
@@ -365,22 +553,33 @@ def _kernel(model, n, m, integrator, mode, eps, treedef, shapes,
         for i in range(n):
             K_ref[0, jm, i, 0] = Krow[jm][i]
 
+    # gradient-norm epilogue (ref ilqr_core.cpp:153-159): accumulate
+    # max_j |k_j|/(|u_j|+1) per step; the mean over t is emitted at the
+    # end of the sweep so the solver needs no extra HBM pass over k.
+    gstep = jnp.abs(k_i[0]) / (jnp.abs(u[0]) + 1.0)
+    for jm in range(1, m):
+        gstep = jnp.maximum(gstep, jnp.abs(k_i[jm]) / (jnp.abs(u[jm]) + 1.0))
+    gacc[0] = gacc[0] + gstep
+
     @pl.when(t == n_t - 1)
     def _():
         dv_ref[0, 0] = dv[0]
         dv_ref[1, 0] = dv[1]
         div_ref[0] = div[0]
+        gnorm_ref[0] = gacc[0] * (1.0 / n_t)
 
 
 def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
                  mode: str = "jvp", eps: float = 1e-3,
-                 interpret: bool = False):
+                 interpret: bool = False, use_limits: bool = True):
     """Merged linearize+backward sweep in kernel layout.
 
     Shapes: xs_p (T+1, n, NB, S, L), us_p (T, m, NB, S, L),
     lam_p (NB, S, L). Control limits come from the packed params
-    (p.u_min/p.u_max). Returns packed (k (T,m,NB,S,L),
-    K (T,m,n,NB,S,L), dv (2,NB,S,L), diverged (NB,S,L) f32 0/1).
+    (p.u_min/p.u_max); ``use_limits=False`` runs the unconstrained
+    regularized-Newton degenerate instead (infinite box). Returns packed
+    (k (T,m,NB,S,L), K (T,m,n,NB,S,L), dv (2,NB,S,L),
+    diverged (NB,S,L) f32 0/1, gnorm (NB,S,L)).
     """
     params_p, treedef, shapes = packed_params
     T, m, nb = us_p.shape[0], us_p.shape[1], us_p.shape[2]
@@ -415,11 +614,14 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
                      memory_space=pltpu.VMEM),  # dv
         pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # diverged
+        pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),  # gnorm
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
         jax.ShapeDtypeStruct((T, m, n, nb, S, L), f32),
         jax.ShapeDtypeStruct((2, nb, S, L), f32),
+        jax.ShapeDtypeStruct((nb, S, L), f32),
         jax.ShapeDtypeStruct((nb, S, L), f32),
     ]
     scratch = [
@@ -427,10 +629,11 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
         pltpu.VMEM((n, n, S, L), f32),
         pltpu.VMEM((2, S, L), f32),
         pltpu.VMEM((1, S, L), f32),
+        pltpu.VMEM((1, S, L), f32),
     ]
     return pl.pallas_call(
         functools.partial(_kernel, model, n, m, integrator, mode, float(eps),
-                          treedef, shapes),
+                          use_limits, treedef, shapes),
         grid=(nb, T),
         in_specs=specs_in,
         out_specs=specs_out,

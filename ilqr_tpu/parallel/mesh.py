@@ -29,12 +29,23 @@ BATCH_AXIS = "batch"
 
 
 def init_distributed(**kwargs):
-    """Multi-host initialization (jax.distributed). No-op if single-process."""
-    if jax.process_count() == 1:
-        try:
-            jax.distributed.initialize(**kwargs)
-        except Exception:
-            pass  # already initialized or single-host
+    """Multi-host initialization: ``jax.distributed.initialize`` passthrough
+    (coordinator_address / num_processes / process_id, or TPU-pod
+    auto-detection with no args). The mesh from :func:`make_mesh` then spans
+    all global devices and each process feeds its local shard.
+
+    Idempotent — a second call is a no-op. Any other failure (bad
+    coordinator address, process count mismatch, …) propagates: silently
+    falling back to single-process would shard a "global" solve over a
+    fraction of the fleet. Exercised for real by
+    tests/test_distributed_multiprocess.py (2 CPU processes over
+    localhost)."""
+    from jax._src import distributed as _dist
+
+    state = getattr(_dist, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
@@ -49,6 +60,18 @@ def _shard_map():
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
     return shard_map
+
+
+def _check_divisible(b: int, mesh: Mesh) -> None:
+    """Sharded solvers require B divisible by the mesh size (solves are
+    whole units — there is no meaningful padding for a partial solve, and
+    an uneven NamedSharding would otherwise fail deep inside GSPMD with an
+    opaque error)."""
+    if b % mesh.size != 0:
+        raise ValueError(
+            f"batch size {b} is not divisible by the mesh size {mesh.size};"
+            f" pad the batch to a multiple of {mesh.size} (padded lanes are"
+            " cheap — they converge immediately) or use a smaller mesh")
 
 
 def make_sharded_solver(
@@ -93,6 +116,7 @@ def make_sharded_solver(
     param_shard = batch_spec if params_batched else repl
 
     def run(params, dt, x0, u0) -> Solution:
+        _check_divisible(x0.shape[0], mesh)
         params = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, param_shard), params)
         x0 = jax.device_put(x0, batch_spec)
@@ -139,6 +163,7 @@ def make_sharded_fused_solver(
     jitted = jax.jit(fn)
 
     def run(params, dt, x0, u0) -> Solution:
+        _check_divisible(x0.shape[0], mesh)
         x0 = jax.device_put(x0, batch_spec)
         u0 = jax.device_put(u0, batch_spec)
         return jitted(params, jnp.asarray(dt), x0, u0)

@@ -94,6 +94,7 @@ def test_full_solve_assoc_mode():
                                np.asarray(s_assoc.us), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_assoc_vmaps():
     d, us = _random_lqr()
     cfg = SolverConfig(use_control_limits=False)

@@ -37,6 +37,7 @@ def test_custom_model_solves_to_goal():
     assert abs(xf[0] - 1.5) < 0.1 and abs(xf[1] + 0.5) < 0.1
 
 
+@pytest.mark.slow
 def test_custom_model_batches_and_kernels():
     p = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32), default_params())

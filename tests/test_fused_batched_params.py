@@ -1,5 +1,6 @@
 """Fused solver with per-problem params (batched goals/limits)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def test_pack_params_batched_layout():
     np.testing.assert_allclose(np.asarray(arr[-1]), 0.05)
 
 
+@pytest.mark.slow
 def test_batched_goals_each_solved_to_own_goal():
     m = get_model("pendulum")
     B = 3

@@ -21,6 +21,7 @@ ALL_PALLAS = dict(backward_kernel="pallas", rollout_kernel="pallas",
                   deriv_kernel="pallas")
 
 
+@pytest.mark.slow
 def test_matches_vmapped_path():
     m = get_model("acrobot")
     p = _p32(m)
@@ -66,6 +67,7 @@ def test_identical_lanes_identical_results():
     assert np.all(c == c[0])
 
 
+@pytest.mark.slow
 def test_merged_sweep_matches_split():
     """The merged linearize+backward kernel (ops/pallas_sweep) gives the
     same solve as the split derivative+backward kernels."""
@@ -85,6 +87,7 @@ def test_merged_sweep_matches_split():
                   - np.asarray(s_split.us)).max() < 5e-3
 
 
+@pytest.mark.slow
 def test_warm_start_resumes_cheaply():
     """Fleet warm start: re-solving from the same states with the previous
     Solution takes far fewer iterations and never worsens the cost
@@ -126,6 +129,7 @@ def test_multi_chunk_matches_single_chunk():
                                np.asarray(ref.us), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_m2_matches_xla_path():
     """m=2 (double integrator): the in-kernel active-set-enumeration QP
     path matches the XLA path (iterative boxQP) to f32 tolerance."""
@@ -150,6 +154,56 @@ def test_m2_matches_xla_path():
     assert fus.K.shape == (2, 15, 2, 4)
 
 
+@pytest.mark.slow
+def test_m3_matches_xla_path():
+    """m=3 (3D point mass): the in-kernel 27-candidate active-set QP
+    matches the XLA path (iterative boxQP) to f32 tolerance."""
+    from ilqr_tpu.models import point_mass_3d as pm
+
+    m = get_model("point_mass_3d")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), pm.default_params())
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(2, 6)) * 0.3, jnp.float32)
+    u0 = jnp.zeros((15, 3), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=8, backward_kernel="xla",
+                       rollout_kernel="xla", deriv_kernel="xla")
+    ref = solve_batch(m, p, cfg, 0.02, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
+    # the goal pulls controls onto the ±0.5 box — make sure limits bind
+    assert np.abs(np.asarray(fus.us)).max() <= 0.5 + 1e-6
+    assert fus.us.shape == (2, 15, 3)
+    assert fus.K.shape == (2, 15, 3, 6)
+
+
+@pytest.mark.slow
+def test_unconstrained_matches_xla_path():
+    """use_control_limits=False: the in-kernel plain-Newton degenerate
+    (infinite box, ref ilqr_core.cpp:369) matches the XLA path."""
+    from ilqr_tpu.models import double_integrator as di
+
+    m = get_model("double_integrator")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        di.default_params(goal=(1.0, 0.5, 0.0, 0.0)))
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.3, jnp.float32)
+    u0 = jnp.zeros((15, 2), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=False,
+                       use_control_limits=False, max_iter=8,
+                       backward_kernel="xla", rollout_kernel="xla",
+                       deriv_kernel="xla")
+    ref = solve_batch(m, p, cfg, 0.02, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
+
+
 def test_unsupported_configs_raise():
     tri = get_model("double_integrator")
     m = get_model("acrobot")
@@ -160,7 +214,9 @@ def test_unsupported_configs_raise():
                           jnp.zeros((2, 4), jnp.float32),
                           jnp.zeros((5, 2), jnp.float32))
     with pytest.raises(ValueError):
+        # unconstrained requires the merged sweep kernel too
         solve_batch_fused(m, _p32(m),
-                          SolverConfig(use_control_limits=False), 0.02,
+                          SolverConfig(use_control_limits=False,
+                                       sweep_kernel="split"), 0.02,
                           jnp.zeros((2, 4), jnp.float32),
                           jnp.zeros((5, 1), jnp.float32))

@@ -6,6 +6,7 @@ oracles (energy conservation of the passive Lagrangian system, and the
 torque-only running cost).
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +21,7 @@ def test_registry():
     assert "acrobot" in models
     assert "cartpole" in models
     assert "pendulum" in models
+    assert "point_mass_3d" in models
 
 
 def test_double_integrator_dynamics():
@@ -60,6 +62,7 @@ def test_acrobot_rest_state_dynamics():
     np.testing.assert_allclose(dx, np.zeros(4), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_acrobot_energy_conservation():
     """Passive (u=0) dynamics conserve total energy — a physics oracle the
     reference lacks. Integrated with RK4 at small dt to isolate model error."""

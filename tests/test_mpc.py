@@ -1,6 +1,7 @@
 """MPC (receding-horizon) tests — the warm-start capability the reference
 exposes but never drives (ref: src/ilqr_core.cpp:65-76, notes.md:11)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,7 @@ def test_mpc_converges_to_goal():
     assert float(costs[-1]) < float(costs[0])
 
 
+@pytest.mark.slow
 def test_mpc_warm_start_is_cheap():
     """After the first plan, replans take very few iterations."""
     m, p, cfg = _setup()
@@ -82,6 +84,7 @@ def test_mpc_controller_jits_and_vmaps():
     assert int(fleet.t[0]) == 1
 
 
+@pytest.mark.slow
 def test_fleet_mpc_fused():
     """Fleet MPC on the fused solver: warm replans are cheap and the fleet
     moves toward the goal."""

@@ -1,6 +1,7 @@
 """Fused Pallas backward-kernel tests (interpret mode on CPU; the same code
 compiles via Mosaic on TPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +73,7 @@ def test_kernel_flags_divergence():
     assert not bool(div[0]) and not bool(div[2])
 
 
+@pytest.mark.slow
 def test_batch_padding():
     """Batch sizes not divisible by 1024 are padded internally and sliced
     back; padded lanes must not contaminate results."""
@@ -87,6 +89,7 @@ def test_batch_padding():
     np.testing.assert_allclose(np.asarray(k6[3:]), np.asarray(k3), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_solver_end_to_end_pallas_vs_xla():
     """Full batched solves agree between backward_kernel='pallas'
     (interpret off-TPU) and 'xla'."""

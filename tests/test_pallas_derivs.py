@@ -40,6 +40,7 @@ def test_kernel_matches_jacfwd(name, integ):
         )
 
 
+@pytest.mark.slow
 def test_terminal_row_from_final_cost():
     """cx[T]/cxx[T] come from final_cost, not the running cost
     (ref derivatives.cpp:48-49, 92)."""
@@ -54,6 +55,7 @@ def test_terminal_row_from_final_cost():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fd_mode_stencils():
     """The kernel's FD mode implements the reference's central stencils
     (finite_diff.h:22-86). Validated on the quadratic model — where the
@@ -73,6 +75,7 @@ def test_fd_mode_stencils():
             atol=2e-3, err_msg=f)
 
 
+@pytest.mark.slow
 def test_compute_derivs_dispatch_forced_pallas():
     """compute_derivs routes batched analytic calls through the kernel when
     deriv_kernel='pallas' (interpret off-TPU)."""

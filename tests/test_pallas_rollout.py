@@ -23,7 +23,7 @@ def _f32_params(model):
 
 
 @pytest.mark.parametrize("name", ["acrobot", "double_integrator",
-                                  "pendulum", "cartpole"])
+                                  "pendulum", "cartpole", "point_mass_3d"])
 def test_soa_matches_aos(name):
     """SoA model functions agree with the per-problem versions on a tile."""
     mo = get_model(name)
@@ -149,6 +149,7 @@ def test_lane_alpha_rollout():
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_line_search_matches_plain():
     """Batched line search through the custom_vmap fused rule equals the
     plain per-problem implementation."""

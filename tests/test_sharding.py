@@ -78,6 +78,7 @@ def test_collective_stats_reduction():
     assert abs(float(stats["max_cost"]) - float(np.max(ref.cost))) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_fused_solver_matches_local():
     """Multi-chip fused deployment: shard_map over the mesh, one fused
     block per device — must equal the local fused solve bit-exactly."""
@@ -102,13 +103,13 @@ def test_sharded_fused_solver_matches_local():
     assert len({d.device for d in sol.cost.addressable_shards}) == 8
 
 
-def test_uneven_batch_raises_or_pads():
-    """B not divisible by mesh size: NamedSharding requires divisibility for
-    even splits; the API contract is 'B divisible by mesh size'."""
+def test_uneven_batch_raises_clear_error():
+    """B not divisible by mesh size: the API contract is 'B divisible by
+    mesh size', enforced eagerly with an actionable ValueError rather than
+    an opaque GSPMD sharding failure."""
     m = get_model("double_integrator")
     p = di.default_params()
     run = make_sharded_solver(m, _cfg())
     x0 = jnp.zeros((6, 4))  # 6 % 8 != 0
-    with pytest.raises(Exception):
-        sol = run(p, 0.02, x0, jnp.zeros((6, 99, 2)))
-        jax.block_until_ready(sol.cost)
+    with pytest.raises(ValueError, match="not divisible by the mesh size"):
+        run(p, 0.02, x0, jnp.zeros((6, 99, 2)))

@@ -109,7 +109,11 @@ def test_warm_start_mpc():
     x0_shift = x0 + jnp.array([0.02, -0.01, 0.0, 0.0])
     shifted = solve_warm(m, p, cfg, 0.02, x0_shift, sol)
     assert int(shifted.iterations) <= int(sol.iterations)
-    assert float(shifted.cost) < float(sol.cost) + 25.0  # nearby problem
+    # the warm solve must land on the shifted problem's own optimum: match
+    # a cold solve from x0_shift, not just "somewhere near the old cost"
+    cold = solve(m, p, cfg, 0.02, x0_shift, jnp.zeros((99, 2)))
+    assert abs(float(shifted.cost) - float(cold.cost)) < 1e-4 * (
+        1.0 + abs(float(cold.cost)))
 
 
 def test_solver_is_deterministic():
