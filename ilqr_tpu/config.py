@@ -96,6 +96,17 @@ class SolverConfig:
     # "merged" = one kernel re-deriving the model in-registers (no HBM
     # round-trip for the linearization, ops/pallas_sweep.py); "split" =
     # separate derivative + backward kernels.
+    ls_time_block: int = 8  # fused solver line-search kernel: timesteps
+    # per grid step. Each grid step costs ~0.14 µs of pipeline machinery
+    # on top of the model math; blocking TB steps per grid step divides
+    # that machinery across the (A+1)·T candidate sweep — the dominant
+    # per-iteration term (BENCH_NOTES.md). Any TB ≥ 1 is exact (edge
+    # steps are masked); 1 reproduces the unblocked kernel.
+    fused_unroll: int = 4  # fused solver: iterations unrolled per outer
+    # while_loop step. On the axon TPU backend every loop iteration costs
+    # ~0.4 ms of sync overhead (BENCH_NOTES.md loop probes); unrolling
+    # amortizes it U× at the cost of a U×-larger traced body. Lanes are
+    # frozen past max_iter, so results are identical for any U ≥ 1.
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":

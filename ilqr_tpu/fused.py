@@ -52,7 +52,8 @@ from ilqr_tpu.types import Solution, TerminationReason
 
 
 class FusedState(NamedTuple):
-    xs: jnp.ndarray        # (T+1, n, NB, S, L)
+    xs_body: jnp.ndarray   # (T, n, NB, S, L) — rows 0..T-1
+    x_term: jnp.ndarray    # (n, NB, S, L)    — terminal state (row T)
     us: jnp.ndarray        # (T, 1, NB, S, L)
     cost: jnp.ndarray      # (NB, S, L)
     lam: jnp.ndarray       # (NB, S, L)
@@ -81,10 +82,11 @@ def _unpack_tail(y, bb):
 
 
 def _iteration(model: Model, cfg: SolverConfig, packed_params,
-               u_min, u_max, interpret, state: FusedState) -> FusedState:
+               u_min, u_max, interpret, x0_p,
+               state: FusedState) -> FusedState:
     T = state.us.shape[0]
-    n = state.xs.shape[1]
-    nb = state.xs.shape[2]
+    n = state.xs_body.shape[1]
+    nb = state.xs_body.shape[2]
     f32 = jnp.float32
     factor = jnp.asarray(cfg.lambda_factor, f32)
     kmode = "jvp" if cfg.deriv_mode == "analytic" else "fd"
@@ -99,12 +101,14 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
         def run_backward(lam):
             return sweep_packed(
-                model, cfg.integrator, packed_params, state.xs, state.us,
-                lam, mode=kmode, eps=cfg.fd_eps, interpret=interpret,
-                use_limits=cfg.use_control_limits)
+                model, cfg.integrator, packed_params, state.xs_body,
+                state.x_term, state.us, lam, mode=kmode, eps=cfg.fd_eps,
+                interpret=interpret, use_limits=cfg.use_control_limits)
     else:
+        xs_full = jnp.concatenate([state.xs_body, state.x_term[None]],
+                                  axis=0)
         d = derivs_packed(model, cfg.integrator, packed_params,
-                          state.xs, state.us, mode=kmode, eps=cfg.fd_eps,
+                          xs_full, state.us, mode=kmode, eps=cfg.fd_eps,
                           interpret=interpret)
         fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p = d
         # split path is m == 1 only; u_min is the shared (1,) limit vector
@@ -127,10 +131,20 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                 axis=0)
             return k1, K1[:, None], dv1, div1, g1
 
-    # ---- STEP 2: backward with per-lane λ escalation (ref :136-150)
+    # Lanes past their budget are frozen exactly like done lanes — needed
+    # because the outer loop is unrolled in chunks of cfg.fused_unroll, so
+    # up to U−1 sub-iterations can run past max_iter (masked, ref :285).
+    frozen = state.done | (state.iteration >= cfg.max_iter)
+
+    # ---- STEP 2: backward with per-lane λ escalation (ref :136-150).
+    # The first attempt is UNROLLED (no loop): on the axon backend every
+    # while_loop iteration costs ~0.4 ms of sync overhead (see
+    # BENCH_NOTES.md loop probes), and retries are rare — the retry
+    # while_loop only executes behind a lax.cond when some live lane
+    # actually diverged.
     def bp_cond(carry):
         lam, _dlam, _k, _K, _dV, _g, ok = carry
-        return jnp.any(~ok & (lam <= cfg.lambda_max) & ~state.done)
+        return jnp.any(~ok & (lam <= cfg.lambda_max))
 
     def bp_body(carry):
         lam, dlam, k, K, dV, gnorm, ok = carry
@@ -147,67 +161,58 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                           lam)
         return lam_n, dlam_n, k, K, dV, gnorm, ok | (retry & new_ok)
 
-    init = (state.lam, state.dlam, state.k, state.K,
-            jnp.zeros((2, nb, S, L), f32), state.gnorm, state.done)
+    # attempt 1, unrolled (the all-lanes-succeed fast path). The raw
+    # k/K/dV/gnorm go into the carry unmasked: frozen lanes' stale values
+    # are never consumed — the epilogue kernel's keep/gate selects and the
+    # lane_freeze below restore them — so no whole-array masking thunks
+    # are spent here.
+    k_n, K_n, dV_n, div_n, g_n = run_backward(state.lam)
+    live = ~frozen
+    ok1 = frozen | (div_n < 0.5)
+    failed1 = live & ~ok1
+    dlam1 = jnp.where(failed1, jnp.maximum(state.dlam * factor, factor),
+                      state.dlam)
+    lam1 = jnp.where(failed1,
+                     jnp.maximum(state.lam * dlam1, cfg.lambda_min),
+                     state.lam)
+
+    # dormant while_loop: its cond is False whenever every live lane's
+    # first attempt succeeded (~60 µs when not taken — loop probes in
+    # BENCH_NOTES.md)
+    init = (lam1, dlam1, k_n, K_n, dV_n, g_n, ok1)
     lam, dlam, k, K, dV, gnorm, back_ok = lax.while_loop(
         bp_cond, bp_body, init)
 
     # ---- gradient-norm termination (ref :153-159)
     grad_term = back_ok & (gnorm < cfg.tol_grad) & (lam < cfg.lambda_grad_term)
 
-    # ---- STEP 3: line search, two passes (ref :184-226). Pass 1 sweeps
-    # all α-candidates (folded into the block axis) through a COST-ONLY
-    # rollout — no trajectory is written, so the sweep is HBM-write-free.
-    # Pass 2 re-rolls out only each lane's selected α with full outputs.
-    alphas = tuple(float(a) for a in cfg.alphas)
-    A = len(alphas)
-    al = jnp.asarray(alphas, f32).reshape(A, 1, 1, 1)
+    # ---- STEP 3+4: line search + accept/keep state writes as ONE kernel
+    # (ref :184-226, :242-255): grid (A+1, T) sweeps every α-candidate
+    # cost-only into VMEM scratch, computes the first-accepted-α selection
+    # in-register, and re-emits the POST-ACCEPT xs/us/k/K with predicated
+    # writes — no candidate arrays, no selection glue, and none of the
+    # whole-array select thunks the solver loop otherwise needs (each is
+    # ~30-100 µs on the axon backend — see ops/pallas_rollout.
+    # linesearch_packed and BENCH_NOTES.md).
+    from ilqr_tpu.ops.pallas_rollout import linesearch_packed
 
-    # Nothing is tiled or materialized: candidate block a·NB + b forms
-    # u_ff = us + α_a·k in-kernel (α_a from SMEM), and all shared inputs
-    # (us, k, x0, x̄, K, params) are indexed modulo NB across the A·NB
-    # candidate grid — each read exactly once from HBM.
-    costs = rollout_packed(
+    gate = (back_ok & ~grad_term & live).astype(f32)
+    keep = (back_ok & live).astype(f32)
+    alphas = jnp.asarray([float(a) for a in cfg.alphas], f32)
+    (xs_body_new, us_new, xterm_new, k_new, K_new, ls_cost, _alpha_sel,
+     acc_f, ls_dcost, ls_expected) = linesearch_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        state.xs[0], state.us, state.xs[:T], K,
-        interpret=interpret, costs_only=True, candidates=A,
-        k_p=k, alphas=jnp.asarray(alphas, f32))
+        x0_p, state.us, state.xs_body, state.x_term, K, k, state.K,
+        state.k, alphas, dV, state.cost, gate, keep,
+        cfg.z_min, interpret=interpret, time_block=cfg.ls_time_block)
 
-    costs = costs.reshape(A, nb, S, L)
-    dcost = state.cost[None] - costs
-    expected = -al * (dV[0][None] + al * dV[1][None])
-    z = jnp.where(expected > 0, dcost / expected, jnp.sign(dcost))
-    accept = z > cfg.z_min
-    accepted = jnp.any(accept, axis=0)
+    accepted = back_ok & (acc_f > 0.5)
+    take_step = accepted & ~grad_term & live
 
-    # first (largest-α) accepted value per lane, selected elementwise
-    def select(stacked_axis0):
-        sel = stacked_axis0[0]
-        chosen = accept[0]
-        for a in range(1, A):
-            take = accept[a] & ~chosen
-            sel = jnp.where(take, stacked_axis0[a], sel)
-            chosen = chosen | accept[a]
-        return sel
+    # ---- remaining per-lane bookkeeping (small tiles, fused by XLA)
+    cost_new = jnp.where(take_step, ls_cost, state.cost)
 
-    alpha_sel = select(jnp.broadcast_to(al, (A, nb, S, L)))  # (NB,S,L)
-    ls_cost = select(costs)
-    ls_dcost = select(dcost)
-    ls_expected = select(expected)
-
-    # pass 2: one full rollout at each lane's chosen α, formed in-kernel
-    # from the same shared inputs (lanes that rejected every candidate get
-    # α₀'s trajectory, discarded by take_step below)
-    ls_xs_body, ls_us, ls_xfin, _c2 = rollout_packed(
-        model, cfg.integrator, cfg.clamp_forward, packed_params,
-        state.xs[0], state.us, state.xs[:T], K,
-        interpret=interpret, k_p=k, alpha_lanes=alpha_sel)
-    ls_xs = jnp.concatenate([ls_xs_body, ls_xfin[None]], axis=0)
-
-    accepted = back_ok & accepted
-    take_step = accepted & ~grad_term
-
-    # ---- STEP 4: accept/reject + λ schedule (ref :242-282)
+    # λ schedule (ref :242-282)
     dlam_acc = jnp.minimum(dlam / factor, 1.0 / factor)
     lam_acc = lam * dlam_acc * (lam > cfg.lambda_min).astype(f32)
     dlam_rej = jnp.maximum(dlam * factor, factor)
@@ -215,11 +220,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
     sched = ~grad_term
     lam_new = jnp.where(sched, jnp.where(accepted, lam_acc, lam_rej), lam)
-    dlam_new = jnp.where(sched, jnp.where(accepted, dlam_acc, dlam_rej), dlam)
-
-    xs_new = jnp.where(take_step[None, None], ls_xs, state.xs)
-    us_new = jnp.where(take_step[None, None], ls_us, state.us)
-    cost_new = jnp.where(take_step, ls_cost, state.cost)
+    dlam_new = jnp.where(sched, jnp.where(accepted, dlam_acc, dlam_rej),
+                         dlam)
 
     # ---- termination (refs :153-159, :257-262, :276-281)
     fun_term = take_step & (ls_dcost < cfg.tol_fun)
@@ -231,22 +233,24 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                   jnp.where(lam_term, TerminationReason.LAMBDA_MAX,
                             TerminationReason.RUNNING))).astype(jnp.int32)
 
-    # lanes whose backward pass never succeeded keep their previous gains
-    # (ref/vmapped-path semantics: ilqr_tpu/solver.py k_new/K_new guards)
-    k_keep = jnp.where(back_ok[None, None], k, state.k)
-    K_keep = jnp.where(back_ok[None, None, None], K, state.K)
+    # The kernel already froze xs/us (gate) and k/K (keep) per lane; only
+    # the lane-sized fields need the freeze select here.
+    def lane_freeze(old, new):
+        return jnp.where(frozen, old, new)
 
-    new = FusedState(
-        xs=xs_new, us=us_new, cost=cost_new, lam=lam_new, dlam=dlam_new,
-        k=k_keep, K=K_keep, iteration=state.iteration + 1, done=done,
-        reason=reason, gnorm=gnorm, dcost=ls_dcost, expected=ls_expected,
+    return FusedState(
+        xs_body=xs_body_new, x_term=xterm_new, us=us_new,
+        k=k_new, K=K_new,
+        cost=lane_freeze(state.cost, cost_new),
+        lam=lane_freeze(state.lam, lam_new),
+        dlam=lane_freeze(state.dlam, dlam_new),
+        iteration=lane_freeze(state.iteration, state.iteration + 1),
+        done=lane_freeze(state.done, done),
+        reason=lane_freeze(state.reason, reason),
+        gnorm=lane_freeze(state.gnorm, gnorm),
+        dcost=lane_freeze(state.dcost, ls_dcost),
+        expected=lane_freeze(state.expected, ls_expected),
     )
-    # freeze lanes that were already done
-    frz = state.done
-    return FusedState(*[
-        jnp.where(frz.reshape((1,) * (o.ndim - 3) + frz.shape), o, nw)
-        for o, nw in zip(state, new)
-    ])
 
 
 def solve_batch_fused(
@@ -453,13 +457,13 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
     xs_body, us_p, x_fin, cost = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
         x0_p, us_p, ref0, K0, interpret=interpret)
-    xs_p = jnp.concatenate([xs_body, x_fin[None]], axis=0)
 
     # padded lanes start (and stay) done so they never drive the loops
     pad_mask = _pack_tail(pad_flags, nb)
 
     state = FusedState(
-        xs=xs_p,
+        xs_body=xs_body,
+        x_term=x_fin,
         us=us_p,
         cost=cost,
         lam=lam0,
@@ -475,20 +479,41 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
     )
 
     step = functools.partial(_iteration, model, cfg, packed_params,
-                             u_min, u_max, interpret)
+                             u_min, u_max, interpret, x0_p)
 
     def cond(s: FusedState):
         return jnp.any(~s.done & (s.iteration < cfg.max_iter))
 
-    state = lax.while_loop(cond, step, state)
+    # U iterations per while_loop step: loop-sync overhead (~0.4 ms per
+    # iteration on the axon backend, BENCH_NOTES.md) amortizes U×; lanes
+    # finishing mid-chunk are frozen by _iteration, so any U is exact.
+    # Interpret mode (tests, off-TPU) downgrades the DEFAULT to U=1 —
+    # there is no loop-sync overhead to amortize and the U×-larger body
+    # just multiplies compile time. An explicitly-set fused_unroll is
+    # honored everywhere so tests can exercise the chunked path.
+    from ilqr_tpu.config import SolverConfig as _SC
+
+    default_u = _SC.__dataclass_fields__["fused_unroll"].default
+    if interpret and cfg.fused_unroll == default_u:
+        U = 1
+    else:
+        U = max(1, int(cfg.fused_unroll))
+
+    def chunk(s: FusedState):
+        for _ in range(U):
+            s = step(s)
+        return s
+
+    state = lax.while_loop(cond, chunk, state)
 
     reason = jnp.where(
         state.done, state.reason,
         jnp.asarray(TerminationReason.MAX_ITER, jnp.int32))
 
     up = lambda a: _unpack_tail(a, BLOCK)
+    xs_full = jnp.concatenate([state.xs_body, state.x_term[None]], axis=0)
     return Solution(
-        xs=up(state.xs),                      # (B, T+1, n)
+        xs=up(xs_full),                       # (B, T+1, n)
         us=up(state.us),                      # (B, T, m)
         k=up(state.k),                        # (B, T, m)
         K=up(state.K),                        # (B, T, m, n)

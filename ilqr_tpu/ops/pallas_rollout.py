@@ -325,6 +325,271 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
     )(*inputs)
 
 
+def _ls_kernel(model, n, m, A, T, TB, integrator, clamp, z_min, treedef,
+               shapes,
+               params_ref, x0_ref, uff_ref, xsr_ref, xterm_ref, K_ref,
+               k_ref, Kold_ref, kold_ref, alpha_ref, dv_ref, cprev_ref,
+               gate_ref, keep_ref,
+               xs_out, us_out, xfin_out, kout_ref, Kout_ref,
+               lscost_out, alpha_out, acc_out, dcost_out, exp_out,
+               x_scr, cost_scr, cand_scr, sel_scr):
+    b = pl.program_id(0)     # phase: 0..A-1 candidate sweeps, A = final
+    t = pl.program_id(1)     # time BLOCK index (TB steps per grid step)
+    n_t = pl.num_programs(1)
+    p, dt = unpack_params(params_ref, treedef, shapes)
+    final_phase = b == A
+
+    # ---- selection epilogue (start of the final phase): first-accepted-α
+    # over the candidate costs accumulated in scratch (ref ilqr_core.cpp:
+    # 199-213 z-ratio acceptance)
+    @pl.when(final_phase & (t == 0))
+    def _():
+        cprev = cprev_ref[0]
+        dv0 = dv_ref[0, 0]
+        dv1 = dv_ref[1, 0]
+        one = jnp.ones((S, L), jnp.float32)
+        a0 = alpha_ref[0, 0]
+        chosen = jnp.zeros((S, L), jnp.float32)
+        asel = one * a0
+        lsc = cand_scr[0]
+        ldc = cprev - cand_scr[0]
+        lexp = -a0 * (dv0 + a0 * dv1)
+        accepted = jnp.zeros((S, L), jnp.float32)
+        for a in range(A):
+            aa = alpha_ref[a, 0]
+            dcost = cprev - cand_scr[a]
+            expected = -aa * (dv0 + aa * dv1)
+            z = jnp.where(expected > 0.0, dcost / expected,
+                          jnp.sign(dcost))
+            acc_a = z > z_min
+            take = acc_a & (chosen < 0.5)
+            asel = jnp.where(take, one * aa, asel)
+            lsc = jnp.where(take, cand_scr[a], lsc)
+            ldc = jnp.where(take, dcost, ldc)
+            lexp = jnp.where(take, expected, lexp)
+            chosen = jnp.where(acc_a, one, chosen)
+            accepted = jnp.maximum(accepted, acc_a.astype(jnp.float32))
+        sel_scr[0] = asel
+        # the step is taken only through the outer gate (back_ok & ~grad
+        # term & live — computed by the solver from the sweep outputs)
+        sel_scr[1] = accepted * gate_ref[0]
+        lscost_out[0] = lsc
+        alpha_out[0] = asel
+        acc_out[0] = accepted
+        dcost_out[0] = ldc
+        exp_out[0] = lexp
+
+    @pl.when(t == 0)
+    def _():
+        for i in range(n):
+            x_scr[i] = x0_ref[i, 0]
+        cost_scr[0] = jnp.zeros((S, L), jnp.float32)
+
+    x = [x_scr[i] for i in range(n)]
+    cost_acc = cost_scr[0]
+
+    # candidate phases: α_a from SMEM; final phase: the per-lane selection
+    a_sc = alpha_ref[jnp.minimum(b, A - 1), 0]
+    alpha = jnp.where(final_phase, sel_scr[0],
+                      jnp.full((S, L), 1.0, jnp.float32) * a_sc)
+    take = sel_scr[1] > 0.5
+    keepm = keep_ref[0] > 0.5
+
+    # TB timesteps per grid step; steps past T (edge block) are masked
+    for j in range(TB):
+        valid = t * TB + j < T
+
+        u = []
+        for jm in range(m):
+            acc = uff_ref[j, jm, 0] + alpha * k_ref[j, jm, 0]
+            for i in range(n):
+                acc = acc + K_ref[j, jm, i, 0] * (x[i] - xsr_ref[j, i, 0])
+            if clamp:
+                acc = jnp.clip(acc, p.u_min[jm], p.u_max[jm])
+            u.append(acc)
+
+        # predicated state writes (the iteration's accept/keep
+        # bookkeeping, ref :242-255): taken lanes advance to the
+        # rolled-out trajectory, everyone else re-emits the current one;
+        # gains keep the new backward result only on keep lanes
+        # (back_ok & live, ref solver.py k_new). Edge rows are clipped by
+        # the pipeline, so no masking is needed on the writes.
+        @pl.when(final_phase)
+        def _(j=j, u=u, x=x):
+            for i in range(n):
+                xs_out[j, i, 0] = jnp.where(take, x[i], xsr_ref[j, i, 0])
+            for jm in range(m):
+                us_out[j, jm, 0] = jnp.where(take, u[jm],
+                                             uff_ref[j, jm, 0])
+                kout_ref[j, jm, 0] = jnp.where(keepm, k_ref[j, jm, 0],
+                                               kold_ref[j, jm, 0])
+                for i in range(n):
+                    Kout_ref[j, jm, i, 0] = jnp.where(
+                        keepm, K_ref[j, jm, i, 0], Kold_ref[j, jm, i, 0])
+
+        xv = jnp.stack(x)
+        uv = jnp.stack(u)
+        cost_acc = cost_acc + jnp.where(
+            valid, model.cost_soa(p, xv, uv), jnp.zeros((S, L),
+                                                        jnp.float32))
+        xn = _integrate(model, integrator, p, xv, uv, dt)
+        x = [jnp.where(valid, xn[i], x[i]) for i in range(n)]
+
+    cost_scr[0] = cost_acc
+    for i in range(n):
+        x_scr[i] = x[i]
+
+    @pl.when(t == n_t - 1)
+    def _():
+        total = cost_scr[0] + model.final_cost_soa(p, jnp.stack(x))
+        for a in range(A):
+            @pl.when(b == a)
+            def _():
+                cand_scr[a] = total
+
+        @pl.when(final_phase)
+        def _():
+            for i in range(n):
+                xfin_out[i, 0] = jnp.where(take, x[i], xterm_ref[i, 0])
+
+
+def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
+                      x0_p, us_p, xsr_p, xterm_p, K_p, k_p, Kold_p, kold_p,
+                      alphas, dv_p, cost_prev, gate_p, keep_p,
+                      z_min: float, interpret: bool = False,
+                      time_block: int = 8):
+    """Line search + iteration epilogue as ONE kernel (ref ilqr_core.cpp:
+    184-226, 242-255): grid (A+1, T) — phases 0..A-1 sweep the
+    α-candidates with cost-only rollouts accumulated in VMEM scratch,
+    phase A computes the first-accepted-α selection in-register
+    (z = dcost/expected vs z_min) and re-emits the POST-ACCEPT state with
+    predicated writes:
+
+      xs/us ← rolled-out trajectory on lanes taking the step
+              (selection & gate_p), current trajectory otherwise;
+      k/K   ← the new backward gains on keep_p lanes, the previous gains
+              otherwise (solver.py k_new/K_new semantics).
+
+    Replaces the previous two-kernel (cost sweep + pass-2 rollout)
+    structure plus every whole-array selection/freeze op in the solver
+    loop — on the axon backend each such op costs ~0.1 ms per executed
+    thunk (BENCH_NOTES.md loop probes).
+
+    Single problem-block layout (NB == 1 — the fused solver's chunking).
+    Shapes: x0_p (n,1,S,L), us_p (T,m,1,S,L), xsr_p (T,n,1,S,L),
+    xterm_p (n,1,S,L), K_p/Kold_p (T,m,n,1,S,L), k_p/kold_p (T,m,1,S,L),
+    alphas (A,), dv_p (2,1,S,L); cost_prev, gate_p, keep_p (1,S,L) with
+    masks as f32 0/1. Returns (xs_body, us, x_final, k_keep, K_keep,
+    ls_cost, alpha_sel, accepted (f32 0/1, raw z-test), dcost, expected).
+    """
+    params_p, treedef, shapes = packed_params
+    T, m, nb = us_p.shape[0], us_p.shape[1], us_p.shape[2]
+    n = x0_p.shape[0]
+    assert nb == 1, "linesearch_packed is single-block (NB == 1)"
+    A = int(alphas.shape[0])
+    P = params_p.shape[0]
+    f32 = jnp.float32
+    TB = max(1, min(int(time_block), T))
+    NT = (T + TB - 1) // TB  # time blocks; edge steps masked in-kernel
+
+    if params_p.ndim == 4:
+        params_spec = pl.BlockSpec((P, 1, S, L), lambda b, t: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        params_spec = pl.BlockSpec((P, S, L), lambda b, t: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    def traj_row(b, t):
+        # write row t only during the final phase; candidates stay on row 0
+        return jnp.where(b == A, t, 0)
+
+    lane_in = pl.BlockSpec((1, S, L), lambda b, t: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    specs_in = [
+        params_spec,
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # x0
+        pl.BlockSpec((TB, m, 1, S, L), lambda b, t: (t, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # us (current controls)
+        pl.BlockSpec((TB, n, 1, S, L), lambda b, t: (t, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # xs_ref
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # current terminal state
+        pl.BlockSpec((TB, m, n, 1, S, L), lambda b, t: (t, 0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # K (new)
+        pl.BlockSpec((TB, m, 1, S, L), lambda b, t: (t, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # k (new)
+        # previous gains are only read by the final phase's keep-writes;
+        # candidate phases pin the block index so no DMA traffic is spent
+        # on them during the 11-candidate sweep
+        pl.BlockSpec((TB, m, n, 1, S, L),
+                     lambda b, t: (traj_row(b, t), 0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # K (previous)
+        pl.BlockSpec((TB, m, 1, S, L),
+                     lambda b, t: (traj_row(b, t), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # k (previous)
+        pl.BlockSpec((A, 1), lambda b, t: (0, 0),
+                     memory_space=pltpu.SMEM),   # α schedule
+        pl.BlockSpec((2, 1, S, L), lambda b, t: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # dV
+        lane_in,                                 # cost_prev
+        lane_in,                                 # gate (take-step mask)
+        lane_in,                                 # keep (gain-keep mask)
+    ]
+    lane_out = pl.BlockSpec((1, S, L), lambda b, t: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    specs_out = [
+        pl.BlockSpec((TB, n, 1, S, L),
+                     lambda b, t: (traj_row(b, t), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # xs[0..T-1]
+        pl.BlockSpec((TB, m, 1, S, L),
+                     lambda b, t: (traj_row(b, t), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # us
+        pl.BlockSpec((n, 1, S, L), lambda b, t: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # final x
+        pl.BlockSpec((TB, m, 1, S, L),
+                     lambda b, t: (traj_row(b, t), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # k_keep
+        pl.BlockSpec((TB, m, n, 1, S, L),
+                     lambda b, t: (traj_row(b, t), 0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # K_keep
+        lane_out, lane_out, lane_out, lane_out, lane_out,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
+        jax.ShapeDtypeStruct((T, m, n, nb, S, L), f32),
+        jax.ShapeDtypeStruct((nb, S, L), f32),   # ls_cost
+        jax.ShapeDtypeStruct((nb, S, L), f32),   # alpha_sel
+        jax.ShapeDtypeStruct((nb, S, L), f32),   # accepted 0/1
+        jax.ShapeDtypeStruct((nb, S, L), f32),   # dcost
+        jax.ShapeDtypeStruct((nb, S, L), f32),   # expected
+    ]
+    scratch = [
+        pltpu.VMEM((n, S, L), f32),
+        pltpu.VMEM((1, S, L), f32),
+        pltpu.VMEM((A, S, L), f32),
+        pltpu.VMEM((2, S, L), f32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_ls_kernel, model, n, m, A, T, TB, integrator,
+                          clamp, float(z_min), treedef, shapes),
+        grid=(A + 1, NT),
+        in_specs=specs_in,
+        out_specs=specs_out,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(params_p, x0_p, us_p, xsr_p, xterm_p, K_p, k_p, Kold_p, kold_p,
+      jnp.asarray(alphas, f32).reshape(-1, 1), dv_p, cost_prev,
+      gate_p, keep_p)
+
+
 def rollout_batched(model, integrator: str, clamp: bool,
                     params, dt, x0, u_ff, xs_ref, K,
                     interpret: bool = False):

@@ -569,21 +569,23 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
         gnorm_ref[0] = gacc[0] * (1.0 / n_t)
 
 
-def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
-                 mode: str = "jvp", eps: float = 1e-3,
+def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
+                 us_p, lam_p, mode: str = "jvp", eps: float = 1e-3,
                  interpret: bool = False, use_limits: bool = True):
     """Merged linearize+backward sweep in kernel layout.
 
-    Shapes: xs_p (T+1, n, NB, S, L), us_p (T, m, NB, S, L),
-    lam_p (NB, S, L). Control limits come from the packed params
-    (p.u_min/p.u_max); ``use_limits=False`` runs the unconstrained
-    regularized-Newton degenerate instead (infinite box). Returns packed
-    (k (T,m,NB,S,L), K (T,m,n,NB,S,L), dv (2,NB,S,L),
-    diverged (NB,S,L) f32 0/1, gnorm (NB,S,L)).
+    Shapes: xs_body_p (T, n, NB, S, L), xterm_p (n, NB, S, L) — the
+    trajectory body and terminal state as separate arrays (no slicing
+    thunks at the call site), us_p (T, m, NB, S, L), lam_p (NB, S, L).
+    Control limits come from the packed params (p.u_min/p.u_max);
+    ``use_limits=False`` runs the unconstrained regularized-Newton
+    degenerate instead (infinite box). Returns packed (k (T,m,NB,S,L),
+    K (T,m,n,NB,S,L), dv (2,NB,S,L), diverged (NB,S,L) f32 0/1,
+    gnorm (NB,S,L)).
     """
     params_p, treedef, shapes = packed_params
     T, m, nb = us_p.shape[0], us_p.shape[1], us_p.shape[2]
-    n = xs_p.shape[1]
+    n = xs_body_p.shape[1]
     P = params_p.shape[0]
     f32 = jnp.float32
 
@@ -643,4 +645,4 @@ def sweep_packed(model, integrator: str, packed_params, xs_p, us_p, lam_p,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(params_p, xs_p[:-1], xs_p[-1], us_p, lam_p)
+    )(params_p, xs_body_p, xterm_p, us_p, lam_p)

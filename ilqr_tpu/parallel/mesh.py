@@ -107,9 +107,18 @@ def make_sharded_solver(
         mesh=mesh,
         in_specs=(p_spec, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(BATCH_AXIS),
-        # flg_change's lax.cond mixes batch-varying and carried-zero
-        # branches; replication-safety is by construction (independent
-        # solves, batch-sharded outputs).
+        # TRACKED WORKAROUND (check_vma): the solver's flg_change lax.cond
+        # mixes batch-varying (re-derived from xs) and carried-zero
+        # (invariant-typed) branches, and the λ-retry while_loop carries
+        # constant-initialized scalars — the varying-manual-axes checker
+        # rejects both, and fixing it requires threading lax.pvary through
+        # every loop carry in solver.py (measured: the cond promotes, then
+        # the while_loop carries trip next). Until jax auto-promotes loop
+        # carries, keep the checker off. Replication safety is covered by
+        # tests instead: test_sharding.py::test_sharded_solver_matches_
+        # unsharded (outputs equal an unsharded solve) and
+        # tests/test_distributed_multiprocess.py (cross-process psum
+        # stats equal a single-process solve).
         check_vma=False,
     )
     jitted = jax.jit(fn)

@@ -204,6 +204,28 @@ def test_unconstrained_matches_xla_path():
     assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
 
 
+def test_unroll_chunking_is_exact():
+    """fused_unroll=2 with max_iter=3 (not divisible): sub-iterations past
+    the budget are frozen, so results are identical to fused_unroll=1 —
+    including per-lane iteration counts."""
+    m = get_model("pendulum")
+    p = _p32(m)
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.normal(size=(2, 2)) * 0.2, jnp.float32)
+    u0 = jnp.zeros((10, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=3)
+    s1 = solve_batch_fused(m, p, SolverConfig(fused_unroll=1, **kw),
+                           0.05, x0, u0)
+    s2 = solve_batch_fused(m, p, SolverConfig(fused_unroll=2, **kw),
+                           0.05, x0, u0)
+    np.testing.assert_array_equal(np.asarray(s1.iterations),
+                                  np.asarray(s2.iterations))
+    np.testing.assert_allclose(np.asarray(s1.cost), np.asarray(s2.cost),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.us), np.asarray(s2.us),
+                               atol=1e-6)
+
+
 def test_unsupported_configs_raise():
     tri = get_model("double_integrator")
     m = get_model("acrobot")
