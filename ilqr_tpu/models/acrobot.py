@@ -165,6 +165,103 @@ def final_cost_soa(p: AcrobotParams, x):
             + kd * kd * (e2 * e2 + e3 * e3))
 
 
+def jac_soa(p: AcrobotParams, x, u):
+    """Closed-form continuous-time Jacobians ∂f/∂x, ∂f/∂u of
+    :func:`dynamics_soa` (hand-derived from q̈ = M(q₂)⁻¹ b(q, q̇, u);
+    ∂q̈/∂θ = M⁻¹(∂b/∂θ − (∂M/∂θ) q̈)). Verified against jacfwd in
+    tests/test_models.py::test_analytic_soa_jacobians."""
+    i1, i2 = p.inertia[0], p.inertia[1]
+    l1, l2 = p.lengths[0], p.lengths[1]
+    m1, m2 = p.masses[0], p.masses[1]
+    lc1, lc2 = p.lc[0], p.lc[1]
+    g = p.gravity
+
+    q1, q2, qd1, qd2 = x[0], x[1], x[2], x[3]
+    c2 = jnp.cos(q2)
+    s2 = jnp.sin(q2)
+    s1 = jnp.sin(q1)
+    c1 = jnp.cos(q1)
+    s12 = jnp.sin(q1 + q2)
+    c12 = jnp.cos(q1 + q2)
+
+    kk = m2 * l1 * lc2
+    h11 = i1 + i2 + m2 * l1 * l1 + 2.0 * kk * c2
+    h12 = i2 + kk * c2
+    h22 = i2
+    det = h11 * h22 - h12 * h12
+
+    # C(0,1) uses l2 (reference quirk, see module docstring).
+    c11 = -2.0 * kk * s2 * qd2
+    c12_ = -m2 * l2 * lc2 * s2 * qd2
+    c21 = kk * s2 * qd1
+
+    g1 = m1 * g * lc1 * s1 + m2 * g * (l1 * s1 + lc2 * s12)
+    g2 = m2 * g * lc2 * s12
+
+    b1 = -(c11 * qd1 + c12_ * qd2) - g1
+    b2 = u[0] - c21 * qd1 - g2
+    qdd1 = (h22 * b1 - h12 * b2) / det
+    qdd2 = (h11 * b2 - h12 * b1) / det
+
+    def msolve(r1, r2):
+        return ((h22 * r1 - h12 * r2) / det, (h11 * r2 - h12 * r1) / det)
+
+    zero = jnp.zeros_like(q1)
+    one = jnp.ones_like(q1)
+
+    # ∂b/∂q1 (M does not depend on q1)
+    db1_q1 = -(m1 * g * lc1 * c1 + m2 * g * (l1 * c1 + lc2 * c12))
+    db2_q1 = -m2 * g * lc2 * c12
+    a2_q1, a3_q1 = msolve(db1_q1, db2_q1)
+
+    # ∂/∂q2: both b and M depend on q2
+    db1_q2 = (2.0 * kk * c2 * qd2 * qd1 + m2 * l2 * lc2 * c2 * qd2 * qd2
+              - m2 * g * lc2 * c12)
+    db2_q2 = -kk * c2 * qd1 * qd1 - m2 * g * lc2 * c12
+    # (∂M/∂q2) q̈ with ∂M/∂q2 = [[-2ks2, -ks2], [-ks2, 0]]
+    dm_qdd1 = -2.0 * kk * s2 * qdd1 - kk * s2 * qdd2
+    dm_qdd2 = -kk * s2 * qdd1
+    a2_q2, a3_q2 = msolve(db1_q2 - dm_qdd1, db2_q2 - dm_qdd2)
+
+    # ∂b/∂q̇1 = (-c11, -2 c21); ∂b/∂q̇2 = (2k s2 q̇1 + 2 m2 l2 lc2 s2 q̇2, 0)
+    a2_qd1, a3_qd1 = msolve(-c11, -2.0 * c21)
+    db1_qd2 = 2.0 * kk * s2 * qd1 + 2.0 * m2 * l2 * lc2 * s2 * qd2
+    a2_qd2, a3_qd2 = msolve(db1_qd2, zero)
+
+    # ∂f/∂u = (0, 0, M⁻¹ e₂)
+    b2_u, b3_u = msolve(zero, one)
+
+    A = [[zero, zero, one, zero],
+         [zero, zero, zero, one],
+         [a2_q1, a2_q2, a2_qd1, a2_qd2],
+         [a3_q1, a3_q2, a3_qd1, a3_qd2]]
+    B = [[zero], [zero], [b2_u], [b3_u]]
+    return A, B
+
+
+def cost_derivs_soa(p: AcrobotParams, x, u):
+    ks, kd, kr = p.k_run[0], p.k_run[1], p.k_run[2]
+    w = [ks * ks, ks * ks, kd * kd, kd * kd]
+    zero = jnp.zeros_like(x[0])
+    cx = [-2.0 * w[i] * (p.goal[i] - x[i]) for i in range(4)]
+    cu = [2.0 * kr * kr * u[0]]
+    cxx = [[2.0 * w[i] * jnp.ones_like(x[0]) if i == j else zero
+            for j in range(4)] for i in range(4)]
+    cxu = [[zero] for _ in range(4)]
+    cuu = [[2.0 * kr * kr * jnp.ones_like(x[0])]]
+    return cx, cu, cxx, cxu, cuu
+
+
+def final_cost_derivs_soa(p: AcrobotParams, x):
+    ks, kd = p.k_final[0], p.k_final[1]
+    w = [ks * ks, ks * ks, kd * kd, kd * kd]
+    zero = jnp.zeros_like(x[0])
+    cx = [-2.0 * w[i] * (p.goal[i] - x[i]) for i in range(4)]
+    cxx = [[2.0 * w[i] * jnp.ones_like(x[0]) if i == j else zero
+            for j in range(4)] for i in range(4)]
+    return cx, cxx
+
+
 MODEL = Model(
     name="acrobot",
     n=4,
@@ -176,4 +273,7 @@ MODEL = Model(
     dynamics_soa=dynamics_soa,
     cost_soa=cost_soa,
     final_cost_soa=final_cost_soa,
+    jac_soa=jac_soa,
+    cost_derivs_soa=cost_derivs_soa,
+    final_cost_derivs_soa=final_cost_derivs_soa,
 )

@@ -49,11 +49,31 @@ class Model:
     dynamics_soa: Any = None
     cost_soa: Any = None
     final_cost_soa: Any = None
+    # Optional ANALYTIC SoA derivatives — hand-written closed forms the
+    # merged sweep kernel (ops/pallas_sweep) uses instead of in-register
+    # JVP re-derivation (which unrolls ~10× the vector ops per timestep).
+    # Same SoA conventions (elementwise ops on (…, *batch) tiles):
+    #   jac_soa(p, x, u) -> (A, B): A[i][j] = ∂f_i/∂x_j (n×n nested
+    #     lists of tiles), B[i][j] = ∂f_i/∂u_j (n×m) — CONTINUOUS-time
+    #     Jacobians of ``dynamics``; the kernel forms the discrete-step
+    #     fx = I + dt·A, fu = dt·B (Euler).
+    #   cost_derivs_soa(p, x, u) -> (cx[n], cu[m], cxx[n][n],
+    #     cxu[n][m], cuu[m][m]) — derivatives of ``cost``.
+    #   final_cost_derivs_soa(p, x) -> (cx[n], cxx[n][n]).
+    jac_soa: Any = None
+    cost_derivs_soa: Any = None
+    final_cost_derivs_soa: Any = None
 
     @property
     def has_soa(self) -> bool:
         return (self.dynamics_soa is not None and self.cost_soa is not None
                 and self.final_cost_soa is not None)
+
+    @property
+    def has_analytic_soa(self) -> bool:
+        return (self.jac_soa is not None
+                and self.cost_derivs_soa is not None
+                and self.final_cost_derivs_soa is not None)
 
     def __hash__(self):  # identity of the registered functions
         return hash((self.name, self.n, self.m))

@@ -84,6 +84,39 @@ def final_cost_soa(p: PendulumParams, x):
     return p.w_final[0] * e0 * e0 + p.w_final[1] * e1 * e1
 
 
+def jac_soa(p: PendulumParams, x, u):
+    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py)."""
+    inertia = p.mass * p.length * p.length
+    zero = jnp.zeros_like(x[0])
+    one = jnp.ones_like(x[0])
+    a10 = -p.gravity / p.length * jnp.cos(x[0])
+    a11 = -p.damping / inertia * one
+    A = [[zero, one], [a10, a11]]
+    B = [[zero], [one / inertia]]
+    return A, B
+
+
+def cost_derivs_soa(p: PendulumParams, x, u):
+    zero = jnp.zeros_like(x[0])
+    one = jnp.ones_like(x[0])
+    cx = [-2.0 * p.w_state[i] * (p.goal[i] - x[i]) for i in range(2)]
+    cu = [2.0 * p.w_control * u[0]]
+    cxx = [[2.0 * p.w_state[i] * one if i == j else zero
+            for j in range(2)] for i in range(2)]
+    cxu = [[zero], [zero]]
+    cuu = [[2.0 * p.w_control * one]]
+    return cx, cu, cxx, cxu, cuu
+
+
+def final_cost_derivs_soa(p: PendulumParams, x):
+    zero = jnp.zeros_like(x[0])
+    one = jnp.ones_like(x[0])
+    cx = [-2.0 * p.w_final[i] * (p.goal[i] - x[i]) for i in range(2)]
+    cxx = [[2.0 * p.w_final[i] * one if i == j else zero
+            for j in range(2)] for i in range(2)]
+    return cx, cxx
+
+
 MODEL = Model(
     name="pendulum",
     n=2,
@@ -95,4 +128,7 @@ MODEL = Model(
     dynamics_soa=dynamics_soa,
     cost_soa=cost_soa,
     final_cost_soa=final_cost_soa,
+    jac_soa=jac_soa,
+    cost_derivs_soa=cost_derivs_soa,
+    final_cost_derivs_soa=final_cost_derivs_soa,
 )

@@ -398,51 +398,81 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
         fmm = f(xx - eps * (txi + txj), u - eps * (tui + tuj))
         return (fpp - fpm - fmp + fmm) / (4.0 * eps * eps)
 
+    # Closed-form model derivatives (models/base.py jac_soa contract) cut
+    # the per-step vector-op count ~10× vs re-deriving with in-register
+    # JVPs; available for the analytic mode with the Euler step (where
+    # fx = I + dt·A, fu = dt·B). FD mode keeps the reference stencils.
+    use_analytic = (mode == "jvp" and integrator == "euler"
+                    and model.has_analytic_soa)
+
     # --- t == 0: V_T from final_cost, differentiated in-kernel
     @pl.when(t == 0)
     def _():
         xT = jnp.stack([xsT_ref[i, 0] for i in range(n)])
-        for i in range(n):
-            vx[i] = d1(final_fn, ei(i, True), at_x=xT)
-        for i in range(n):
-            for j in range(i, n):
-                h = d2(final_fn, ei(i, True), ei(j, True), at_x=xT)
-                vxx[i, j] = h
-                if i != j:
-                    vxx[j, i] = h
+        if use_analytic:
+            fcx, fcxx = model.final_cost_derivs_soa(p, xT)
+            for i in range(n):
+                vx[i] = jnp.broadcast_to(fcx[i], (S, L))
+                for j in range(n):
+                    vxx[i, j] = jnp.broadcast_to(fcxx[i][j], (S, L))
+        else:
+            for i in range(n):
+                vx[i] = d1(final_fn, ei(i, True), at_x=xT)
+            for i in range(n):
+                for j in range(i, n):
+                    h = d2(final_fn, ei(i, True), ei(j, True), at_x=xT)
+                    vxx[i, j] = h
+                    if i != j:
+                        vxx[j, i] = h
         dv[0] = jnp.zeros((S, L), jnp.float32)
         dv[1] = jnp.zeros((S, L), jnp.float32)
         div[0] = jnp.zeros((S, L), jnp.float32)
         gacc[0] = jnp.zeros((S, L), jnp.float32)
 
     # --- linearize timestep T-1-t in registers
-    fxc = [[None] * n for _ in range(n)]
-    for i in range(n):
-        col = d1(step_fn, ei(i, True))
-        for r in range(n):
-            fxc[r][i] = col[r]
-    fuc = [[None] * m for _ in range(n)]
-    for j in range(m):
-        col = d1(step_fn, ei(j, False))
-        for r in range(n):
-            fuc[r][j] = col[r]
+    if use_analytic:
+        A, B = model.jac_soa(p, x, u)
+        eyev = jnp.ones_like(tile)
+        fxc = [[dt * A[r][i] + (eyev if r == i else 0.0)
+                for i in range(n)] for r in range(n)]
+        fuc = [[dt * B[r][j] for j in range(m)] for r in range(n)]
+        cx1, cu1, cxx1, cxu1, cuu1 = model.cost_derivs_soa(p, x, u)
+        cx1 = [jnp.broadcast_to(v, (S, L)) for v in cx1]
+        cu1 = [jnp.broadcast_to(v, (S, L)) for v in cu1]
+        cxx1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
+                for row in cxx1]
+        cxu1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
+                for row in cxu1]
+        cuu1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
+                for row in cuu1]
+    else:
+        fxc = [[None] * n for _ in range(n)]
+        for i in range(n):
+            col = d1(step_fn, ei(i, True))
+            for r in range(n):
+                fxc[r][i] = col[r]
+        fuc = [[None] * m for _ in range(n)]
+        for j in range(m):
+            col = d1(step_fn, ei(j, False))
+            for r in range(n):
+                fuc[r][j] = col[r]
 
-    cx1 = [d1(cost_fn, ei(i, True)) for i in range(n)]
-    cu1 = [d1(cost_fn, ei(j, False)) for j in range(m)]
-    cxx1 = [[None] * n for _ in range(n)]
-    for i in range(n):
-        for j in range(i, n):
-            h = d2(cost_fn, ei(i, True), ei(j, True))
-            cxx1[i][j] = h
-            cxx1[j][i] = h
-    cxu1 = [[d2(cost_fn, ei(i, True), ei(j, False)) for j in range(m)]
-            for i in range(n)]
-    cuu1 = [[None] * m for _ in range(m)]
-    for i in range(m):
-        for j in range(i, m):
-            h = d2(cost_fn, ei(i, False), ei(j, False))
-            cuu1[i][j] = h
-            cuu1[j][i] = h
+        cx1 = [d1(cost_fn, ei(i, True)) for i in range(n)]
+        cu1 = [d1(cost_fn, ei(j, False)) for j in range(m)]
+        cxx1 = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i, n):
+                h = d2(cost_fn, ei(i, True), ei(j, True))
+                cxx1[i][j] = h
+                cxx1[j][i] = h
+        cxu1 = [[d2(cost_fn, ei(i, True), ei(j, False)) for j in range(m)]
+                for i in range(n)]
+        cuu1 = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(i, m):
+                h = d2(cost_fn, ei(i, False), ei(j, False))
+                cuu1[i][j] = h
+                cuu1[j][i] = h
 
     # --- backward step (ref ilqr_core.cpp:359-393)
     lam = lam_ref[0]

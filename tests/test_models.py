@@ -115,6 +115,70 @@ def test_acrobot_final_cost():
     assert abs(float(m.final_cost(p, x2)) - 400.0 * 0.01) < 1e-9
 
 
+def test_analytic_soa_jacobians():
+    """Models providing closed-form SoA derivatives must match jacfwd of
+    their own dynamics/cost to numerical precision — the oracle for the
+    merged sweep kernel's analytic linearization path."""
+    import jax
+    import jax.numpy as jnp
+
+    for name in list_models():
+        m = get_model(name)
+        if not getattr(m, "has_analytic_soa", False):
+            continue
+        p = m.default_params()
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            x = jnp.asarray(rng.normal(size=m.n))
+            u = jnp.asarray(rng.normal(size=m.m))
+            A_ref = jax.jacfwd(m.dynamics, argnums=1)(p, x, u)
+            B_ref = jax.jacfwd(m.dynamics, argnums=2)(p, x, u)
+            A, B = m.jac_soa(p, x[:, None], u[:, None])
+            for i in range(m.n):
+                for j in range(m.n):
+                    np.testing.assert_allclose(
+                        float(jnp.broadcast_to(A[i][j], (1,))[0]),
+                        float(A_ref[i, j]), atol=1e-8,
+                        err_msg=f"{name} A[{i}][{j}]")
+                for j in range(m.m):
+                    np.testing.assert_allclose(
+                        float(jnp.broadcast_to(B[i][j], (1,))[0]),
+                        float(B_ref[i, j]), atol=1e-8,
+                        err_msg=f"{name} B[{i}][{j}]")
+            cx_r = jax.grad(m.cost, argnums=1)(p, x, u)
+            cu_r = jax.grad(m.cost, argnums=2)(p, x, u)
+            cxx_r = jax.hessian(m.cost, argnums=1)(p, x, u)
+            cxu_r = jax.jacfwd(jax.grad(m.cost, argnums=1), argnums=2)(
+                p, x, u)
+            cuu_r = jax.hessian(m.cost, argnums=2)(p, x, u)
+            cx, cu, cxx, cxu, cuu = m.cost_derivs_soa(
+                p, x[:, None], u[:, None])
+            for i in range(m.n):
+                assert abs(float(jnp.broadcast_to(cx[i], (1,))[0])
+                           - float(cx_r[i])) < 1e-8, (name, "cx", i)
+                for j in range(m.n):
+                    assert abs(float(jnp.broadcast_to(cxx[i][j], (1,))[0])
+                               - float(cxx_r[i, j])) < 1e-8
+                for j in range(m.m):
+                    assert abs(float(jnp.broadcast_to(cxu[i][j], (1,))[0])
+                               - float(cxu_r[i, j])) < 1e-8
+            for i in range(m.m):
+                assert abs(float(jnp.broadcast_to(cu[i], (1,))[0])
+                           - float(cu_r[i])) < 1e-8
+                for j in range(m.m):
+                    assert abs(float(jnp.broadcast_to(cuu[i][j], (1,))[0])
+                               - float(cuu_r[i, j])) < 1e-8
+            fx_r = jax.grad(m.final_cost, argnums=1)(p, x)
+            fxx_r = jax.hessian(m.final_cost, argnums=1)(p, x)
+            fcx, fcxx = m.final_cost_derivs_soa(p, x[:, None])
+            for i in range(m.n):
+                assert abs(float(jnp.broadcast_to(fcx[i], (1,))[0])
+                           - float(fx_r[i])) < 1e-8
+                for j in range(m.n):
+                    assert abs(float(jnp.broadcast_to(fcxx[i][j], (1,))[0])
+                               - float(fxx_r[i, j])) < 1e-8
+
+
 def test_pendulum_and_cartpole_shapes():
     """New models beyond the reference: dynamics/cost evaluate and have the
     declared dims."""
