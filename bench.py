@@ -38,7 +38,11 @@ BASELINE_SOLVES_PER_S = 1.0 / REF_SECONDS_PER_SOLVE
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", 1024))
+    # Default B=4096: the host-chunked fused solver overlaps each 1024-
+    # lane chunk's ~26 ms dispatch+D2H round trip (axon tunnel latency,
+    # BENCH_NOTES.md) with the previous chunk's compute, so larger
+    # batches measure the device throughput rather than the RPC floor.
+    B = int(os.environ.get("BENCH_BATCH", 4096))
     max_iter = int(os.environ.get("BENCH_MAX_ITER", 100))
     T = int(os.environ.get("BENCH_HORIZON", 499))
 

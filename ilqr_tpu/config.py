@@ -96,7 +96,12 @@ class SolverConfig:
     # "merged" = one kernel re-deriving the model in-registers (no HBM
     # round-trip for the linearization, ops/pallas_sweep.py); "split" =
     # separate derivative + backward kernels.
-    ls_time_block: int = 8  # fused solver line-search kernel: timesteps
+    sweep_time_block: int = 8  # fused solver merged sweep kernel:
+    # timesteps per grid step (processed in descending time order with
+    # masked edge steps) — divides the per-grid-step DMA/pipeline
+    # machinery like ls_time_block; the sweep body is heavier, so the
+    # sweet spot is smaller.
+    ls_time_block: int = 32  # fused solver line-search kernel: timesteps
     # per grid step. Each grid step costs ~0.14 µs of pipeline machinery
     # on top of the model math; blocking TB steps per grid step divides
     # that machinery across the (A+1)·T candidate sweep — the dominant

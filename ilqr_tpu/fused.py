@@ -103,7 +103,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
             return sweep_packed(
                 model, cfg.integrator, packed_params, state.xs_body,
                 state.x_term, state.us, lam, mode=kmode, eps=cfg.fd_eps,
-                interpret=interpret, use_limits=cfg.use_control_limits)
+                interpret=interpret, use_limits=cfg.use_control_limits,
+                time_block=cfg.sweep_time_block)
     else:
         xs_full = jnp.concatenate([state.xs_body, state.x_term[None]],
                                   axis=0)

@@ -332,15 +332,15 @@ def _ls_kernel(model, n, m, A, T, TB, integrator, clamp, z_min, treedef,
                gate_ref, keep_ref,
                xs_out, us_out, xfin_out, kout_ref, Kout_ref,
                lscost_out, alpha_out, acc_out, dcost_out, exp_out,
-               x_scr, cost_scr, cand_scr, sel_scr):
-    b = pl.program_id(0)     # phase: 0..A-1 candidate sweeps, A = final
+               x_scr, cand_scr, sel_scr):
+    b = pl.program_id(0)     # 0 = all-candidates sweep, 1 = select+emit
     t = pl.program_id(1)     # time BLOCK index (TB steps per grid step)
     n_t = pl.num_programs(1)
     p, dt = unpack_params(params_ref, treedef, shapes)
-    final_phase = b == A
+    final_phase = b == 1
 
     # ---- selection epilogue (start of the final phase): first-accepted-α
-    # over the candidate costs accumulated in scratch (ref ilqr_core.cpp:
+    # over the candidate totals accumulated in scratch (ref ilqr_core.cpp:
     # 199-213 z-ratio acceptance)
     @pl.when(final_phase & (t == 0))
     def _():
@@ -381,76 +381,101 @@ def _ls_kernel(model, n, m, A, T, TB, integrator, clamp, z_min, treedef,
 
     @pl.when(t == 0)
     def _():
-        for i in range(n):
-            x_scr[i] = x0_ref[i, 0]
-        cost_scr[0] = jnp.zeros((S, L), jnp.float32)
+        for a in range(A + 1):
+            for i in range(n):
+                x_scr[a, i] = x0_ref[i, 0]
 
-    x = [x_scr[i] for i in range(n)]
-    cost_acc = cost_scr[0]
+    @pl.when((t == 0) & (b == 0))
+    def _():
+        for a in range(A):
+            cand_scr[a] = jnp.zeros((S, L), jnp.float32)
 
-    # candidate phases: α_a from SMEM; final phase: the per-lane selection
-    a_sc = alpha_ref[jnp.minimum(b, A - 1), 0]
-    alpha = jnp.where(final_phase, sel_scr[0],
-                      jnp.full((S, L), 1.0, jnp.float32) * a_sc)
-    take = sel_scr[1] > 0.5
-    keepm = keep_ref[0] > 0.5
-
-    # TB timesteps per grid step; steps past T (edge block) are masked
-    for j in range(TB):
-        valid = t * TB + j < T
-
+    def rollout_step(x, u_row, xsr_row, K_row, k_row, alpha, valid):
+        """One masked timestep: u from the closed-loop law, cost, step."""
         u = []
         for jm in range(m):
-            acc = uff_ref[j, jm, 0] + alpha * k_ref[j, jm, 0]
+            acc = u_row[jm] + alpha * k_row[jm]
             for i in range(n):
-                acc = acc + K_ref[j, jm, i, 0] * (x[i] - xsr_ref[j, i, 0])
+                acc = acc + K_row[jm][i] * (x[i] - xsr_row[i])
             if clamp:
                 acc = jnp.clip(acc, p.u_min[jm], p.u_max[jm])
             u.append(acc)
+        xv = jnp.stack(x)
+        uv = jnp.stack(u)
+        c = jnp.where(valid, model.cost_soa(p, xv, uv),
+                      jnp.zeros((S, L), jnp.float32))
+        xn = _integrate(model, integrator, p, xv, uv, dt)
+        x_next = [jnp.where(valid, xn[i], x[i]) for i in range(n)]
+        return u, c, x_next
 
-        # predicated state writes (the iteration's accept/keep
-        # bookkeeping, ref :242-255): taken lanes advance to the
-        # rolled-out trajectory, everyone else re-emits the current one;
-        # gains keep the new backward result only on keep lanes
-        # (back_ok & live, ref solver.py k_new). Edge rows are clipped by
-        # the pipeline, so no masking is needed on the writes.
-        @pl.when(final_phase)
-        def _(j=j, u=u, x=x):
+    # ---- phase 0: every α-candidate advanced simultaneously, their
+    # states resident in VMEM scratch — the shared (us, x̄, K, k) rows are
+    # read ONCE per timestep for all A candidates (previously once per
+    # candidate: 11 full stream passes + 11 phases of grid machinery).
+    @pl.when(b == 0)
+    def _():
+        xa = [[x_scr[a, i] for i in range(n)] for a in range(A)]
+        ca = [cand_scr[a] for a in range(A)]
+        for j in range(TB):
+            valid = t * TB + j < T
+            u_row = [uff_ref[j, jm, 0] for jm in range(m)]
+            xsr_row = [xsr_ref[j, i, 0] for i in range(n)]
+            K_row = [[K_ref[j, jm, i, 0] for i in range(n)]
+                     for jm in range(m)]
+            k_row = [k_ref[j, jm, 0] for jm in range(m)]
+            for a in range(A):
+                aa = alpha_ref[a, 0]
+                _u, c, xa[a] = rollout_step(
+                    xa[a], u_row, xsr_row, K_row, k_row, aa, valid)
+                ca[a] = ca[a] + c
+        for a in range(A):
+            cand_scr[a] = ca[a]
             for i in range(n):
-                xs_out[j, i, 0] = jnp.where(take, x[i], xsr_ref[j, i, 0])
+                x_scr[a, i] = xa[a][i]
+
+        @pl.when(t == n_t - 1)
+        def _():
+            for a in range(A):
+                xTa = jnp.stack([x_scr[a, i] for i in range(n)])
+                cand_scr[a] = cand_scr[a] + model.final_cost_soa(p, xTa)
+
+    # ---- phase 1: roll out the per-lane selected α with predicated
+    # state writes (the iteration's accept/keep bookkeeping, ref
+    # :242-255): taken lanes advance to the new trajectory, everyone else
+    # re-emits the current one; gains keep the new backward result only
+    # on keep lanes (back_ok & live, ref solver.py k_new).
+    @pl.when(final_phase)
+    def _():
+        take = sel_scr[1] > 0.5
+        keepm = keep_ref[0] > 0.5
+        alpha = sel_scr[0]
+        x = [x_scr[A, i] for i in range(n)]
+        for j in range(TB):
+            valid = t * TB + j < T
+            u_row = [uff_ref[j, jm, 0] for jm in range(m)]
+            xsr_row = [xsr_ref[j, i, 0] for i in range(n)]
+            K_row = [[K_ref[j, jm, i, 0] for i in range(n)]
+                     for jm in range(m)]
+            k_row = [k_ref[j, jm, 0] for jm in range(m)]
+            for i in range(n):
+                xs_out[j, i, 0] = jnp.where(take, x[i], xsr_row[i])
+            u, _c, x = rollout_step(
+                x, u_row, xsr_row, K_row, k_row, alpha, valid)
             for jm in range(m):
-                us_out[j, jm, 0] = jnp.where(take, u[jm],
-                                             uff_ref[j, jm, 0])
-                kout_ref[j, jm, 0] = jnp.where(keepm, k_ref[j, jm, 0],
+                us_out[j, jm, 0] = jnp.where(take, u[jm], u_row[jm])
+                kout_ref[j, jm, 0] = jnp.where(keepm, k_row[jm],
                                                kold_ref[j, jm, 0])
                 for i in range(n):
                     Kout_ref[j, jm, i, 0] = jnp.where(
-                        keepm, K_ref[j, jm, i, 0], Kold_ref[j, jm, i, 0])
+                        keepm, K_row[jm][i], Kold_ref[j, jm, i, 0])
+        for i in range(n):
+            x_scr[A, i] = x[i]
 
-        xv = jnp.stack(x)
-        uv = jnp.stack(u)
-        cost_acc = cost_acc + jnp.where(
-            valid, model.cost_soa(p, xv, uv), jnp.zeros((S, L),
-                                                        jnp.float32))
-        xn = _integrate(model, integrator, p, xv, uv, dt)
-        x = [jnp.where(valid, xn[i], x[i]) for i in range(n)]
-
-    cost_scr[0] = cost_acc
-    for i in range(n):
-        x_scr[i] = x[i]
-
-    @pl.when(t == n_t - 1)
-    def _():
-        total = cost_scr[0] + model.final_cost_soa(p, jnp.stack(x))
-        for a in range(A):
-            @pl.when(b == a)
-            def _():
-                cand_scr[a] = total
-
-        @pl.when(final_phase)
+        @pl.when(t == n_t - 1)
         def _():
             for i in range(n):
-                xfin_out[i, 0] = jnp.where(take, x[i], xterm_ref[i, 0])
+                xfin_out[i, 0] = jnp.where(take, x_scr[A, i],
+                                           xterm_ref[i, 0])
 
 
 def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
@@ -500,8 +525,9 @@ def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
                                    memory_space=pltpu.VMEM)
 
     def traj_row(b, t):
-        # write row t only during the final phase; candidates stay on row 0
-        return jnp.where(b == A, t, 0)
+        # write row t only during the final phase (b == 1); the candidate
+        # sweep phase stays pinned on block 0
+        return jnp.where(b == 1, t, 0)
 
     lane_in = pl.BlockSpec((1, S, L), lambda b, t: (0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -568,15 +594,14 @@ def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
         jax.ShapeDtypeStruct((nb, S, L), f32),   # expected
     ]
     scratch = [
-        pltpu.VMEM((n, S, L), f32),
-        pltpu.VMEM((1, S, L), f32),
-        pltpu.VMEM((A, S, L), f32),
-        pltpu.VMEM((2, S, L), f32),
+        pltpu.VMEM((A + 1, n, S, L), f32),  # candidate + final states
+        pltpu.VMEM((A, S, L), f32),         # candidate running costs
+        pltpu.VMEM((2, S, L), f32),         # (alpha_sel, take)
     ]
     return pl.pallas_call(
         functools.partial(_ls_kernel, model, n, m, A, T, TB, integrator,
                           clamp, float(z_min), treedef, shapes),
-        grid=(A + 1, NT),
+        grid=(2, NT),
         in_specs=specs_in,
         out_specs=specs_out,
         out_shape=out_shape,

@@ -344,19 +344,15 @@ def _free_solve_rows(quuF, free, cols, m):
     return out
 
 
-def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
+def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
+            shapes,
             params_ref, xs_ref, xsT_ref, us_ref, lam_ref,
             k_ref, K_ref, dv_ref, div_ref, gnorm_ref,
             vx, vxx, dv, div, gacc):
     t = pl.program_id(1)
-    n_t = pl.num_programs(1)  # == T
+    n_t = pl.num_programs(1)  # == NT (time blocks)
+    rb = n_t - 1 - t          # array time-block processed at this step
     p, dt = unpack_params(params_ref, treedef, shapes)
-
-    x = jnp.stack([xs_ref[0, i, 0] for i in range(n)])
-    u = jnp.stack([us_ref[0, j, 0] for j in range(m)])
-    tile = x[0]
-    zx = jnp.zeros_like(x)
-    zu = jnp.zeros_like(u)
 
     def step_fn(xv, uv):
         d = model.dynamics_soa(p, xv, uv)
@@ -371,32 +367,39 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
     cost_fn = lambda xv, uv: model.cost_soa(p, xv, uv)
     final_fn = lambda xv, uv: model.final_cost_soa(p, xv)
 
-    def ei(i, wrt_x):
-        return ((_basis(i, n, tile), zu) if wrt_x
-                else (zx, _basis(i, m, tile)))
+    def make_dops(x, u):
+        tile = x[0]
+        zx = jnp.zeros_like(x)
+        zu = jnp.zeros_like(u)
 
-    def d1(f, tang, at_x=None):
-        xx = x if at_x is None else at_x
-        if mode == "jvp":
-            return jax.jvp(f, (xx, u), tang)[1]
-        tx, tu = tang
-        return (f(xx + eps * tx, u + eps * tu)
-                - f(xx - eps * tx, u - eps * tu)) / (2.0 * eps)
+        def ei(i, wrt_x):
+            return ((_basis(i, n, tile), zu) if wrt_x
+                    else (zx, _basis(i, m, tile)))
 
-    def d2(f, ti, tj, at_x=None):
-        xx = x if at_x is None else at_x
-        if mode == "jvp":
-            def inner(xv, uv):
-                return jax.jvp(f, (xv, uv), ti)[1]
+        def d1(f, tang, at_x=None):
+            xx = x if at_x is None else at_x
+            if mode == "jvp":
+                return jax.jvp(f, (xx, u), tang)[1]
+            tx, tu = tang
+            return (f(xx + eps * tx, u + eps * tu)
+                    - f(xx - eps * tx, u - eps * tu)) / (2.0 * eps)
 
-            return jax.jvp(inner, (xx, u), tj)[1]
-        txi, tui = ti
-        txj, tuj = tj
-        fpp = f(xx + eps * (txi + txj), u + eps * (tui + tuj))
-        fpm = f(xx + eps * (txi - txj), u + eps * (tui - tuj))
-        fmp = f(xx - eps * (txi - txj), u - eps * (tui - tuj))
-        fmm = f(xx - eps * (txi + txj), u - eps * (tui + tuj))
-        return (fpp - fpm - fmp + fmm) / (4.0 * eps * eps)
+        def d2(f, ti, tj, at_x=None):
+            xx = x if at_x is None else at_x
+            if mode == "jvp":
+                def inner(xv, uv):
+                    return jax.jvp(f, (xv, uv), ti)[1]
+
+                return jax.jvp(inner, (xx, u), tj)[1]
+            txi, tui = ti
+            txj, tuj = tj
+            fpp = f(xx + eps * (txi + txj), u + eps * (tui + tuj))
+            fpm = f(xx + eps * (txi - txj), u + eps * (tui - tuj))
+            fmp = f(xx - eps * (txi - txj), u - eps * (tui - tuj))
+            fmm = f(xx - eps * (txi + txj), u - eps * (tui + tuj))
+            return (fpp - fpm - fmp + fmm) / (4.0 * eps * eps)
+
+        return ei, d1, d2
 
     # Closed-form model derivatives (models/base.py jac_soa contract) cut
     # the per-step vector-op count ~10× vs re-deriving with in-register
@@ -416,6 +419,8 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
                 for j in range(n):
                     vxx[i, j] = jnp.broadcast_to(fcxx[i][j], (S, L))
         else:
+            uT = jnp.zeros((m, S, L), jnp.float32)
+            ei, d1, d2 = make_dops(xT, uT)
             for i in range(n):
                 vx[i] = d1(final_fn, ei(i, True), at_x=xT)
             for i in range(n):
@@ -429,7 +434,33 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
         div[0] = jnp.zeros((S, L), jnp.float32)
         gacc[0] = jnp.zeros((S, L), jnp.float32)
 
-    # --- linearize timestep T-1-t in registers
+    # --- TB timesteps per grid step, processed in descending time order;
+    # steps past T (the edge block, processed FIRST) are masked out of
+    # every carried quantity, and their k/K writes land on clipped rows.
+    for _j in reversed(range(TB)):
+        valid = rb * TB + _j < T
+        x = jnp.stack([xs_ref[_j, i, 0] for i in range(n)])
+        u = jnp.stack([us_ref[_j, j, 0] for j in range(m)])
+        if not use_analytic:
+            ei, d1, d2 = make_dops(x, u)
+        _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
+                    lam_ref, vx, vxx, dv, div, gacc, k_ref, K_ref,
+                    _j, valid, x, u,
+                    None if use_analytic else (ei, d1, d2, step_fn,
+                                               cost_fn))
+
+    @pl.when(t == n_t - 1)
+    def _():
+        dv_ref[0, 0] = dv[0]
+        dv_ref[1, 0] = dv[1]
+        div_ref[0] = div[0]
+        gnorm_ref[0] = gacc[0] * (1.0 / T)
+
+
+def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
+                lam_ref, vx, vxx, dv, div, gacc, k_ref, K_ref,
+                _j, valid, x, u, dops):
+    tile = x[0]
     if use_analytic:
         A, B = model.jac_soa(p, x, u)
         eyev = jnp.ones_like(tile)
@@ -446,6 +477,7 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
         cuu1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
                 for row in cuu1]
     else:
+        ei, d1, d2, step_fn, cost_fn = dops
         fxc = [[None] * n for _ in range(n)]
         for i in range(n):
             col = d1(step_fn, ei(i, True))
@@ -548,12 +580,18 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
 
     Krow = _free_solve_rows(quuF, free, qux, m)  # (m, n) rows
 
-    div[0] = jnp.maximum(div[0], bad.astype(jnp.float32))
+    zero_t = jnp.zeros((S, L), jnp.float32)
+    div[0] = jnp.maximum(
+        div[0], jnp.where(valid, bad.astype(jnp.float32), zero_t))
+    d0 = zero_t
     for jm in range(m):
-        dv[0] = dv[0] + k_i[jm] * qu[jm]
+        d0 = d0 + k_i[jm] * qu[jm]
+    d1_ = zero_t
     for im in range(m):
         for jm in range(m):
-            dv[1] = dv[1] + 0.5 * k_i[im] * quu[im][jm] * k_i[jm]
+            d1_ = d1_ + 0.5 * k_i[im] * quu[im][jm] * k_i[jm]
+    dv[0] = dv[0] + jnp.where(valid, d0, zero_t)
+    dv[1] = dv[1] + jnp.where(valid, d1_, zero_t)
 
     # quu·k (m)
     quu_k = []
@@ -568,7 +606,8 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
         for c in range(m):
             acc = (acc + Krow[c][i] * quu_k[c] + Krow[c][i] * qu[c]
                    + qux[c][i] * k_i[c])
-        vx[i] = acc
+        vx[i] = jnp.where(valid, acc, vx[i])
+    vxx_new = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(n):
             acc = qxx[i][j]
@@ -576,12 +615,15 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
                 for d in range(m):
                     acc = acc + Krow[c][i] * quu[c][d] * Krow[d][j]
                 acc = acc + Krow[c][i] * qux[c][j] + qux[c][i] * Krow[c][j]
-            vxx[i, j] = acc
+            vxx_new[i][j] = acc
+    for i in range(n):
+        for j in range(n):
+            vxx[i, j] = jnp.where(valid, vxx_new[i][j], vxx[i, j])
 
     for jm in range(m):
-        k_ref[0, jm, 0] = k_i[jm]
+        k_ref[_j, jm, 0] = k_i[jm]
         for i in range(n):
-            K_ref[0, jm, i, 0] = Krow[jm][i]
+            K_ref[_j, jm, i, 0] = Krow[jm][i]
 
     # gradient-norm epilogue (ref ilqr_core.cpp:153-159): accumulate
     # max_j |k_j|/(|u_j|+1) per step; the mean over t is emitted at the
@@ -589,19 +631,13 @@ def _kernel(model, n, m, integrator, mode, eps, use_limits, treedef, shapes,
     gstep = jnp.abs(k_i[0]) / (jnp.abs(u[0]) + 1.0)
     for jm in range(1, m):
         gstep = jnp.maximum(gstep, jnp.abs(k_i[jm]) / (jnp.abs(u[jm]) + 1.0))
-    gacc[0] = gacc[0] + gstep
-
-    @pl.when(t == n_t - 1)
-    def _():
-        dv_ref[0, 0] = dv[0]
-        dv_ref[1, 0] = dv[1]
-        div_ref[0] = div[0]
-        gnorm_ref[0] = gacc[0] * (1.0 / n_t)
+    gacc[0] = gacc[0] + jnp.where(valid, gstep, zero_t)
 
 
 def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
                  us_p, lam_p, mode: str = "jvp", eps: float = 1e-3,
-                 interpret: bool = False, use_limits: bool = True):
+                 interpret: bool = False, use_limits: bool = True,
+                 time_block: int = 8):
     """Merged linearize+backward sweep in kernel layout.
 
     Shapes: xs_body_p (T, n, NB, S, L), xterm_p (n, NB, S, L) — the
@@ -618,6 +654,9 @@ def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
     n = xs_body_p.shape[1]
     P = params_p.shape[0]
     f32 = jnp.float32
+    TB = max(1, min(int(time_block), T))
+    NT = (T + TB - 1) // TB  # time blocks, processed in reverse; the edge
+    # block (trailing, possibly-partial rows) is masked in-kernel
 
     if params_p.ndim == 4:
         params_spec = pl.BlockSpec((P, 1, S, L), lambda b, t: (0, b, 0, 0),
@@ -627,20 +666,23 @@ def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
                                    memory_space=pltpu.VMEM)
     specs_in = [
         params_spec,
-        pl.BlockSpec((1, n, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # x at T-1-t
+        pl.BlockSpec((TB, n, 1, S, L),
+                     lambda b, t: (NT - 1 - t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # x rows, reverse blocks
         pl.BlockSpec((n, 1, S, L), lambda b, t: (0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # terminal x (xs row T)
-        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
-                     memory_space=pltpu.VMEM),  # u at T-1-t
+        pl.BlockSpec((TB, m, 1, S, L),
+                     lambda b, t: (NT - 1 - t, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),  # u rows, reverse blocks
         pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # lam
     ]
     specs_out = [
-        pl.BlockSpec((1, m, 1, S, L), lambda b, t: (T - 1 - t, 0, b, 0, 0),
+        pl.BlockSpec((TB, m, 1, S, L),
+                     lambda b, t: (NT - 1 - t, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, m, n, 1, S, L),
-                     lambda b, t: (T - 1 - t, 0, 0, b, 0, 0),
+        pl.BlockSpec((TB, m, n, 1, S, L),
+                     lambda b, t: (NT - 1 - t, 0, 0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # K
         pl.BlockSpec((2, 1, S, L), lambda b, t: (0, b, 0, 0),
                      memory_space=pltpu.VMEM),  # dv
@@ -664,9 +706,9 @@ def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
         pltpu.VMEM((1, S, L), f32),
     ]
     return pl.pallas_call(
-        functools.partial(_kernel, model, n, m, integrator, mode, float(eps),
-                          use_limits, treedef, shapes),
-        grid=(nb, T),
+        functools.partial(_kernel, model, n, m, T, TB, integrator, mode,
+                          float(eps), use_limits, treedef, shapes),
+        grid=(nb, NT),
         in_specs=specs_in,
         out_specs=specs_out,
         out_shape=out_shape,
