@@ -25,6 +25,7 @@ MAXIT = int(os.environ.get("VAR_MAXIT", "100"))
 B = int(os.environ.get("VAR_B", "1024"))
 UNROLL = int(os.environ.get("VAR_UNROLL", "4"))
 SWEEP = os.environ.get("VAR_SWEEP", "merged")
+STB = int(os.environ.get("VAR_STB", "8"))
 
 
 def main():
@@ -39,7 +40,7 @@ def main():
     cfg = SolverConfig(
         deriv_mode="analytic", clamp_forward=True, max_iter=MAXIT,
         alphas=DEFAULT_ALPHAS[:A], ls_time_block=TB, fused_unroll=UNROLL,
-        sweep_kernel=SWEEP)
+        sweep_kernel=SWEEP, sweep_time_block=STB)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
     u0 = jnp.zeros((B, 499, 1), jnp.float32)
@@ -56,7 +57,8 @@ def main():
         np.asarray(sol.cost)
         times.append(time.perf_counter() - t0)
     print(json.dumps({
-        "A": A, "TB": TB, "maxit": MAXIT, "B": B, "unroll": UNROLL,
+        "A": A, "TB": TB, "STB": STB, "maxit": MAXIT, "B": B,
+        "unroll": UNROLL,
         "sweep": SWEEP, "best_s": round(min(times), 4),
         "per_iter_us": round(min(times) / MAXIT * 1e6, 1),
         "first_s": round(first, 1),

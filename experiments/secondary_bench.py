@@ -1,0 +1,102 @@
+"""Secondary-workload TPU benchmarks on the fused solver (round-2 kernels).
+
+SB_MODE: m2 | m3 | mpc
+  m2  — reference integrator workload: double integrator, T=99, ≤100 iters
+  m3  — 3D point mass (27-candidate in-kernel QP), T=99, ≤100 iters
+  mpc — fleet MPC: 1024 controllers, T=199, warm-started ≤20-iter replans
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODE = os.environ.get("SB_MODE", "m2")
+
+
+def main():
+    t0 = time.perf_counter()
+    a = jnp.ones((256, 256), jnp.float32)
+    (a @ a).block_until_ready()
+    print(f"[sb] health {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    from ilqr_tpu import SolverConfig, get_model
+    from ilqr_tpu.fused import solve_batch_fused, solve_batch_fused_warm
+
+    rng = np.random.default_rng(0)
+    B = 1024
+
+    if MODE in ("m2", "m3"):
+        if MODE == "m2":
+            from ilqr_tpu.models import double_integrator as mm
+            model = get_model("double_integrator")
+            params = mm.default_params(goal=(1.0, 0.5, 0.0, 0.0))
+            x0 = jnp.asarray([-1.0, 0.0, 0.0, -0.2], jnp.float32)[None] \
+                + 0.1 * jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+        else:
+            from ilqr_tpu.models import point_mass_3d as mm
+            model = get_model("point_mass_3d")
+            params = mm.default_params()
+            x0 = jnp.asarray(0.3 * rng.normal(size=(B, 6)), jnp.float32)
+        T = 99
+        u0 = jnp.zeros((B, T, model.m), jnp.float32)
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=100)
+        t0 = time.perf_counter()
+        sol = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sol = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "mode": MODE, "B": B, "T": T,
+            "solves_per_s": round(B / min(reps), 1),
+            "best_s": round(min(reps), 4), "first_s": round(first, 1),
+            "mean_cost": round(float(jnp.mean(sol.cost)), 4),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
+    elif MODE == "mpc":
+        from ilqr_tpu.models import acrobot as ac
+        model = get_model("acrobot")
+        params = ac.default_params()
+        T = 199
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=20)
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
+        u0 = jnp.zeros((B, T, 1), jnp.float32)
+        sol = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
+        jax.block_until_ready(sol.cost)
+        wcfg = cfg.replace(max_iter=20)
+        # steady state: perturb states, warm replan
+        t0 = time.perf_counter()
+        sol = solve_batch_fused_warm(model, params, wcfg, 0.02, x0, sol)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(6):
+            x0 = x0 + jnp.asarray(
+                0.002 * rng.normal(size=(B, 4)), jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch_fused_warm(model, params, wcfg, 0.02, x0, sol)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "mode": "mpc_fleet", "B": B, "T": T,
+            "replans_per_s": round(B / min(reps), 1),
+            "cycle_ms": round(min(reps) * 1e3, 1),
+            "first_s": round(first, 1),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
