@@ -83,12 +83,20 @@ def main():
         solver = functools.partial(
             solve_batch_fused, model, params, cfg, 0.02)
 
-    # Warm-up / compile (first TPU trace+compile of the full solve is
-    # ~30-60 s cold).
+    # Warm-up / compile. TWO warm-up calls with distinct inputs: on the
+    # axon backend a second (and only the second) invocation of a fresh
+    # fused-solve program reliably triggers another multi-minute remote
+    # compile (cause unknown — no jax-level recompile is logged and CPU
+    # shows nothing); absorbing it here keeps every timed rep clean.
     t0 = time.perf_counter()
     sol = solver(x0, u0)
     jax.block_until_ready(sol.cost)
     compile_and_first = time.perf_counter() - t0
+    x0w = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
+    t0 = time.perf_counter()
+    sol = solver(x0w, u0)
+    jax.block_until_ready(sol.cost)
+    second = time.perf_counter() - t0
 
     # Timed runs on fresh initial states (no cached solutions possible).
     # The timed section ends with a full device→host copy of the costs —
@@ -115,6 +123,7 @@ def main():
     print(
         f"[bench] backend={jax.default_backend()} B={B} T={T} "
         f"max_iter={max_iter} first={compile_and_first:.1f}s "
+        f"second={second:.1f}s "
         f"times={[f'{t:.3f}' for t in times]} "
         f"mean_cost={float(jnp.mean(sol.cost)):.4g} "
         f"mean_iters={float(jnp.mean(sol.iterations)):.1f}",

@@ -96,11 +96,11 @@ class SolverConfig:
     # "merged" = one kernel re-deriving the model in-registers (no HBM
     # round-trip for the linearization, ops/pallas_sweep.py); "split" =
     # separate derivative + backward kernels.
-    sweep_time_block: int = 8  # fused solver merged sweep kernel:
+    sweep_time_block: int = 32  # fused solver merged sweep kernel:
     # timesteps per grid step (processed in descending time order with
     # masked edge steps) — divides the per-grid-step DMA/pipeline
-    # machinery like ls_time_block; the sweep body is heavier, so the
-    # sweet spot is smaller.
+    # machinery like ls_time_block (measured: 32 beats 8 by ~250 µs per
+    # iteration on the acrobot workload, BENCH_NOTES.md).
     ls_time_block: int = 32  # fused solver line-search kernel: timesteps
     # per grid step. Each grid step costs ~0.14 µs of pipeline machinery
     # on top of the model math; blocking TB steps per grid step divides

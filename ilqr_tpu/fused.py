@@ -359,8 +359,10 @@ def solve_batch_fused_warm(
     ``x0`` (ref generate_trajectory overload 2, ilqr_core.cpp:65-76) and
     carry λ/dλ per lane. Shared params; B ≤ 1024 per chunk like
     :func:`solve_batch_fused`."""
-    if model.m != 1 or not model.has_soa:
-        raise ValueError("fused warm start requires m == 1 and SoA model")
+    if model.m > 3 or not model.has_soa:
+        raise ValueError("fused warm start requires m <= 3 and SoA model")
+    if model.m >= 2 and cfg.sweep_kernel != "merged":
+        raise ValueError("m >= 2 warm start needs sweep_kernel='merged'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     f32 = jnp.float32
@@ -387,6 +389,8 @@ def solve_batch_fused_warm(
 
     solve_block = _get_block_solver(
         model, cfg, interpret, T, n, treedef, shapes, warm=True)
+
+    assert prev.us.shape[2] == model.m, "Solution/model control dims differ"
 
     def block(sl):
         return solve_block(

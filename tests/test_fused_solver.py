@@ -204,6 +204,30 @@ def test_unconstrained_matches_xla_path():
     assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
 
 
+@pytest.mark.slow
+def test_warm_start_m2():
+    """Fleet warm start at m=2 (previously m=1-only): re-solving from the
+    same states with the previous Solution converges in few iterations
+    and never worsens the cost."""
+    from ilqr_tpu.fused import solve_batch_fused_warm
+    from ilqr_tpu.models import double_integrator as di
+
+    m = get_model("double_integrator")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        di.default_params(goal=(1.0, 0.5, 0.0, 0.0)))
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.3, jnp.float32)
+    u0 = jnp.zeros((12, 2), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=12)
+    sol = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+    warm = solve_batch_fused_warm(m, p, cfg, 0.02, x0, sol)
+    assert int(np.asarray(warm.iterations).max()) <= int(
+        np.asarray(sol.iterations).max())
+    assert np.all(np.asarray(warm.cost) <= np.asarray(sol.cost) + 1e-3)
+
+
 def test_unroll_chunking_is_exact():
     """fused_unroll=2 with max_iter=3 (not divisible): sub-iterations past
     the budget are frozen, so results are identical to fused_unroll=1 —
