@@ -205,6 +205,29 @@ def test_unconstrained_matches_xla_path():
 
 
 @pytest.mark.slow
+def test_fd_mode_matches_vmapped_path():
+    """deriv_mode='fd' through the merged sweep kernel (the reference's
+    central-difference stencils evaluated in-registers) matches the
+    vmapped XLA FD path."""
+    m = get_model("pendulum")
+    p = _p32(m)
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.normal(size=(2, 2)) * 0.2, jnp.float32)
+    u0 = jnp.zeros((10, 1), jnp.float32)
+    cfg = SolverConfig(deriv_mode="fd", clamp_forward=True, max_iter=6,
+                       backward_kernel="xla", rollout_kernel="xla",
+                       deriv_kernel="xla")
+    ref = solve_batch(m, p, cfg, 0.05, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-3)
+    # eps=1e-3 central differences sit at the edge of f32 precision, so
+    # the two implementations' op orders give slightly different FD noise
+    # — controls agree loosely, costs tightly (above).
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 0.05
+
+
+@pytest.mark.slow
 def test_warm_start_m2():
     """Fleet warm start at m=2 (previously m=1-only): re-solving from the
     same states with the previous Solution converges in few iterations

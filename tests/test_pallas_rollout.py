@@ -149,6 +149,103 @@ def test_lane_alpha_rollout():
                                rtol=2e-5)
 
 
+def test_linesearch_packed_selection_semantics():
+    """Direct unit test of the single-pass line-search/epilogue kernel:
+    candidate totals, first-accepted-α selection (z-ratio vs z_min, ref
+    ilqr_core.cpp:199-213), gate/keep-predicated state writes — all
+    checked against a plain jnp reference built from rollout_batched."""
+    from ilqr_tpu.ops.pallas_rollout import (
+        _pack_tail as pt, _unpack_tail as ut, linesearch_packed,
+        pack_params)
+
+    mo = get_model("pendulum")
+    p = _f32_params(mo)
+    rng = np.random.default_rng(9)
+    B, T, n, m = 1024, 7, 2, 1
+    dt = 0.05
+    x0 = jnp.asarray(rng.normal(size=(B, n)) * 0.2, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(B, T, m)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, m)) * 0.2, jnp.float32)
+    K = jnp.asarray(rng.normal(size=(B, T, m, n)) * 0.1, jnp.float32)
+    kold = jnp.asarray(rng.normal(size=(B, T, m)), jnp.float32)
+    Kold = jnp.asarray(rng.normal(size=(B, T, m, n)), jnp.float32)
+    xsr = jnp.asarray(rng.normal(size=(B, T + 1, n)) * 0.2, jnp.float32)
+    alphas = jnp.asarray([1.0, 0.5, 0.1], jnp.float32)
+    A = 3
+    dv = jnp.asarray(
+        np.stack([-np.abs(rng.normal(size=B)) * 5.0,
+                  rng.normal(size=B) * 0.1]), jnp.float32)  # (2, B)
+    # gate half the lanes; keep an independent half
+    gate = jnp.asarray((rng.uniform(size=B) > 0.5), jnp.float32)
+    keep = jnp.asarray((rng.uniform(size=B) > 0.5), jnp.float32)
+
+    # reference: candidate costs via plain rollouts
+    cand = []
+    for a in range(A):
+        _x, _u, c = rollout_batched(
+            mo, "euler", True, p, dt, x0, us + alphas[a] * k, xsr, K,
+            interpret=True)
+        cand.append(np.asarray(c))
+    cand = np.stack(cand)                      # (A, B)
+    cprev = cand[0] + np.asarray(
+        rng.normal(size=B), np.float32)        # arbitrary previous cost
+    dvn = np.asarray(dv)
+    expected = -np.asarray(alphas)[:, None] * (
+        dvn[0][None] + np.asarray(alphas)[:, None] * dvn[1][None])
+    dcost = cprev[None] - cand
+    z = np.where(expected > 0, dcost / expected, np.sign(dcost))
+    accept = z > 0.0
+    any_acc = accept.any(axis=0)
+    first = np.argmax(accept, axis=0)          # first-accepted index
+    sel = np.where(any_acc, first, 0)
+    alpha_ref = np.asarray(alphas)[sel]
+
+    pp = pack_params(p, dt)
+    out = linesearch_packed(
+        mo, "euler", True, pp, pt(x0, 1), pt(us, 1), pt(xsr[:, :T], 1),
+        pt(xsr[:, T], 1), pt(K, 1), pt(k, 1), pt(Kold, 1), pt(kold, 1),
+        alphas, pt(dv.T, 1), pt(jnp.asarray(cprev), 1), pt(gate, 1),
+        pt(keep, 1), 0.0, interpret=True, time_block=4)
+    (xs_b, us_o, xfin, k_out, K_out, ls_cost, alpha_sel, acc_f,
+     dcost_o, exp_o) = out
+
+    np.testing.assert_array_equal(np.asarray(ut(acc_f, B)) > 0.5, any_acc)
+    np.testing.assert_allclose(np.asarray(ut(alpha_sel, B)), alpha_ref,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ut(ls_cost, B)),
+                               cand[sel, np.arange(B)], rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ut(dcost_o, B)),
+                               dcost[sel, np.arange(B)],
+                               rtol=2e-4, atol=1e-4)
+
+    # predicated writes: taken lanes get the selected-α rollout, others
+    # re-emit the current trajectory; keep lanes get the new gains
+    take = any_acc & (np.asarray(gate) > 0.5)
+    xs_sel, us_sel, _c = rollout_batched(
+        mo, "euler", True, p, dt, x0,
+        us + jnp.asarray(alpha_ref)[:, None, None] * k, xsr, K,
+        interpret=True)
+    got_xs = np.asarray(ut(xs_b, B))           # (B, T, n)
+    got_us = np.asarray(ut(us_o, B))
+    np.testing.assert_allclose(got_xs[take], np.asarray(xs_sel)[take, :T],
+                               atol=1e-5)
+    np.testing.assert_allclose(got_us[take], np.asarray(us_sel)[take],
+                               atol=1e-5)
+    np.testing.assert_allclose(got_xs[~take],
+                               np.asarray(xsr)[~take, :T], atol=1e-6)
+    np.testing.assert_allclose(got_us[~take], np.asarray(us)[~take],
+                               atol=1e-6)
+    keepb = np.asarray(keep) > 0.5
+    np.testing.assert_allclose(np.asarray(ut(k_out, B))[keepb],
+                               np.asarray(k)[keepb], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ut(k_out, B))[~keepb],
+                               np.asarray(kold)[~keepb], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ut(K_out, B))[keepb],
+                               np.asarray(K)[keepb], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ut(K_out, B))[~keepb],
+                               np.asarray(Kold)[~keepb], atol=1e-7)
+
+
 @pytest.mark.slow
 def test_fused_line_search_matches_plain():
     """Batched line search through the custom_vmap fused rule equals the
