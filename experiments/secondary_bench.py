@@ -64,6 +64,35 @@ def main():
             "mean_cost": round(float(jnp.mean(sol.cost)), 4),
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
         }), flush=True)
+    elif MODE == "mpc1":
+        # single-controller replan latency (B=1 block; the real-time path)
+        from ilqr_tpu.models import acrobot as ac
+        model = get_model("acrobot")
+        params = ac.default_params()
+        T = 199
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=10)
+        x0 = jnp.asarray(0.05 * rng.normal(size=(1, 4)), jnp.float32)
+        u0 = jnp.zeros((1, T, 1), jnp.float32)
+        sol = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
+        jax.block_until_ready(sol.cost)
+        sol = solve_batch_fused_warm(model, params, cfg, 0.02, x0, sol)
+        np.asarray(sol.cost)
+        lats = []
+        for _ in range(10):
+            x0 = x0 + jnp.asarray(
+                0.002 * rng.normal(size=(1, 4)), jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch_fused_warm(model, params, cfg, 0.02, x0, sol)
+            np.asarray(sol.cost)
+            lats.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "mode": "mpc_single", "T": T,
+            "latency_ms_best": round(min(lats) * 1e3, 1),
+            "latency_ms_median": round(sorted(lats)[len(lats) // 2] * 1e3,
+                                       1),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
     elif MODE == "mpc":
         from ilqr_tpu.models import acrobot as ac
         model = get_model("acrobot")
