@@ -20,7 +20,8 @@ from jax import lax
 STAGE = os.environ.get("PROBE_STAGE", "iter")
 T = int(os.environ.get("PROBE_T", "499"))
 N = int(os.environ.get("PROBE_N", "32"))
-TB = int(os.environ.get("PROBE_TB", "8"))
+TB = int(os.environ.get("PROBE_TB", "32"))
+STB = int(os.environ.get("PROBE_STB", "32"))
 
 
 def main():
@@ -69,7 +70,8 @@ def main():
             def body(i, carry):
                 xb, xt = carry
                 k, K, dv, div, g = sweep_packed(
-                    model, "euler", packed, xb, xt, us_p, lam)
+                    model, "euler", packed, xb, xt, us_p, lam,
+                    time_block=STB)
                 return (xb + 1e-9 * jnp.mean(k), xt + 1e-9 * g[None])
 
             return lax.fori_loop(0, N, body, c)
@@ -133,7 +135,7 @@ def main():
         jax.tree_util.tree_map(np.asarray, out)
         reps.append(time.perf_counter() - t0)
     print(json.dumps({
-        "stage": STAGE, "T": T, "N": N, "TB": TB,
+        "stage": STAGE, "T": T, "N": N, "TB": TB, "STB": STB,
         "total_s": round(min(reps), 4),
         "per_call_us_incl_floor": round(min(reps) / N * 1e6, 1),
         "compile_s": round(compile_s, 1),

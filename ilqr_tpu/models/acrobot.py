@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ilqr_tpu.models.base import Model
+from ilqr_tpu.ops.trig import cos_add, sin_add, sincos
 
 
 class AcrobotParams(NamedTuple):
@@ -106,7 +107,12 @@ def final_cost(p: AcrobotParams, x):
 def dynamics_soa(p: AcrobotParams, x, u):
     """Structure-of-arrays dynamics for the fused Pallas rollout kernel:
     same math as :func:`dynamics` with the 2×2 H-solve written as an
-    explicit inverse (jnp.linalg doesn't lower inside TPU kernels)."""
+    explicit inverse (jnp.linalg doesn't lower inside TPU kernels).
+
+    Op-count tuned for the in-kernel hot path (BENCH_NOTES.md cycle
+    accounting): one shared-reduction sincos per angle + the angle-sum
+    identity for sin(q1+q2) (ops/trig.py), algebra CSE'd by hand, and a
+    single reciprocal instead of two divides."""
     i1, i2 = p.inertia[0], p.inertia[1]
     l1, l2 = p.lengths[0], p.lengths[1]
     m1, m2 = p.masses[0], p.masses[1]
@@ -114,30 +120,27 @@ def dynamics_soa(p: AcrobotParams, x, u):
     g = p.gravity
 
     q1, q2, qd1, qd2 = x[0], x[1], x[2], x[3]
-    c2 = jnp.cos(q2)
-    s2 = jnp.sin(q2)
-    s1 = jnp.sin(q1)
-    s12 = jnp.sin(q1 + q2)
+    s1, c1 = sincos(q1)
+    s2, c2 = sincos(q2)
+    s12 = sin_add(s1, c1, s2, c2)
 
-    m2l1lc2 = m2 * l1 * lc2
-    h11 = i1 + i2 + m2 * l1 * l1 + 2.0 * m2l1lc2 * c2
-    h12 = i2 + m2l1lc2 * c2
+    kk = m2 * l1 * lc2
+    kkc2 = kk * c2
+    h11 = i1 + i2 + m2 * l1 * l1 + 2.0 * kkc2
+    h12 = i2 + kkc2
     h22 = i2
+    kks2 = kk * s2
 
-    # C(0,1) uses l2 (reference quirk, see module docstring).
-    c11 = -2.0 * m2l1lc2 * s2 * qd2
-    c12 = -m2 * l2 * lc2 * s2 * qd2
-    c21 = m2l1lc2 * s2 * qd1
+    # C(0,1) uses l2 (reference quirk, see module docstring):
+    # b = tau - C q̇ - G expanded with the C/G terms inlined.
+    gBs12 = m2 * g * lc2 * s12
+    g1 = (m1 * g * lc1 + m2 * g * l1) * s1 + gBs12
+    b1 = (2.0 * kks2 * qd1 + (m2 * l2 * lc2) * s2 * qd2) * qd2 - g1
+    b2 = u[0] - kks2 * qd1 * qd1 - gBs12
 
-    g1 = m1 * g * lc1 * s1 + m2 * g * (l1 * s1 + lc2 * s12)
-    g2 = m2 * g * lc2 * s12
-
-    b1 = -(c11 * qd1 + c12 * qd2) - g1
-    b2 = u[0] - c21 * qd1 - g2
-
-    det = h11 * h22 - h12 * h12
-    qdd1 = (h22 * b1 - h12 * b2) / det
-    qdd2 = (h11 * b2 - h12 * b1) / det
+    rdet = 1.0 / (h11 * h22 - h12 * h12)
+    qdd1 = (h22 * b1 - h12 * b2) * rdet
+    qdd2 = (h11 * b2 - h12 * b1) * rdet
     return jnp.stack([qd1, qd2, qdd1, qdd2])
 
 
@@ -177,34 +180,38 @@ def jac_soa(p: AcrobotParams, x, u):
     g = p.gravity
 
     q1, q2, qd1, qd2 = x[0], x[1], x[2], x[3]
-    c2 = jnp.cos(q2)
-    s2 = jnp.sin(q2)
-    s1 = jnp.sin(q1)
-    c1 = jnp.cos(q1)
-    s12 = jnp.sin(q1 + q2)
-    c12 = jnp.cos(q1 + q2)
+    s1, c1 = sincos(q1)
+    s2, c2 = sincos(q2)
+    s12 = sin_add(s1, c1, s2, c2)
+    c12 = cos_add(s1, c1, s2, c2)
 
     kk = m2 * l1 * lc2
-    h11 = i1 + i2 + m2 * l1 * l1 + 2.0 * kk * c2
-    h12 = i2 + kk * c2
+    kkc2 = kk * c2
+    h11 = i1 + i2 + m2 * l1 * l1 + 2.0 * kkc2
+    h12 = i2 + kkc2
     h22 = i2
-    det = h11 * h22 - h12 * h12
+    rdet = 1.0 / (h11 * h22 - h12 * h12)
+    kks2 = kk * s2
 
     # C(0,1) uses l2 (reference quirk, see module docstring).
-    c11 = -2.0 * kk * s2 * qd2
+    c11 = -2.0 * kks2 * qd2
     c12_ = -m2 * l2 * lc2 * s2 * qd2
-    c21 = kk * s2 * qd1
+    c21 = kks2 * qd1
 
-    g1 = m1 * g * lc1 * s1 + m2 * g * (l1 * s1 + lc2 * s12)
-    g2 = m2 * g * lc2 * s12
+    gBs12 = m2 * g * lc2 * s12
+    g1 = (m1 * g * lc1 + m2 * g * l1) * s1 + gBs12
+    g2 = gBs12
 
     b1 = -(c11 * qd1 + c12_ * qd2) - g1
     b2 = u[0] - c21 * qd1 - g2
-    qdd1 = (h22 * b1 - h12 * b2) / det
-    qdd2 = (h11 * b2 - h12 * b1) / det
+    qdd1 = (h22 * b1 - h12 * b2) * rdet
+    qdd2 = (h11 * b2 - h12 * b1) * rdet
 
     def msolve(r1, r2):
-        return ((h22 * r1 - h12 * r2) / det, (h11 * r2 - h12 * r1) / det)
+        # 2x2 H-solve via the shared reciprocal determinant (a divide
+        # per entry — 14 across this function — costs ~10x a multiply
+        # in the VPU lowering)
+        return ((h22 * r1 - h12 * r2) * rdet, (h11 * r2 - h12 * r1) * rdet)
 
     zero = jnp.zeros_like(q1)
     one = jnp.ones_like(q1)
@@ -219,13 +226,13 @@ def jac_soa(p: AcrobotParams, x, u):
               - m2 * g * lc2 * c12)
     db2_q2 = -kk * c2 * qd1 * qd1 - m2 * g * lc2 * c12
     # (∂M/∂q2) q̈ with ∂M/∂q2 = [[-2ks2, -ks2], [-ks2, 0]]
-    dm_qdd1 = -2.0 * kk * s2 * qdd1 - kk * s2 * qdd2
-    dm_qdd2 = -kk * s2 * qdd1
+    dm_qdd1 = -2.0 * kks2 * qdd1 - kks2 * qdd2
+    dm_qdd2 = -kks2 * qdd1
     a2_q2, a3_q2 = msolve(db1_q2 - dm_qdd1, db2_q2 - dm_qdd2)
 
     # ∂b/∂q̇1 = (-c11, -2 c21); ∂b/∂q̇2 = (2k s2 q̇1 + 2 m2 l2 lc2 s2 q̇2, 0)
     a2_qd1, a3_qd1 = msolve(-c11, -2.0 * c21)
-    db1_qd2 = 2.0 * kk * s2 * qd1 + 2.0 * m2 * l2 * lc2 * s2 * qd2
+    db1_qd2 = 2.0 * kks2 * qd1 + 2.0 * m2 * l2 * lc2 * s2 * qd2
     a2_qd2, a3_qd2 = msolve(db1_qd2, zero)
 
     # ∂f/∂u = (0, 0, M⁻¹ e₂)

@@ -59,7 +59,7 @@ def _qp_m1(quuF, qu, lo, hi):
     g1 = qu[0]
     bad = q11 <= 0.0
     q_safe = jnp.where(bad, jnp.ones_like(q11), q11)
-    x1 = jnp.clip(-g1 / q_safe, lo[0], hi[0])
+    x1 = jnp.clip(-g1 * (1.0 / q_safe), lo[0], hi[0])
     gk = q11 * x1 + g1
     clamped = jnp.logical_or(
         jnp.logical_and(x1 <= lo[0], gk > 0.0),
@@ -80,6 +80,9 @@ def _qp_m2(quuF, qu, lo, hi):
     sa = jnp.where(a <= 0.0, jnp.ones_like(a), a)
     sc = jnp.where(c <= 0.0, jnp.ones_like(c), c)
     sdet = jnp.where(det <= 0.0, jnp.ones_like(det), det)
+    rsa, rsc, rsdet = 1.0 / sa, 1.0 / sc, 1.0 / sdet  # shared across the
+    # 9 enumeration candidates (one reciprocal each instead of a divide
+    # per candidate solve)
 
     big = jnp.full_like(a, 3.0e38)
     best_v = big
@@ -100,14 +103,14 @@ def _qp_m2(quuF, qu, lo, hi):
             x0c = lo[0] if s0 == 0 else hi[0]
             x1c = lo[1] if s1 == 0 else hi[1]
             if f0 and f1:
-                x0 = (-g0 * c + g1 * b) / sdet
-                x1 = (-g1 * a + g0 * b) / sdet
+                x0 = (-g0 * c + g1 * b) * rsdet
+                x1 = (-g1 * a + g0 * b) * rsdet
             elif f0:
                 x1 = x1c
-                x0 = -(g0 + b * x1) / sa
+                x0 = -(g0 + b * x1) * rsa
             elif f1:
                 x0 = x0c
-                x1 = -(g1 + b * x0) / sc
+                x1 = -(g1 + b * x0) * rsc
             else:
                 x0 = x0c
                 x1 = x1c
@@ -163,6 +166,16 @@ def _qp_m3(quuF, qu, lo, hi):
     # free-mask carriers as f32 0/1 — Mosaic rejects selects on bool values
     bf = [zero, zero, zero]
 
+    # reciprocals shared across the 27 enumeration candidates (one each
+    # instead of a divide per candidate solve): the three diagonal 1-D
+    # denominators, the three 2x2 pair determinants, and the 3x3 det
+    rq = [1.0 / safe(q[i][i]) for i in range(3)]
+    rpair = {}
+    for i in range(3):
+        for j in range(i + 1, 3):
+            rpair[(i, j)] = 1.0 / safe(
+                q[i][i] * q[j][j] - q[i][j] * q[i][j])
+
     def value(x):
         v = zero
         for i in range(3):
@@ -188,17 +201,17 @@ def _qp_m3(quuF, qu, lo, hi):
             x = list(xc)
         elif len(F) == 1:
             i = F[0]
-            x[i] = -rhs(i) / safe(q[i][i])
+            x[i] = -rhs(i) * rq[i]
             for j in range(3):
                 if j != i:
                     x[j] = xc[j]
         elif len(F) == 2:
             i, j = F
             aa, bb, cc = q[i][i], q[i][j], q[j][j]
-            d = safe(aa * cc - bb * bb)
+            rd = rpair[(i, j)]
             ri, rj = rhs(i), rhs(j)
-            x[i] = (-ri * cc + rj * bb) / d
-            x[j] = (-rj * aa + ri * bb) / d
+            x[i] = (-ri * cc + rj * bb) * rd
+            x[j] = (-rj * aa + ri * bb) * rd
             kd = ({0, 1, 2} - set(F)).pop()
             x[kd] = xc[kd]
         else:
@@ -210,10 +223,10 @@ def _qp_m3(quuF, qu, lo, hi):
             A11 = a * f - c * c
             A12 = -(a * e - b * c)
             A22 = a * dd - b * b
-            det = safe(a * A00 + b * A01 + c * A02)
-            x[0] = -(A00 * g[0] + A01 * g[1] + A02 * g[2]) / det
-            x[1] = -(A01 * g[0] + A11 * g[1] + A12 * g[2]) / det
-            x[2] = -(A02 * g[0] + A12 * g[1] + A22 * g[2]) / det
+            rdet = 1.0 / safe(a * A00 + b * A01 + c * A02)
+            x[0] = -(A00 * g[0] + A01 * g[1] + A02 * g[2]) * rdet
+            x[1] = -(A01 * g[0] + A11 * g[1] + A12 * g[2]) * rdet
+            x[2] = -(A02 * g[0] + A12 * g[1] + A22 * g[2]) * rdet
 
         gr = []
         for i in range(3):
@@ -262,9 +275,9 @@ def _qp_newton(quuF, qu, m):
         a, b, c = quuF[0][0], quuF[0][1], quuF[1][1]
         det = a * c - b * b
         bad = (a <= 0.0) | (det <= 0.0)
-        sdet = safe(det)
-        x = [(-qu[0] * c + qu[1] * b) / sdet,
-             (-qu[1] * a + qu[0] * b) / sdet]
+        rsdet = 1.0 / safe(det)
+        x = [(-qu[0] * c + qu[1] * b) * rsdet,
+             (-qu[1] * a + qu[0] * b) * rsdet]
     elif m == 3:
         a, b, c = quuF[0][0], quuF[0][1], quuF[0][2]
         dd, e, f = quuF[1][1], quuF[1][2], quuF[2][2]
@@ -277,10 +290,10 @@ def _qp_newton(quuF, qu, m):
         A22 = a * dd - b * b
         det3 = a * A00 + b * A01 + c * A02
         bad = (a <= 0.0) | (det2 <= 0.0) | (det3 <= 0.0)
-        sdet = safe(det3)
+        rsdet = 1.0 / safe(det3)
         adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
         x = [-(adj[j][0] * qu[0] + adj[j][1] * qu[1] + adj[j][2] * qu[2])
-             / sdet for j in range(3)]
+             * rsdet for j in range(3)]
     else:
         raise ValueError("in-kernel Newton supports m <= 3")
     k = [jnp.where(bad, zero, xi) for xi in x]
@@ -295,7 +308,8 @@ def _free_solve_rows(quuF, free, cols, m):
     if m == 1:
         q11 = quuF[0][0]
         q_safe = jnp.where(q11 <= 0.0, jnp.ones_like(q11), q11)
-        return [[jnp.where(free[0], -cols[0][i] / q_safe,
+        rq = -(1.0 / q_safe)    # one reciprocal shared by all n columns
+        return [[jnp.where(free[0], cols[0][i] * rq,
                            jnp.zeros_like(cols[0][i]))
                  for i in range(len(cols[0]))]]
     if m == 2:
@@ -307,13 +321,14 @@ def _free_solve_rows(quuF, free, cols, m):
         bp = jnp.where(both, b, jnp.zeros_like(b))
         det = ap * cp - bp * bp
         det = jnp.where(det == 0.0, jnp.ones_like(det), det)
+        rdet = 1.0 / det        # one reciprocal shared by all columns
         n_cols = len(cols[0])
         out0 = []
         out1 = []
         for i in range(n_cols):
             v0, v1 = cols[0][i], cols[1][i]
-            s0 = (cp * v0 - bp * v1) / det
-            s1 = (ap * v1 - bp * v0) / det
+            s0 = (cp * v0 - bp * v1) * rdet
+            s1 = (ap * v1 - bp * v0) * rdet
             out0.append(jnp.where(free[0], -s0, jnp.zeros_like(s0)))
             out1.append(jnp.where(free[1], -s1, jnp.zeros_like(s1)))
         return [out0, out1]
@@ -334,12 +349,14 @@ def _free_solve_rows(quuF, free, cols, m):
     A22 = a * dd - b * b
     det = a * A00 + b * A01 + c * A02
     det = jnp.where(det == 0.0, one, det)
+    rdet = 1.0 / det            # one reciprocal shared by all columns
     adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
     out = [[], [], []]
     for i in range(len(cols[0])):
         v = [cols[0][i], cols[1][i], cols[2][i]]
         for j in range(3):
-            s = (adj[j][0] * v[0] + adj[j][1] * v[1] + adj[j][2] * v[2]) / det
+            s = (adj[j][0] * v[0] + adj[j][1] * v[1]
+                 + adj[j][2] * v[2]) * rdet
             out[j].append(jnp.where(free[j], -s, zero))
     return out
 
