@@ -18,6 +18,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: the interpret-mode fused-kernel tests are
+# ~100% CPU compile time (the kernel body unrolls T×A steps; measured
+# 275 s compile / 0.3 s run for one fused solve). The cache is
+# multi-process safe, so xdist workers and repeat suite runs share it.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import pytest  # noqa: E402
 
 

@@ -72,10 +72,13 @@ def test_batched_matches_shared_when_identical():
         lambda a: jnp.asarray(a, jnp.float32), pend.default_params())
     batched = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(), base)
+    # short horizon + 3-α schedule: this test compiles TWO interpret-mode
+    # fused programs (shared- and batched-params kernels), and compile
+    # time scales with the unrolled body size (T × candidates)
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=5)
+                       max_iter=4, alphas=(1.0, 0.3, 0.03))
     x0 = jnp.asarray([[0.3, 0.0], [-0.2, 0.1]], jnp.float32)
-    u0 = jnp.zeros((15, 1), jnp.float32)
+    u0 = jnp.zeros((8, 1), jnp.float32)
     s_shared = solve_batch_fused(m, base, cfg, 0.05, x0, u0)
     s_batched = solve_batch_fused(m, batched, cfg, 0.05, x0, u0,
                                   params_batched=True)

@@ -20,6 +20,12 @@ def _p32(model):
 ALL_PALLAS = dict(backward_kernel="pallas", rollout_kernel="pallas",
                   deriv_kernel="pallas")
 
+# Interpret-mode fused tests are ~100% CPU compile time, and the compile
+# scales with the unrolled kernel-body size (T × number of α-candidates).
+# Non-slow tests use a short 3-α schedule — the selection semantics are
+# identical, only the schedule length differs.
+FAST_ALPHAS = (1.0, 0.3, 0.03)
+
 
 @pytest.mark.slow
 def test_matches_vmapped_path():
@@ -45,9 +51,9 @@ def test_pendulum_converges():
     m = get_model("pendulum")
     p = _p32(m)
     x0 = jnp.zeros((2, 2), jnp.float32)
-    u0 = jnp.zeros((20, 1), jnp.float32)
+    u0 = jnp.zeros((10, 1), jnp.float32)
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=10, **ALL_PALLAS)
+                       max_iter=10, alphas=FAST_ALPHAS, **ALL_PALLAS)
     fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
     ref = solve_batch(m, p, cfg, 0.05, x0, u0)
     np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
@@ -60,8 +66,8 @@ def test_identical_lanes_identical_results():
     x0 = jnp.broadcast_to(jnp.asarray([0.1, -0.05, 0.0, 0.0], jnp.float32),
                           (4, 4))
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                       max_iter=5, **ALL_PALLAS)
-    fus = solve_batch_fused(m, p, cfg, 0.02, x0, jnp.zeros((19, 1),
+                       max_iter=5, alphas=FAST_ALPHAS, **ALL_PALLAS)
+    fus = solve_batch_fused(m, p, cfg, 0.02, x0, jnp.zeros((8, 1),
                                                            jnp.float32))
     c = np.asarray(fus.cost)
     assert np.all(c == c[0])
@@ -259,8 +265,9 @@ def test_unroll_chunking_is_exact():
     p = _p32(m)
     rng = np.random.default_rng(4)
     x0 = jnp.asarray(rng.normal(size=(2, 2)) * 0.2, jnp.float32)
-    u0 = jnp.zeros((10, 1), jnp.float32)
-    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=3)
+    u0 = jnp.zeros((6, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=3,
+              alphas=FAST_ALPHAS)
     s1 = solve_batch_fused(m, p, SolverConfig(fused_unroll=1, **kw),
                            0.05, x0, u0)
     s2 = solve_batch_fused(m, p, SolverConfig(fused_unroll=2, **kw),
