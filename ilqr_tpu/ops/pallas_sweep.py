@@ -573,13 +573,18 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
             for l in range(1, n):
                 acc = acc + vxx[kk, l] * fxc[l][j]
             w[kk][j] = acc
+    # Qxx = cxx + FxᵀVxxFx is symmetric — compute the upper triangle and
+    # mirror (the reference symmetrizes Vxx explicitly, ilqr_core.cpp:393;
+    # here symmetry is exact by construction)
     qxx = [[None] * n for _ in range(n)]
     for i in range(n):
-        for j in range(n):
+        for j in range(i, n):
             acc = cxx1[i][j]
             for kk in range(n):
                 acc = acc + fxc[kk][i] * w[kk][j]
             qxx[i][j] = acc
+            if i != j:
+                qxx[j][i] = acc
 
     if not use_limits:
         k_i, free, bad = _qp_newton(quuF, qu, m)
@@ -624,18 +629,21 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
             acc = (acc + Krow[c][i] * quu_k[c] + Krow[c][i] * qu[c]
                    + qux[c][i] * k_i[c])
         vx[i] = jnp.where(valid, acc, vx[i])
-    vxx_new = [[None] * n for _ in range(n)]
+    # Vxx update is symmetric too: upper triangle once, one masked select
+    # per entry, written to both mirror slots (vxx stays exactly
+    # symmetric across steps, so reading vxx[i, j] for the old value is
+    # safe for both).
     for i in range(n):
-        for j in range(n):
+        for j in range(i, n):
             acc = qxx[i][j]
             for c in range(m):
                 for d in range(m):
                     acc = acc + Krow[c][i] * quu[c][d] * Krow[d][j]
                 acc = acc + Krow[c][i] * qux[c][j] + qux[c][i] * Krow[c][j]
-            vxx_new[i][j] = acc
-    for i in range(n):
-        for j in range(n):
-            vxx[i, j] = jnp.where(valid, vxx_new[i][j], vxx[i, j])
+            v = jnp.where(valid, acc, vxx[i, j])
+            vxx[i, j] = v
+            if i != j:
+                vxx[j, i] = v
 
     for jm in range(m):
         k_ref[_j, jm, 0] = k_i[jm]
