@@ -213,9 +213,6 @@ def jac_soa(p: AcrobotParams, x, u):
         # in the VPU lowering)
         return ((h22 * r1 - h12 * r2) * rdet, (h11 * r2 - h12 * r1) * rdet)
 
-    zero = jnp.zeros_like(q1)
-    one = jnp.ones_like(q1)
-
     # ∂b/∂q1 (M does not depend on q1)
     db1_q1 = -(m1 * g * lc1 * c1 + m2 * g * (l1 * c1 + lc2 * c12))
     db2_q1 = -m2 * g * lc2 * c12
@@ -233,39 +230,42 @@ def jac_soa(p: AcrobotParams, x, u):
     # ∂b/∂q̇1 = (-c11, -2 c21); ∂b/∂q̇2 = (2k s2 q̇1 + 2 m2 l2 lc2 s2 q̇2, 0)
     a2_qd1, a3_qd1 = msolve(-c11, -2.0 * c21)
     db1_qd2 = 2.0 * kks2 * qd1 + 2.0 * m2 * l2 * lc2 * s2 * qd2
-    a2_qd2, a3_qd2 = msolve(db1_qd2, zero)
+    a2_qd2 = h22 * db1_qd2 * rdet        # msolve(db1_qd2, 0) hand-folded
+    a3_qd2 = -h12 * db1_qd2 * rdet
 
-    # ∂f/∂u = (0, 0, M⁻¹ e₂)
-    b2_u, b3_u = msolve(zero, one)
+    # ∂f/∂u = (0, 0, M⁻¹ e₂) — msolve(0, 1) hand-folded
+    b2_u = -h12 * rdet
+    b3_u = h11 * rdet
 
-    A = [[zero, zero, one, zero],
-         [zero, zero, zero, one],
+    # Structural constants stay Python floats: the merged sweep kernel
+    # folds them out at trace time (ops/pallas_sweep.py _fmul/_fadd).
+    A = [[0.0, 0.0, 1.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0],
          [a2_q1, a2_q2, a2_qd1, a2_qd2],
          [a3_q1, a3_q2, a3_qd1, a3_qd2]]
-    B = [[zero], [zero], [b2_u], [b3_u]]
+    B = [[0.0], [0.0], [b2_u], [b3_u]]
     return A, B
 
 
 def cost_derivs_soa(p: AcrobotParams, x, u):
     ks, kd, kr = p.k_run[0], p.k_run[1], p.k_run[2]
     w = [ks * ks, ks * ks, kd * kd, kd * kd]
-    zero = jnp.zeros_like(x[0])
     cx = [-2.0 * w[i] * (p.goal[i] - x[i]) for i in range(4)]
     cu = [2.0 * kr * kr * u[0]]
-    cxx = [[2.0 * w[i] * jnp.ones_like(x[0]) if i == j else zero
-            for j in range(4)] for i in range(4)]
-    cxu = [[zero] for _ in range(4)]
-    cuu = [[2.0 * kr * kr * jnp.ones_like(x[0])]]
+    # structural zeros as Python floats (folded by the sweep kernel)
+    cxx = [[2.0 * w[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
+    cxu = [[0.0] for _ in range(4)]
+    cuu = [[2.0 * kr * kr]]
     return cx, cu, cxx, cxu, cuu
 
 
 def final_cost_derivs_soa(p: AcrobotParams, x):
     ks, kd = p.k_final[0], p.k_final[1]
     w = [ks * ks, ks * ks, kd * kd, kd * kd]
-    zero = jnp.zeros_like(x[0])
     cx = [-2.0 * w[i] * (p.goal[i] - x[i]) for i in range(4)]
-    cxx = [[2.0 * w[i] * jnp.ones_like(x[0]) if i == j else zero
-            for j in range(4)] for i in range(4)]
+    cxx = [[2.0 * w[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
     return cx, cxx
 
 

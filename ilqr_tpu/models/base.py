@@ -60,6 +60,11 @@ class Model:
     #   cost_derivs_soa(p, x, u) -> (cx[n], cu[m], cxx[n][n],
     #     cxu[n][m], cuu[m][m]) — derivatives of ``cost``.
     #   final_cost_derivs_soa(p, x) -> (cx[n], cxx[n][n]).
+    # Entries that are STRUCTURALLY constant (zeros, the [0 I] velocity
+    # rows, …) should be plain Python floats, not tiles: the sweep kernel
+    # folds x·0 / x·1 / +0 with such constants out of the trace
+    # (ops/pallas_sweep.py _fmul/_fadd) — Mosaic does not algebraically
+    # simplify them, and mechanical models are mostly structural zeros.
     jac_soa: Any = None
     cost_derivs_soa: Any = None
     final_cost_derivs_soa: Any = None

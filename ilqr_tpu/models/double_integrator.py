@@ -77,38 +77,34 @@ def final_cost_soa(p: DoubleIntegratorParams, x):
 
 
 def jac_soa(p: DoubleIntegratorParams, x, u):
-    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py)."""
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
-    inv_m = one / p.mass
-    A = [[zero, zero, one, zero],
-         [zero, zero, zero, one],
-         [zero, zero, zero, zero],
-         [zero, zero, zero, zero]]
-    B = [[zero, zero], [zero, zero], [inv_m, zero], [zero, inv_m]]
+    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py).
+    Structural constants stay Python floats — the merged sweep kernel
+    folds them out at trace time."""
+    inv_m = 1.0 / p.mass
+    A = [[0.0, 0.0, 1.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0],
+         [0.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 0.0]]
+    B = [[0.0, 0.0], [0.0, 0.0], [inv_m, 0.0], [0.0, inv_m]]
     return A, B
 
 
 def cost_derivs_soa(p: DoubleIntegratorParams, x, u):
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     cx = [-2.0 * p.hx_diag[i] * (p.goal[i] - x[i]) for i in range(4)]
     cu = [2.0 * p.hu_diag[j] * u[j] for j in range(2)]
-    cxx = [[2.0 * p.hx_diag[i] * one if i == j else zero
-            for j in range(4)] for i in range(4)]
-    cxu = [[zero, zero] for _ in range(4)]
-    cuu = [[2.0 * p.hu_diag[i] * one if i == j else zero
-            for j in range(2)] for i in range(2)]
+    cxx = [[2.0 * p.hx_diag[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
+    cxu = [[0.0, 0.0] for _ in range(4)]
+    cuu = [[2.0 * p.hu_diag[i] if i == j else 0.0 for j in range(2)]
+           for i in range(2)]
     return cx, cu, cxx, cxu, cuu
 
 
 def final_cost_derivs_soa(p: DoubleIntegratorParams, x):
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     fs = p.final_scale
     cx = [-2.0 * fs * p.hx_diag[i] * (p.goal[i] - x[i]) for i in range(4)]
-    cxx = [[2.0 * fs * p.hx_diag[i] * one if i == j else zero
-            for j in range(4)] for i in range(4)]
+    cxx = [[2.0 * fs * p.hx_diag[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
     return cx, cxx
 
 

@@ -85,35 +85,31 @@ def final_cost_soa(p: PendulumParams, x):
 
 
 def jac_soa(p: PendulumParams, x, u):
-    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py)."""
+    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py).
+    Structural constants stay Python floats — the merged sweep kernel
+    folds them out at trace time."""
     inertia = p.mass * p.length * p.length
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     a10 = -p.gravity / p.length * jnp.cos(x[0])
-    a11 = -p.damping / inertia * one
-    A = [[zero, one], [a10, a11]]
-    B = [[zero], [one / inertia]]
+    a11 = -p.damping / inertia
+    A = [[0.0, 1.0], [a10, a11]]
+    B = [[0.0], [1.0 / inertia]]
     return A, B
 
 
 def cost_derivs_soa(p: PendulumParams, x, u):
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     cx = [-2.0 * p.w_state[i] * (p.goal[i] - x[i]) for i in range(2)]
     cu = [2.0 * p.w_control * u[0]]
-    cxx = [[2.0 * p.w_state[i] * one if i == j else zero
-            for j in range(2)] for i in range(2)]
-    cxu = [[zero], [zero]]
-    cuu = [[2.0 * p.w_control * one]]
+    cxx = [[2.0 * p.w_state[i] if i == j else 0.0 for j in range(2)]
+           for i in range(2)]
+    cxu = [[0.0], [0.0]]
+    cuu = [[2.0 * p.w_control]]
     return cx, cu, cxx, cxu, cuu
 
 
 def final_cost_derivs_soa(p: PendulumParams, x):
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     cx = [-2.0 * p.w_final[i] * (p.goal[i] - x[i]) for i in range(2)]
-    cxx = [[2.0 * p.w_final[i] * one if i == j else zero
-            for j in range(2)] for i in range(2)]
+    cxx = [[2.0 * p.w_final[i] if i == j else 0.0 for j in range(2)]
+           for i in range(2)]
     return cx, cxx
 
 

@@ -82,39 +82,35 @@ def final_cost_soa(p: PointMass3DParams, x):
 
 
 def jac_soa(p: PointMass3DParams, x, u):
-    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py)."""
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
-    inv_m = one / p.mass
-    A = [[zero] * 6 for _ in range(6)]
+    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py).
+    Structural constants stay Python floats — the merged sweep kernel
+    folds them out at trace time (A has only 3 nonzeros of 36)."""
+    inv_m = 1.0 / p.mass
+    A = [[0.0] * 6 for _ in range(6)]
     for i in range(3):
-        A[i][i + 3] = one
-    B = [[zero] * 3 for _ in range(6)]
+        A[i][i + 3] = 1.0
+    B = [[0.0] * 3 for _ in range(6)]
     for j in range(3):
         B[j + 3][j] = inv_m
     return A, B
 
 
 def cost_derivs_soa(p: PointMass3DParams, x, u):
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     cx = [-2.0 * p.hx_diag[i] * (p.goal[i] - x[i]) for i in range(6)]
     cu = [2.0 * p.hu_diag[j] * u[j] for j in range(3)]
-    cxx = [[2.0 * p.hx_diag[i] * one if i == j else zero
-            for j in range(6)] for i in range(6)]
-    cxu = [[zero] * 3 for _ in range(6)]
-    cuu = [[2.0 * p.hu_diag[i] * one if i == j else zero
-            for j in range(3)] for i in range(3)]
+    cxx = [[2.0 * p.hx_diag[i] if i == j else 0.0 for j in range(6)]
+           for i in range(6)]
+    cxu = [[0.0] * 3 for _ in range(6)]
+    cuu = [[2.0 * p.hu_diag[i] if i == j else 0.0 for j in range(3)]
+           for i in range(3)]
     return cx, cu, cxx, cxu, cuu
 
 
 def final_cost_derivs_soa(p: PointMass3DParams, x):
-    zero = jnp.zeros_like(x[0])
-    one = jnp.ones_like(x[0])
     fs = p.final_scale
     cx = [-2.0 * fs * p.hx_diag[i] * (p.goal[i] - x[i]) for i in range(6)]
-    cxx = [[2.0 * fs * p.hx_diag[i] * one if i == j else zero
-            for j in range(6)] for i in range(6)]
+    cxx = [[2.0 * fs * p.hx_diag[i] if i == j else 0.0 for j in range(6)]
+           for i in range(6)]
     return cx, cxx
 
 

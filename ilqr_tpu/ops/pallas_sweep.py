@@ -47,6 +47,53 @@ S = 8
 L = 128
 
 
+# --- trace-time constant folding -------------------------------------------
+# Models may return plain Python numbers (0.0, 1.0, …) for structurally
+# constant Jacobian/Hessian entries (see the SoA contract in models/base.py).
+# These helpers fold multiplies/adds with such constants out of the kernel at
+# trace time: Mosaic does not algebraically simplify x·0 or x·1 tile ops, and
+# the Riccati recursion is dense in structurally sparse fx/fu (e.g.
+# point_mass_3d has 3 nonzeros in its 6×6 A; every mechanical model's
+# position rows are [0 I]).
+
+def _is_const(v):
+    return isinstance(v, (int, float))
+
+
+def _fmul(a, b):
+    if _is_const(a):
+        if _is_const(b):
+            return a * b
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+    if _is_const(b):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _fadd(a, b):
+    if _is_const(a):
+        if _is_const(b):
+            return a + b
+        if a == 0.0:
+            return b
+    if _is_const(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def _tile(v, like):
+    """Materialize a possibly-constant folded value as a tile like ``like``."""
+    if _is_const(v):
+        return jnp.full_like(like, v)
+    return v
+
+
 def _basis(k, dims, like):
     one = jnp.ones_like(like)
     zero = jnp.zeros_like(like)
@@ -431,10 +478,16 @@ def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
         xT = jnp.stack([xsT_ref[i, 0] for i in range(n)])
         if use_analytic:
             fcx, fcxx = model.final_cost_derivs_soa(p, xT)
+
+            def bc0(v):
+                if _is_const(v):
+                    return jnp.full((S, L), v, jnp.float32)
+                return jnp.broadcast_to(v, (S, L))
+
             for i in range(n):
-                vx[i] = jnp.broadcast_to(fcx[i], (S, L))
+                vx[i] = bc0(fcx[i])
                 for j in range(n):
-                    vxx[i, j] = jnp.broadcast_to(fcxx[i][j], (S, L))
+                    vxx[i, j] = bc0(fcxx[i][j])
         else:
             uT = jnp.zeros((m, S, L), jnp.float32)
             ei, d1, d2 = make_dops(xT, uT)
@@ -480,19 +533,21 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
     tile = x[0]
     if use_analytic:
         A, B = model.jac_soa(p, x, u)
-        eyev = jnp.ones_like(tile)
-        fxc = [[dt * A[r][i] + (eyev if r == i else 0.0)
+        # fx = I + dt·A, fu = dt·B — structural zeros/ones in A, B stay
+        # Python constants and fold out of every product below
+        fxc = [[_fadd(_fmul(dt, A[r][i]), 1.0 if r == i else 0.0)
                 for i in range(n)] for r in range(n)]
-        fuc = [[dt * B[r][j] for j in range(m)] for r in range(n)]
+        fuc = [[_fmul(dt, B[r][j]) for j in range(m)] for r in range(n)]
         cx1, cu1, cxx1, cxu1, cuu1 = model.cost_derivs_soa(p, x, u)
-        cx1 = [jnp.broadcast_to(v, (S, L)) for v in cx1]
-        cu1 = [jnp.broadcast_to(v, (S, L)) for v in cu1]
-        cxx1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
-                for row in cxx1]
-        cxu1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
-                for row in cxu1]
-        cuu1 = [[jnp.broadcast_to(v, (S, L)) for v in row]
-                for row in cuu1]
+
+        def bc(v):
+            return v if _is_const(v) else jnp.broadcast_to(v, (S, L))
+
+        cx1 = [bc(v) for v in cx1]
+        cu1 = [bc(v) for v in cu1]
+        cxx1 = [[bc(v) for v in row] for row in cxx1]
+        cxu1 = [[bc(v) for v in row] for row in cxu1]
+        cuu1 = [[bc(v) for v in row] for row in cuu1]
     else:
         ei, d1, d2, step_fn, cost_fn = dops
         fxc = [[None] * n for _ in range(n)]
@@ -523,33 +578,39 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
                 cuu1[i][j] = h
                 cuu1[j][i] = h
 
-    # --- backward step (ref ilqr_core.cpp:359-393)
+    # --- backward step (ref ilqr_core.cpp:359-393). V-carries preloaded
+    # once per step (all entries are consumed below anyway); accumulations
+    # go through the constant-folding helpers so structurally-zero fx/fu
+    # entries never emit tile ops.
     lam = lam_ref[0]
+    vxl = [vx[i] for i in range(n)]
+    vxxl = [[vxx[i, j] for j in range(n)] for i in range(n)]
     # fuᵀVxx: (m, n)
     fuT_vxx = [[None] * n for _ in range(m)]
     for jm in range(m):
         for jn_ in range(n):
-            acc = fuc[0][jm] * vxx[0, jn_]
-            for i in range(1, n):
-                acc = acc + fuc[i][jm] * vxx[i, jn_]
+            acc = 0.0
+            for i in range(n):
+                acc = _fadd(acc, _fmul(fuc[i][jm], vxxl[i][jn_]))
             fuT_vxx[jm][jn_] = acc
 
     qu = []
     for jm in range(m):
         acc = cu1[jm]
         for i in range(n):
-            acc = acc + fuc[i][jm] * vx[i]
-        qu.append(acc)
+            acc = _fadd(acc, _fmul(fuc[i][jm], vxl[i]))
+        qu.append(_tile(acc, tile))
 
     quu = [[None] * m for _ in range(m)]
     for im in range(m):
         for jm in range(im, m):
             acc = cuu1[im][jm]
             for i in range(n):
-                acc = acc + fuT_vxx[im][i] * fuc[i][jm]
+                acc = _fadd(acc, _fmul(fuT_vxx[im][i], fuc[i][jm]))
+            acc = _tile(acc, tile)
             quu[im][jm] = acc
             quu[jm][im] = acc
-    quuF = [[quu[im][jm] + (lam if im == jm else 0.0)
+    quuF = [[_tile(_fadd(quu[im][jm], lam if im == jm else 0.0), tile)
              for jm in range(m)] for im in range(m)]
 
     # qux (m, n) and qx (n)
@@ -558,20 +619,20 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
     for jn_ in range(n):
         accx = cx1[jn_]
         for i in range(n):
-            accx = accx + fxc[i][jn_] * vx[i]
-        qx[jn_] = accx
+            accx = _fadd(accx, _fmul(fxc[i][jn_], vxl[i]))
+        qx[jn_] = _tile(accx, tile)
         for jm in range(m):
             accq = cxu1[jn_][jm]
             for i in range(n):
-                accq = accq + fuT_vxx[jm][i] * fxc[i][jn_]
-            qux[jm][jn_] = accq
+                accq = _fadd(accq, _fmul(fuT_vxx[jm][i], fxc[i][jn_]))
+            qux[jm][jn_] = _tile(accq, tile)
 
     w = [[None] * n for _ in range(n)]
     for kk in range(n):
         for j in range(n):
-            acc = vxx[kk, 0] * fxc[0][j]
-            for l in range(1, n):
-                acc = acc + vxx[kk, l] * fxc[l][j]
+            acc = 0.0
+            for l in range(n):
+                acc = _fadd(acc, _fmul(vxxl[kk][l], fxc[l][j]))
             w[kk][j] = acc
     # Qxx = cxx + FxᵀVxxFx is symmetric — compute the upper triangle and
     # mirror (the reference symmetrizes Vxx explicitly, ilqr_core.cpp:393;
@@ -581,7 +642,8 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
         for j in range(i, n):
             acc = cxx1[i][j]
             for kk in range(n):
-                acc = acc + fxc[kk][i] * w[kk][j]
+                acc = _fadd(acc, _fmul(fxc[kk][i], w[kk][j]))
+            acc = _tile(acc, tile)
             qxx[i][j] = acc
             if i != j:
                 qxx[j][i] = acc
@@ -628,7 +690,7 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
         for c in range(m):
             acc = (acc + Krow[c][i] * quu_k[c] + Krow[c][i] * qu[c]
                    + qux[c][i] * k_i[c])
-        vx[i] = jnp.where(valid, acc, vx[i])
+        vx[i] = jnp.where(valid, acc, vxl[i])
     # Vxx update is symmetric too: upper triangle once, one masked select
     # per entry, written to both mirror slots (vxx stays exactly
     # symmetric across steps, so reading vxx[i, j] for the old value is
@@ -640,7 +702,7 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
                 for d in range(m):
                     acc = acc + Krow[c][i] * quu[c][d] * Krow[d][j]
                 acc = acc + Krow[c][i] * qux[c][j] + qux[c][i] * Krow[c][j]
-            v = jnp.where(valid, acc, vxx[i, j])
+            v = jnp.where(valid, acc, vxxl[i][j])
             vxx[i, j] = v
             if i != j:
                 vxx[j, i] = v

@@ -190,3 +190,50 @@ def test_pendulum_and_cartpole_shapes():
         assert m.dynamics(p, x, u).shape == (m.n,)
         assert m.cost(p, x, u).shape == ()
         assert m.final_cost(p, x).shape == ()
+
+
+def test_jac_soa_structural_constants_are_python_floats():
+    """The SoA derivative contract (models/base.py): structurally-constant
+    Jacobian/Hessian entries must be plain Python floats so the merged
+    sweep kernel can fold them at trace time. Guards the velocity-form
+    structure of every registered analytic model."""
+    import jax.numpy as jnp
+
+    for name in list_models():
+        m = get_model(name)
+        if not getattr(m, "has_analytic_soa", False):
+            continue
+        p = m.default_params()
+        x = jnp.zeros((m.n, 1)) + 0.1
+        u = jnp.zeros((m.m, 1)) + 0.1
+        A, B = m.jac_soa(p, x, u)
+        # position rows of a mechanical model are [0 I]: at least one
+        # structural constant must exist and be a float
+        consts = [v for row in A for v in row if isinstance(v, float)]
+        assert consts, f"{name}: jac_soa returned no folded constants"
+        _cx, _cu, cxx, cxu, _cuu = m.cost_derivs_soa(p, x, u)
+        offdiag = [cxx[i][j] for i in range(m.n) for j in range(m.n)
+                   if i != j]
+        assert all(isinstance(v, float) for v in offdiag), (
+            f"{name}: cxx off-diagonals should be folded Python floats")
+        assert all(isinstance(v, float) for row in cxu for v in row), (
+            f"{name}: cxu should be folded Python floats")
+
+
+def test_sweep_fold_helpers():
+    """_fmul/_fadd fold 0/1 constants at trace time and match dense
+    arithmetic on traced values."""
+    import jax.numpy as jnp
+
+    from ilqr_tpu.ops.pallas_sweep import _fadd, _fmul, _tile
+
+    t = jnp.asarray([2.0, -3.0])
+    assert _fmul(0.0, t) == 0.0 and _fmul(t, 0.0) == 0.0
+    assert _fmul(1.0, t) is t and _fmul(t, 1.0) is t
+    assert _fmul(2.0, 3.0) == 6.0
+    np.testing.assert_allclose(np.asarray(_fmul(2.0, t)), [4.0, -6.0])
+    assert _fadd(0.0, t) is t and _fadd(t, 0.0) is t
+    assert _fadd(1.5, 2.5) == 4.0
+    np.testing.assert_allclose(np.asarray(_fadd(t, t)), [4.0, -6.0])
+    np.testing.assert_allclose(np.asarray(_tile(2.0, t)), [2.0, 2.0])
+    assert _tile(t, t) is t
