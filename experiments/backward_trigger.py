@@ -1,11 +1,11 @@
-"""Measure how often the backward pass's FIRST λ attempt fails for any
-lane (the trigger rate a merged sweep+linesearch kernel's repair path
-would pay; same methodology as deep_trigger.py).
+"""Measure the backward pass's λ-retry distribution: how often the FIRST
+λ attempt fails for any lane (each such iteration pays a full extra sweep
+kernel call), and how often a retry needs a SECOND round (what a dual-λ
+in-kernel design could NOT absorb).
 
-Requires the TEMP instrumentation in ilqr_tpu/fused.py that accumulates
-per-iteration any(first-attempt-failed) into Solution.gnorm and the
-mean failed-lane fraction into Solution... (dcost is not surfaced; gnorm
-lane 0 carries the count, and we run a second config if needed).
+Requires the TEMP instrumentation in ilqr_tpu/fused.py (search "TEMP"):
+Solution.gnorm carries total retry rounds, Solution.dlam carries
+iters_with_any_first_attempt_failure + 1000·iters_with_2plus_rounds.
 """
 import json
 import sys
@@ -33,15 +33,17 @@ x0 = jnp.asarray(0.05 * rng.normal(size=(1024, 4)), jnp.float32)
 u0 = jnp.zeros((1024, 499, 1), jnp.float32)
 t0 = time.perf_counter()
 sol = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
-code = float(np.asarray(sol.gnorm)[0])
-iters_with_any_fail = int(round(code)) % 1000
-retry_rounds = int(round(code)) // 1000
+rounds_total = int(round(float(np.asarray(sol.gnorm)[0])))
+code = int(round(float(np.asarray(sol.dlam)[0])))
+iters_with_any_fail = code % 1000
+iters_with_2plus = code // 1000
 total_iters = int(np.asarray(sol.iterations).max())
 print(json.dumps({
     "B": 1024, "T": 499, "block_iterations": total_iters,
     "iters_with_any_first_attempt_failure": iters_with_any_fail,
-    "total_retry_rounds": retry_rounds,
+    "iters_with_2plus_retry_rounds": iters_with_2plus,
+    "total_retry_rounds": rounds_total,
     "trigger_rate": round(iters_with_any_fail / max(total_iters, 1), 3),
-    "mean_rounds_per_iter": round(retry_rounds / max(total_iters, 1), 2),
+    "mean_rounds_per_iter": round(rounds_total / max(total_iters, 1), 2),
     "wall_s": round(time.perf_counter() - t0, 1),
 }), flush=True)

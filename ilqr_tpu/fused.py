@@ -179,9 +179,10 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
     # dormant while_loop: its cond is False whenever every live lane's
     # first attempt succeeded (~60 µs when not taken — loop probes in
-    # BENCH_NOTES.md). NOTE it is NOT rare: 70% of iterations have ≥1
-    # failing lane at B=1024 (experiments/backward_trigger.py), so the
-    # retry body is a first-class cost term.
+    # BENCH_NOTES.md). With the exactly-symmetric Vxx update in the sweep
+    # kernel the first attempt fails 0/100 iterations on the benchmark
+    # workload (experiments/backward_trigger.py — it was 70/100 when Vxx
+    # drifted asymmetric), so this really is a rare-repair path now.
     init = (lam1, dlam1, k_n, K_n, dV_n, g_n, ok1)
     lam, dlam, k, K, dV, gnorm, back_ok = lax.while_loop(
         bp_cond, bp_body, init)
