@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="scan",
                    help="assoc = parallel-in-time associative-scan backward "
                         "(unconstrained problems only)")
+    p.add_argument("--iter-kernel", choices=["auto", "merged", "split"],
+                   default="auto",
+                   help="fused solver: run the whole iteration (backward + "
+                        "line search) as ONE Pallas call with VMEM-resident "
+                        "gains (merged), or as two kernels (split); auto "
+                        "picks merged when the gain scratch fits VMEM")
     p.add_argument("--batch", type=int, default=0,
                    help="solve a batch of B perturbed problems instead of one")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -116,6 +122,7 @@ def main(argv=None) -> int:
         boxqp_mode=args.boxqp_mode,
         sweep_kernel=args.sweep_kernel,
         backward_mode=args.backward_mode,
+        iter_kernel=args.iter_kernel,
     )
     if args.backward_mode == "assoc" and cfg.use_control_limits:
         build_parser().error(

@@ -107,6 +107,17 @@ class SolverConfig:
     # that machinery across the (A+1)·T candidate sweep — the dominant
     # per-iteration term (BENCH_NOTES.md). Any TB ≥ 1 is exact (edge
     # steps are masked); 1 reproduces the unblocked kernel.
+    iter_kernel: str = "auto"  # fused solver: "merged" runs the WHOLE
+    # iteration (backward sweep + line search + epilogue) as ONE Pallas
+    # call with the gains resident in VMEM scratch — no k/K HBM round-trip
+    # and one kernel launch per iteration (ops/pallas_iter.py); "split" =
+    # the two-kernel path (merged sweep + line-search kernel). "auto"
+    # picks "merged" whenever the gain scratch fits the VMEM budget and
+    # the merged sweep is in use.
+    iter_time_block: int = 16  # whole-iteration kernel: timesteps per
+    # grid step. Smaller than sweep/ls_time_block because the streamed
+    # in/out pipeline buffers must share VMEM with the ~10 MB resident
+    # gain scratch.
     fused_unroll: int = 4  # fused solver: iterations unrolled per outer
     # while_loop step. On the axon TPU backend every loop iteration costs
     # ~0.4 ms of sync overhead (BENCH_NOTES.md loop probes); unrolling

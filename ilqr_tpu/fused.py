@@ -81,6 +81,94 @@ def _unpack_tail(y, bb):
     return jnp.transpose(y, perm)
 
 
+def _use_iter_kernel(model: Model, cfg: SolverConfig, T: int,
+                     n: int) -> bool:
+    """Whether the whole-iteration kernel (ops/pallas_iter.py) runs this
+    solve. "auto" requires the merged sweep and the VMEM gain scratch to
+    fit; an explicit "merged" defers the fit check to the kernel wrapper
+    (which raises with the actual numbers)."""
+    if cfg.iter_kernel == "split":
+        return False
+    if cfg.sweep_kernel != "merged":
+        if cfg.iter_kernel == "merged":
+            raise ValueError(
+                "iter_kernel='merged' requires sweep_kernel='merged' "
+                "(the whole-iteration kernel embeds the merged "
+                "linearize+backward sweep)")
+        return False
+    if cfg.iter_kernel == "merged":
+        return True
+    from ilqr_tpu.ops.pallas_iter import iter_kernel_fits
+
+    return iter_kernel_fits(T, model.m, n, cfg.iter_time_block)
+
+
+def _merged_iteration(model, cfg, packed_params, interpret, x0_p, state,
+                      frozen, live, alphas, kmode, factor):
+    """STEPs 1-4 as ONE kernel per backward attempt (ops/pallas_iter.py):
+    linearize+backward with the gains resident in VMEM, in-kernel gate
+    computation, candidate sweep, selection and predicated state emission.
+    λ-escalation retries (ref ilqr_core.cpp:136-150) re-run the kernel
+    with ``live`` restricted to the failed lanes; passthrough lanes
+    re-emit their state unchanged, so the retry loop is exact."""
+    from ilqr_tpu.ops.pallas_iter import iteration_packed
+
+    f32 = jnp.float32
+
+    def run_iter(lam, live_f, xs_body, x_term, us, k_old, K_old):
+        # cost_prev is per-lane invariant across retries (a retrying lane
+        # never stepped), so state.cost is correct for every attempt.
+        return iteration_packed(
+            model, cfg.integrator, cfg.clamp_forward, packed_params,
+            x0_p, xs_body, x_term, us, k_old, K_old, lam, state.cost,
+            live_f, alphas, mode=kmode, eps=cfg.fd_eps,
+            use_limits=cfg.use_control_limits, z_min=cfg.z_min,
+            tol_grad=cfg.tol_grad, lambda_grad_term=cfg.lambda_grad_term,
+            interpret=interpret, time_block=cfg.iter_time_block)
+
+    # attempt 1, unrolled (the all-lanes-succeed fast path — see the
+    # split-path comments below; retries are 0/100 on the benchmark
+    # workload since the exactly-symmetric Vxx update).
+    (xs1, us1, xf1, k1, K1, lsc1, asel1, acc1, dc1, ex1, div1,
+     g1) = run_iter(state.lam, live.astype(f32), state.xs_body,
+                    state.x_term, state.us, state.k, state.K)
+    ok1 = frozen | (div1 < 0.5)
+    failed1 = live & ~ok1
+    dlam1 = jnp.where(failed1, jnp.maximum(state.dlam * factor, factor),
+                      state.dlam)
+    lam1 = jnp.where(failed1,
+                     jnp.maximum(state.lam * dlam1, cfg.lambda_min),
+                     state.lam)
+
+    def cond(c):
+        return jnp.any(~c[0] & (c[1] <= cfg.lambda_max))
+
+    def body(c):
+        (ok, lam, dlam, xs, xf, us, k, K, lsc, accf, dc, ex, g) = c
+        retry = ~ok
+        (xs, us, xf, k, K, lsc_n, _asel_n, acc_n, dc_n, ex_n, div_n,
+         g_n) = run_iter(lam, retry.astype(f32), xs, xf, us, k, K)
+        lsc = jnp.where(retry, lsc_n, lsc)
+        accf = jnp.where(retry, acc_n, accf)
+        dc = jnp.where(retry, dc_n, dc)
+        ex = jnp.where(retry, ex_n, ex)
+        g = jnp.where(retry, g_n, g)
+        new_ok = div_n < 0.5
+        failed = retry & ~new_ok
+        dlam_n = jnp.where(failed, jnp.maximum(dlam * factor, factor),
+                           dlam)
+        lam_n = jnp.where(failed,
+                          jnp.maximum(lam * dlam_n, cfg.lambda_min), lam)
+        return (ok | (retry & new_ok), lam_n, dlam_n, xs, xf, us, k, K,
+                lsc, accf, dc, ex, g)
+
+    init = (ok1, lam1, dlam1, xs1, xf1, us1, k1, K1, lsc1, acc1, dc1,
+            ex1, g1)
+    (back_ok, lam, dlam, xs, xf, us, k, K, lsc, accf, dc, ex,
+     g) = lax.while_loop(cond, body, init)
+    return (lam, dlam, back_ok, g, xs, us, xf, k, K, lsc, accf, dc, ex)
+
+
 def _iteration(model: Model, cfg: SolverConfig, packed_params,
                u_min, u_max, interpret, x0_p,
                state: FusedState) -> FusedState:
@@ -90,6 +178,30 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     f32 = jnp.float32
     factor = jnp.asarray(cfg.lambda_factor, f32)
     kmode = "jvp" if cfg.deriv_mode == "analytic" else "fd"
+
+    # Lanes past their budget are frozen exactly like done lanes — needed
+    # because the outer loop is unrolled in chunks of cfg.fused_unroll, so
+    # up to U−1 sub-iterations can run past max_iter (masked, ref :285).
+    frozen = state.done | (state.iteration >= cfg.max_iter)
+    live = ~frozen
+    alphas = jnp.asarray([float(a) for a in cfg.alphas], f32)
+
+    if _use_iter_kernel(model, cfg, T, n):
+        (lam, dlam, back_ok, gnorm, xs_body_new, us_new, xterm_new,
+         k_new, K_new, ls_cost, acc_f, ls_dcost,
+         ls_expected) = _merged_iteration(
+            model, cfg, packed_params, interpret, x0_p, state, frozen,
+            live, alphas, kmode, factor)
+        # gradient-norm termination (ref :153-159) — identical to the
+        # kernel's in-register gate, recomputed here for bookkeeping
+        grad_term = (back_ok & (gnorm < cfg.tol_grad)
+                     & (lam < cfg.lambda_grad_term))
+        accepted = back_ok & (acc_f > 0.5)
+        take_step = accepted & ~grad_term & live
+        return _finish_iteration(
+            cfg, state, frozen, lam, dlam, gnorm, grad_term, accepted,
+            take_step, xs_body_new, us_new, xterm_new, k_new, K_new,
+            ls_cost, ls_dcost, ls_expected, factor)
 
     # ---- STEPs 1+2 combined per backward attempt. "merged" re-derives
     # the linearization inside the backward kernel every attempt (no HBM
@@ -132,11 +244,6 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                 axis=0)
             return k1, K1[:, None], dv1, div1, g1
 
-    # Lanes past their budget are frozen exactly like done lanes — needed
-    # because the outer loop is unrolled in chunks of cfg.fused_unroll, so
-    # up to U−1 sub-iterations can run past max_iter (masked, ref :285).
-    frozen = state.done | (state.iteration >= cfg.max_iter)
-
     # ---- STEP 2: backward with per-lane λ escalation (ref :136-150).
     # The first attempt is UNROLLED (no loop): on the axon backend every
     # while_loop iteration costs ~0.4 ms of sync overhead (see
@@ -168,7 +275,6 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
     # lane_freeze below restore them — so no whole-array masking thunks
     # are spent here.
     k_n, K_n, dV_n, div_n, g_n = run_backward(state.lam)
-    live = ~frozen
     ok1 = frozen | (div_n < 0.5)
     failed1 = live & ~ok1
     dlam1 = jnp.where(failed1, jnp.maximum(state.dlam * factor, factor),
@@ -202,7 +308,6 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
     gate = (back_ok & ~grad_term & live).astype(f32)
     keep = (back_ok & live).astype(f32)
-    alphas = jnp.asarray([float(a) for a in cfg.alphas], f32)
     (xs_body_new, us_new, xterm_new, k_new, K_new, ls_cost, _alpha_sel,
      acc_f, ls_dcost, ls_expected) = linesearch_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
@@ -212,7 +317,20 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
 
     accepted = back_ok & (acc_f > 0.5)
     take_step = accepted & ~grad_term & live
+    return _finish_iteration(
+        cfg, state, frozen, lam, dlam, gnorm, grad_term, accepted,
+        take_step, xs_body_new, us_new, xterm_new, k_new, K_new,
+        ls_cost, ls_dcost, ls_expected, factor)
 
+
+def _finish_iteration(cfg, state, frozen, lam, dlam, gnorm, grad_term,
+                      accepted, take_step, xs_body_new, us_new, xterm_new,
+                      k_new, K_new, ls_cost, ls_dcost, ls_expected,
+                      factor) -> FusedState:
+    """Per-lane bookkeeping after the line search (small tiles, fused by
+    XLA): cost/λ schedule, termination, and the lane-sized freeze selects
+    (the kernels already froze xs/us via gate and k/K via keep)."""
+    f32 = jnp.float32
     # ---- remaining per-lane bookkeeping (small tiles, fused by XLA)
     cost_new = jnp.where(take_step, ls_cost, state.cost)
 

@@ -408,15 +408,10 @@ def _free_solve_rows(quuF, free, cols, m):
     return out
 
 
-def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
-            shapes,
-            params_ref, xs_ref, xsT_ref, us_ref, lam_ref,
-            k_ref, K_ref, dv_ref, div_ref, gnorm_ref,
-            vx, vxx, dv, div, gacc):
-    t = pl.program_id(1)
-    n_t = pl.num_programs(1)  # == NT (time blocks)
-    rb = n_t - 1 - t          # array time-block processed at this step
-    p, dt = unpack_params(params_ref, treedef, shapes)
+def _model_closures(model, n, m, integrator, mode, eps, p, dt):
+    """Model step/cost closures + tangent-derivative helpers over the
+    in-kernel params pytree ``p``. Shared by the merged sweep kernel and
+    the whole-iteration kernel (ops/pallas_iter.py)."""
 
     def step_fn(xv, uv):
         d = model.dynamics_soa(p, xv, uv)
@@ -471,38 +466,60 @@ def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
     # fx = I + dt·A, fu = dt·B). FD mode keeps the reference stencils.
     use_analytic = (mode == "jvp" and integrator == "euler"
                     and model.has_analytic_soa)
+    return step_fn, cost_fn, final_fn, make_dops, use_analytic
+
+
+def _terminal_init(model, n, m, use_analytic, make_dops, final_fn, p,
+                   xsT_ref, vx, vxx, dv, div, gacc):
+    """V_T from final_cost, differentiated in-kernel; zero the backward
+    accumulators (dv, diverged flag, gnorm accumulator)."""
+    xT = jnp.stack([xsT_ref[i, 0] for i in range(n)])
+    if use_analytic:
+        fcx, fcxx = model.final_cost_derivs_soa(p, xT)
+
+        def bc0(v):
+            if _is_const(v):
+                return jnp.full((S, L), v, jnp.float32)
+            return jnp.broadcast_to(v, (S, L))
+
+        for i in range(n):
+            vx[i] = bc0(fcx[i])
+            for j in range(n):
+                vxx[i, j] = bc0(fcxx[i][j])
+    else:
+        uT = jnp.zeros((m, S, L), jnp.float32)
+        ei, d1, d2 = make_dops(xT, uT)
+        for i in range(n):
+            vx[i] = d1(final_fn, ei(i, True), at_x=xT)
+        for i in range(n):
+            for j in range(i, n):
+                h = d2(final_fn, ei(i, True), ei(j, True), at_x=xT)
+                vxx[i, j] = h
+                if i != j:
+                    vxx[j, i] = h
+    dv[0] = jnp.zeros((S, L), jnp.float32)
+    dv[1] = jnp.zeros((S, L), jnp.float32)
+    div[0] = jnp.zeros((S, L), jnp.float32)
+    gacc[0] = jnp.zeros((S, L), jnp.float32)
+
+
+def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
+            shapes,
+            params_ref, xs_ref, xsT_ref, us_ref, lam_ref,
+            k_ref, K_ref, dv_ref, div_ref, gnorm_ref,
+            vx, vxx, dv, div, gacc):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)  # == NT (time blocks)
+    rb = n_t - 1 - t          # array time-block processed at this step
+    p, dt = unpack_params(params_ref, treedef, shapes)
+    step_fn, cost_fn, final_fn, make_dops, use_analytic = _model_closures(
+        model, n, m, integrator, mode, eps, p, dt)
 
     # --- t == 0: V_T from final_cost, differentiated in-kernel
     @pl.when(t == 0)
     def _():
-        xT = jnp.stack([xsT_ref[i, 0] for i in range(n)])
-        if use_analytic:
-            fcx, fcxx = model.final_cost_derivs_soa(p, xT)
-
-            def bc0(v):
-                if _is_const(v):
-                    return jnp.full((S, L), v, jnp.float32)
-                return jnp.broadcast_to(v, (S, L))
-
-            for i in range(n):
-                vx[i] = bc0(fcx[i])
-                for j in range(n):
-                    vxx[i, j] = bc0(fcxx[i][j])
-        else:
-            uT = jnp.zeros((m, S, L), jnp.float32)
-            ei, d1, d2 = make_dops(xT, uT)
-            for i in range(n):
-                vx[i] = d1(final_fn, ei(i, True), at_x=xT)
-            for i in range(n):
-                for j in range(i, n):
-                    h = d2(final_fn, ei(i, True), ei(j, True), at_x=xT)
-                    vxx[i, j] = h
-                    if i != j:
-                        vxx[j, i] = h
-        dv[0] = jnp.zeros((S, L), jnp.float32)
-        dv[1] = jnp.zeros((S, L), jnp.float32)
-        div[0] = jnp.zeros((S, L), jnp.float32)
-        gacc[0] = jnp.zeros((S, L), jnp.float32)
+        _terminal_init(model, n, m, use_analytic, make_dops, final_fn, p,
+                       xsT_ref, vx, vxx, dv, div, gacc)
 
     # --- TB timesteps per grid step, processed in descending time order;
     # steps past T (the edge block, processed FIRST) are masked out of
@@ -513,8 +530,15 @@ def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
         u = jnp.stack([us_ref[_j, j, 0] for j in range(m)])
         if not use_analytic:
             ei, d1, d2 = make_dops(x, u)
+
+        def store_kK(jj, k_i, Krow):
+            for jm in range(m):
+                k_ref[jj, jm, 0] = k_i[jm]
+                for i in range(n):
+                    K_ref[jj, jm, i, 0] = Krow[jm][i]
+
         _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
-                    lam_ref, vx, vxx, dv, div, gacc, k_ref, K_ref,
+                    lam_ref, vx, vxx, dv, div, gacc, store_kK,
                     _j, valid, x, u,
                     None if use_analytic else (ei, d1, d2, step_fn,
                                                cost_fn))
@@ -528,7 +552,7 @@ def _kernel(model, n, m, T, TB, integrator, mode, eps, use_limits, treedef,
 
 
 def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
-                lam_ref, vx, vxx, dv, div, gacc, k_ref, K_ref,
+                lam_ref, vx, vxx, dv, div, gacc, store_kK,
                 _j, valid, x, u, dops):
     tile = x[0]
     if use_analytic:
@@ -707,10 +731,7 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
             if i != j:
                 vxx[j, i] = v
 
-    for jm in range(m):
-        k_ref[_j, jm, 0] = k_i[jm]
-        for i in range(n):
-            K_ref[_j, jm, i, 0] = Krow[jm][i]
+    store_kK(_j, k_i, Krow)
 
     # gradient-norm epilogue (ref ilqr_core.cpp:153-159): accumulate
     # max_j |k_j|/(|u_j|+1) per step; the mean over t is emitted at the

@@ -280,6 +280,150 @@ def test_unroll_chunking_is_exact():
                                atol=1e-6)
 
 
+def test_iter_kernel_matches_split_fast():
+    """The whole-iteration kernel (ops/pallas_iter: backward + line search
+    + epilogue in ONE pallas call) gives bit-identical results to the
+    two-kernel path — small pendulum problem, fast schedule."""
+    m = get_model("pendulum")
+    p = _p32(m)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.normal(size=(2, 2)) * 0.2, jnp.float32)
+    u0 = jnp.zeros((8, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=4,
+              alphas=FAST_ALPHAS)
+    s = solve_batch_fused(m, p, SolverConfig(iter_kernel="split", **kw),
+                          0.05, x0, u0)
+    g = solve_batch_fused(m, p, SolverConfig(iter_kernel="merged", **kw),
+                          0.05, x0, u0)
+    # split and merged are different compiled programs, so non-clamped
+    # values may differ at the 1-ULP level (fusion/contraction); logic
+    # outcomes (iteration counts, λ schedule) must be identical
+    np.testing.assert_allclose(np.asarray(s.cost), np.asarray(g.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.us), np.asarray(g.us),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.K), np.asarray(g.K),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s.iterations),
+                                  np.asarray(g.iterations))
+    np.testing.assert_array_equal(np.asarray(s.reason),
+                                  np.asarray(g.reason))
+    np.testing.assert_allclose(np.asarray(s.lam), np.asarray(g.lam),
+                               rtol=1e-6)
+
+
+def test_iter_kernel_edge_time_block():
+    """iter_time_block that does not divide T: the masked edge block must
+    be EXACT — the merged kernel at TB=4 (edge block of 3) is bitwise
+    identical to TB=7 (single full block) on a T=7 problem."""
+    m = get_model("pendulum")
+    p = _p32(m)
+    rng = np.random.default_rng(8)
+    x0 = jnp.asarray(rng.normal(size=(2, 2)) * 0.2, jnp.float32)
+    u0 = jnp.zeros((7, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=3,
+              alphas=FAST_ALPHAS)
+    g7 = solve_batch_fused(
+        m, p, SolverConfig(iter_kernel="merged", iter_time_block=7, **kw),
+        0.05, x0, u0)
+    g4 = solve_batch_fused(
+        m, p, SolverConfig(iter_kernel="merged", iter_time_block=4, **kw),
+        0.05, x0, u0)
+    np.testing.assert_array_equal(np.asarray(g7.cost), np.asarray(g4.cost))
+    np.testing.assert_array_equal(np.asarray(g7.us), np.asarray(g4.us))
+    np.testing.assert_array_equal(np.asarray(g7.K), np.asarray(g4.K))
+    np.testing.assert_array_equal(np.asarray(g7.iterations),
+                                  np.asarray(g4.iterations))
+
+
+@pytest.mark.slow
+def test_iter_kernel_m2_limits():
+    """Whole-iteration kernel at m=2 with binding control limits matches
+    the two-kernel path exactly."""
+    from ilqr_tpu.models import double_integrator as di
+
+    m = get_model("double_integrator")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        di.default_params(goal=(1.0, 0.5, 0.0, 0.0)))
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.3, jnp.float32)
+    u0 = jnp.zeros((15, 2), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=6,
+              alphas=FAST_ALPHAS)
+    s = solve_batch_fused(m, p, SolverConfig(iter_kernel="split", **kw),
+                          0.02, x0, u0)
+    g = solve_batch_fused(m, p, SolverConfig(iter_kernel="merged", **kw),
+                          0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(s.cost), np.asarray(g.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.us), np.asarray(g.us),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s.iterations),
+                                  np.asarray(g.iterations))
+
+
+@pytest.mark.slow
+def test_iter_kernel_unconstrained_and_warm():
+    """Whole-iteration kernel: unconstrained Newton mode and the fleet
+    warm start both match the two-kernel path."""
+    from ilqr_tpu.fused import solve_batch_fused_warm
+    from ilqr_tpu.models import double_integrator as di
+
+    m = get_model("double_integrator")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        di.default_params(goal=(1.0, 0.5, 0.0, 0.0)))
+    rng = np.random.default_rng(10)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.3, jnp.float32)
+    u0 = jnp.zeros((12, 2), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=False,
+              use_control_limits=False, max_iter=5, alphas=FAST_ALPHAS)
+    s = solve_batch_fused(m, p, SolverConfig(iter_kernel="split", **kw),
+                          0.02, x0, u0)
+    g = solve_batch_fused(m, p, SolverConfig(iter_kernel="merged", **kw),
+                          0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(s.cost), np.asarray(g.cost),
+                               rtol=1e-5)
+    ws = solve_batch_fused_warm(
+        m, p, SolverConfig(iter_kernel="split", **kw), 0.02, x0, s)
+    wg = solve_batch_fused_warm(
+        m, p, SolverConfig(iter_kernel="merged", **kw), 0.02, x0, g)
+    np.testing.assert_allclose(np.asarray(ws.cost), np.asarray(wg.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ws.us), np.asarray(wg.us),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_iter_kernel_vmem_guards():
+    """auto falls back to the two-kernel path when the gain scratch would
+    not fit VMEM; an explicit iter_kernel='merged' raises instead; and
+    'merged' without the merged sweep raises."""
+    from ilqr_tpu.fused import _use_iter_kernel
+    from ilqr_tpu.ops.pallas_iter import iter_kernel_fits
+
+    # flagship shapes fit; a long-horizon m=3/n=6 problem does not
+    assert iter_kernel_fits(499, 1, 4, 16)
+    assert not iter_kernel_fits(499, 3, 6, 16)
+
+    m3 = get_model("point_mass_3d")
+    cfg = SolverConfig()
+    assert _use_iter_kernel(m3, cfg, 99, 6)        # short horizon: fits
+    assert not _use_iter_kernel(m3, cfg, 499, 6)   # long horizon: split
+
+    with pytest.raises(ValueError, match="VMEM"):
+        solve_batch_fused(
+            m3, jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), _p32(m3)),
+            SolverConfig(iter_kernel="merged", max_iter=1,
+                         alphas=FAST_ALPHAS),
+            0.02, jnp.zeros((1, 6), jnp.float32),
+            jnp.zeros((499, 3), jnp.float32))
+    with pytest.raises(ValueError, match="sweep_kernel"):
+        _use_iter_kernel(m3, SolverConfig(iter_kernel="merged",
+                                          sweep_kernel="split"), 99, 6)
+
+
 def test_unsupported_configs_raise():
     tri = get_model("double_integrator")
     m = get_model("acrobot")
