@@ -1,7 +1,9 @@
 """Bench variants for profiling the fused iteration's cost split.
 
 Env: VAR_ALPHAS (candidate count, default 11), VAR_TB (ls time block),
-VAR_MAXIT, VAR_B, VAR_UNROLL, VAR_SWEEP (merged|split).
+VAR_MAXIT, VAR_B, VAR_UNROLL, VAR_SWEEP (merged|split),
+VAR_ITER (auto|merged|split — the whole-iteration kernel), VAR_ITB
+(iter_time_block).
 Semantics change with VAR_ALPHAS != 11 — profiling only.
 """
 
@@ -26,6 +28,8 @@ B = int(os.environ.get("VAR_B", "1024"))
 UNROLL = int(os.environ.get("VAR_UNROLL", "4"))
 SWEEP = os.environ.get("VAR_SWEEP", "merged")
 STB = int(os.environ.get("VAR_STB", "8"))
+ITER = os.environ.get("VAR_ITER", "auto")
+ITB = int(os.environ.get("VAR_ITB", "16"))
 
 
 def main():
@@ -40,7 +44,8 @@ def main():
     cfg = SolverConfig(
         deriv_mode="analytic", clamp_forward=True, max_iter=MAXIT,
         alphas=DEFAULT_ALPHAS[:A], ls_time_block=TB, fused_unroll=UNROLL,
-        sweep_kernel=SWEEP, sweep_time_block=STB)
+        sweep_kernel=SWEEP, sweep_time_block=STB,
+        iter_kernel=ITER, iter_time_block=ITB)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
     u0 = jnp.zeros((B, 499, 1), jnp.float32)
@@ -59,7 +64,8 @@ def main():
     print(json.dumps({
         "A": A, "TB": TB, "STB": STB, "maxit": MAXIT, "B": B,
         "unroll": UNROLL,
-        "sweep": SWEEP, "best_s": round(min(times), 4),
+        "sweep": SWEEP, "iter": ITER, "itb": ITB,
+        "best_s": round(min(times), 4),
         "per_iter_us": round(min(times) / MAXIT * 1e6, 1),
         "first_s": round(first, 1),
         "mean_cost": round(float(jnp.mean(sol.cost)), 4),

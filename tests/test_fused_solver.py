@@ -424,6 +424,94 @@ def test_iter_kernel_vmem_guards():
                                           sweep_kernel="split"), 99, 6)
 
 
+def _indefinite_model():
+    """1-D model whose running cost has PARAMETRIC control curvature: with
+    cuu < −λ_init the first backward attempt's Quu is non-PD, forcing the
+    λ-escalation retry loop (ref ilqr_core.cpp:136-150) that is dormant on
+    the benchmark workloads."""
+    from ilqr_tpu.models.base import Model
+
+    def dynamics(p, x, u):
+        return u
+
+    def cost(p, x, u):
+        return 0.5 * jnp.sum(x * x) + 0.5 * p.cuu * jnp.sum(u * u)
+
+    def final_cost(p, x):
+        return 5.0 * jnp.sum(x * x)
+
+    import collections
+
+    Params = collections.namedtuple("Params", ["cuu", "u_min", "u_max"])
+
+    def default_params():
+        return Params(cuu=jnp.asarray(1.0),
+                      u_min=jnp.asarray([-2.0]), u_max=jnp.asarray([2.0]))
+
+    def dynamics_soa(p, x, u):
+        return u
+
+    def cost_soa(p, x, u):
+        return 0.5 * x[0] * x[0] + 0.5 * p.cuu * u[0] * u[0]
+
+    def final_cost_soa(p, x):
+        return 5.0 * x[0] * x[0]
+
+    def jac_soa(p, x, u):
+        return [[0.0]], [[1.0]]
+
+    def cost_derivs_soa(p, x, u):
+        return ([x[0]], [p.cuu * u[0]], [[jnp.ones_like(x[0])]],
+                [[0.0]], [[p.cuu]])
+
+    def final_cost_derivs_soa(p, x):
+        return [10.0 * x[0]], [[jnp.full_like(x[0], 10.0)]]
+
+    return Model(
+        name="indefinite_1d", n=1, m=1, dynamics=dynamics, cost=cost,
+        final_cost=final_cost, default_params=default_params,
+        dynamics_soa=dynamics_soa, cost_soa=cost_soa,
+        final_cost_soa=final_cost_soa, jac_soa=jac_soa,
+        cost_derivs_soa=cost_derivs_soa,
+        final_cost_derivs_soa=final_cost_derivs_soa)
+
+
+def test_iter_kernel_lambda_retry_path():
+    """Per-problem control curvature (params_batched): lane 0 is convex
+    (cuu=+1, first backward attempt succeeds), lane 1 is indefinite
+    (cuu=−3, Quu non-PD until λ escalates past 3) — the merged iteration
+    kernel's retry loop must re-run only the failed lane and leave the
+    passthrough lane's state untouched, matching the two-kernel path."""
+    m = _indefinite_model()
+    B = 2
+    Params = type(m.default_params())
+    params = Params(
+        cuu=jnp.asarray([1.0, -3.0], jnp.float32),
+        u_min=jnp.broadcast_to(jnp.asarray([-2.0], jnp.float32), (B, 1)),
+        u_max=jnp.broadcast_to(jnp.asarray([2.0], jnp.float32), (B, 1)))
+    x0 = jnp.asarray([[1.0], [1.0]], jnp.float32)
+    u0 = jnp.zeros((B, 6, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=5,
+              alphas=FAST_ALPHAS)
+    s = solve_batch_fused(m, params, SolverConfig(iter_kernel="split", **kw),
+                          0.1, x0, u0, params_batched=True)
+    g = solve_batch_fused(m, params,
+                          SolverConfig(iter_kernel="merged", **kw),
+                          0.1, x0, u0, params_batched=True)
+    # the indefinite lane must actually have escalated λ (retry loop ran)
+    assert float(np.asarray(g.lam)[1]) > 3.0
+    assert float(np.asarray(g.lam)[0]) < 1.0  # convex lane: λ decayed
+    np.testing.assert_allclose(np.asarray(s.cost), np.asarray(g.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.us), np.asarray(g.us),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.lam), np.asarray(g.lam),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s.iterations),
+                                  np.asarray(g.iterations))
+    assert np.all(np.isfinite(np.asarray(g.cost)))
+
+
 def test_unsupported_configs_raise():
     tri = get_model("double_integrator")
     m = get_model("acrobot")
