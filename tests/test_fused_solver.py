@@ -512,6 +512,44 @@ def test_iter_kernel_lambda_retry_path():
     assert np.all(np.isfinite(np.asarray(g.cost)))
 
 
+def test_iter_kernel_backward_never_succeeds():
+    """Curvature so negative that λ exceeds λmax before Quu turns PD: the
+    lane must terminate LAMBDA_MAX with its initial trajectory and zero
+    gains intact (ref ilqr_core.cpp:146,276-281), identically on the
+    whole-iteration kernel and the two-kernel path."""
+    from ilqr_tpu.types import TerminationReason
+
+    m = _indefinite_model()
+    B = 2
+    Params = type(m.default_params())
+    params = Params(
+        cuu=jnp.asarray([1.0, -1.0e12], jnp.float32),
+        u_min=jnp.broadcast_to(jnp.asarray([-2.0], jnp.float32), (B, 1)),
+        u_max=jnp.broadcast_to(jnp.asarray([2.0], jnp.float32), (B, 1)))
+    x0 = jnp.asarray([[1.0], [1.0]], jnp.float32)
+    u0 = jnp.zeros((B, 5, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True, max_iter=4,
+              alphas=FAST_ALPHAS)
+    s = solve_batch_fused(m, params, SolverConfig(iter_kernel="split", **kw),
+                          0.1, x0, u0, params_batched=True)
+    g = solve_batch_fused(m, params,
+                          SolverConfig(iter_kernel="merged", **kw),
+                          0.1, x0, u0, params_batched=True)
+    for sol in (s, g):
+        r = np.asarray(sol.reason)
+        assert r[1] == TerminationReason.LAMBDA_MAX
+        assert r[0] != TerminationReason.LAMBDA_MAX
+        # the failed lane never stepped: controls stay at u0, gains at 0
+        np.testing.assert_array_equal(np.asarray(sol.us[1]), 0.0)
+        np.testing.assert_array_equal(np.asarray(sol.k[1]), 0.0)
+        np.testing.assert_array_equal(np.asarray(sol.K[1]), 0.0)
+        assert int(np.asarray(sol.iterations)[1]) == 1
+    np.testing.assert_allclose(np.asarray(s.cost), np.asarray(g.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.lam), np.asarray(g.lam),
+                               rtol=1e-6)
+
+
 def test_unsupported_configs_raise():
     tri = get_model("double_integrator")
     m = get_model("acrobot")
