@@ -17,8 +17,48 @@ Environment knobs:
 import functools
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _wait_tpu_healthy(budget_s: float) -> None:
+    """Block until the axon tunnel answers a tiny matmul, or the budget runs
+    out. The remote TPU pool sometimes wedges for hours (CLAUDE.md: every
+    process then blocks in device init); probing from a SUBPROCESS with a
+    45 s timeout keeps this process clean — if we ran the probe in-process
+    and the tunnel was wedged, the main bench below would hang before its
+    first timed rep. Probes are spaced 8 min apart to avoid hammering the
+    pool. Controlled by BENCH_WAIT_HEALTHY=0 (skip) / BENCH_HEALTH_BUDGET_S.
+    """
+    probe = ("import jax, jax.numpy as jnp, numpy as np\n"
+             "x = jnp.ones((256, 256))\n"
+             "assert np.asarray(x @ x)[0, 0] == 256.0\n"
+             "print('HEALTHY')\n")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=45)
+            if "HEALTHY" in out.stdout:
+                if attempt > 1:
+                    print(f"[bench] tunnel healthy after {attempt} probes",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"[bench] tunnel still wedged after {attempt} probes; "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        print(f"[bench] tunnel wedged (probe {attempt}); retrying in 8 min "
+              f"({remaining / 60:.0f} min of budget left)", file=sys.stderr)
+        time.sleep(min(480.0, remaining))
+
 
 import jax
 
@@ -38,6 +78,14 @@ BASELINE_SOLVES_PER_S = 1.0 / REF_SECONDS_PER_SOLVE
 
 
 def main():
+    # Don't call jax.default_backend() here: backend init in THIS process
+    # is exactly what hangs when the tunnel is wedged. Gate on env only;
+    # on a CPU-only machine the subprocess probe succeeds instantly.
+    if (os.environ.get("BENCH_WAIT_HEALTHY", "1") != "0"
+            and not os.environ.get("BENCH_BACKEND")):
+        _wait_tpu_healthy(
+            float(os.environ.get("BENCH_HEALTH_BUDGET_S", 5400)))
+
     # Default B=4096: the host-chunked fused solver overlaps each 1024-
     # lane chunk's ~26 ms dispatch+D2H round trip (axon tunnel latency,
     # BENCH_NOTES.md) with the previous chunk's compute, so larger
