@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
-                 "cartpole", "point_mass_3d"],
+                 "cartpole", "point_mass_3d", "quadrotor"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=0.02,
@@ -85,6 +85,12 @@ _PROBLEMS = {
     "pendulum": dict(model="pendulum", T=199, goal=None, x0=(0.0, 0.0)),
     "cartpole": dict(model="cartpole", T=299, goal=None,
                      x0=(0.0, 0.0, 0.0, 0.0)),
+    "point_mass_3d": dict(model="point_mass_3d", T=99, goal=None,
+                          x0=(0.0,) * 6),
+    # quadrotor launches from rest with hover thrust as the initial
+    # control sequence (zero thrust would free-fall the initial rollout)
+    "quadrotor": dict(model="quadrotor", T=120, goal=None, x0=(0.0,) * 12,
+                      u0="hover"),
 }
 
 
@@ -111,7 +117,13 @@ def main(argv=None) -> int:
               else model.default_params())
     T = args.horizon or spec["T"]
     x0 = jnp.asarray(spec["x0"])
-    u0 = jnp.zeros((T, model.m), x0.dtype)
+    if spec.get("u0") == "hover":
+        from ilqr_tpu.models import quadrotor as _quad
+
+        u0 = jnp.tile(_quad.hover_control(params)[None].astype(x0.dtype),
+                      (T, 1))
+    else:
+        u0 = jnp.zeros((T, model.m), x0.dtype)
 
     cfg = SolverConfig(
         max_iter=args.max_iter,

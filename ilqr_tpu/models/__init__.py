@@ -12,6 +12,7 @@ from typing import Dict
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
 from ilqr_tpu.models import (
     acrobot, double_integrator, cartpole, pendulum, point_mass_3d,
+    quadrotor,
 )
 
 _REGISTRY: Dict[str, Model] = {}
@@ -42,6 +43,7 @@ register(acrobot.MODEL)
 register(cartpole.MODEL)
 register(pendulum.MODEL)
 register(point_mass_3d.MODEL)
+register(quadrotor.MODEL)
 
 __all__ = [
     "Model",

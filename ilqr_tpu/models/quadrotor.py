@@ -1,0 +1,144 @@
+"""Quadrotor hover/waypoint: the generic-m (m=4) workload.
+
+The reference's boxQP machinery supports ARBITRARY control dimension
+(ref src/boxqp.cpp:26-139, include/boxqp.h:45-46), but neither of its
+shipped models goes past m=2, and this repo's other models stop at m=3
+(the in-kernel enumeration limit). This model is the first to drive the
+generic-m leg end-to-end: at m=4 the backward pass uses the iterative
+masked projected-Newton boxQP (ops/boxqp.boxqp — the re-design of ref
+src/boxqp.cpp:26-139) with per-timestep warm starts, on the vmap/XLA
+path (the fused Pallas solver requires m ≤ 3 and rejects it).
+
+Per-rotor thrusts also make the box ASYMMETRIC (u ∈ [0, f_max] — rotors
+cannot push down), unlike every other model's symmetric ±limit, so the
+clamped-set logic is exercised off-center.
+
+  state   = [p (3), v (3), φ θ ψ (ZYX Euler), ω (3)]   (n = 12)
+  control = per-rotor thrusts [f1, f2, f3, f4]          (m = 4)
+
+  ṗ = v
+  v̇ = (F/m)·R(φ,θ,ψ)e₃ − g·e₃          F = Σfᵢ
+  [φ̇, θ̇, ψ̇] = W(φ,θ)·ω                 (body rates → Euler rates)
+  ω̇ = J⁻¹(τ − ω × Jω)                   diagonal J, '+'-configuration:
+      τx = L(f₂ − f₄), τy = L(f₃ − f₁), τz = c_τ(f₁ − f₂ + f₃ − f₄)
+
+  cost = (g−x)ᵀHx(g−x) + (u−u_hover)ᵀHu(u−u_hover), final = s·(g−x)ᵀHx(g−x)
+  (the quadratic structure of double_integrator.h:39-48, control cost
+  centered on hover thrust so "do nothing" is cheap at the goal).
+
+The Euler-rate map W has the usual tan θ / sec θ singularity at
+θ = ±π/2; hover/waypoint tasks stay far from it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import Model
+
+
+class QuadrotorParams(NamedTuple):
+    goal: jnp.ndarray         # (12,)
+    mass: jnp.ndarray         # scalar
+    gravity: jnp.ndarray      # scalar
+    arm: jnp.ndarray          # scalar rotor arm length L
+    c_tau: jnp.ndarray        # scalar thrust→yaw-torque coefficient
+    inertia: jnp.ndarray      # (3,) diagonal of J
+    hx_diag: jnp.ndarray      # (12,) diagonal of Hx
+    hu_diag: jnp.ndarray      # (4,) diagonal of Hu
+    final_scale: jnp.ndarray  # scalar
+    u_min: jnp.ndarray        # (4,)
+    u_max: jnp.ndarray        # (4,)
+
+
+def default_params(
+    goal=(1.0, 0.5, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+) -> QuadrotorParams:
+    """500 g '+'-frame quadrotor. Hover thrust mg/4 ≈ 1.23 N per rotor is
+    well inside the [0, 3] N box."""
+    return QuadrotorParams(
+        goal=jnp.asarray(goal, dtype=jnp.result_type(float)),
+        mass=jnp.asarray(0.5),
+        gravity=jnp.asarray(9.81),
+        arm=jnp.asarray(0.17),
+        c_tau=jnp.asarray(0.016),
+        inertia=jnp.asarray([2.3e-3, 2.3e-3, 4.0e-3]),
+        hx_diag=jnp.asarray([2.0, 2.0, 2.0,          # position
+                             0.2, 0.2, 0.2,          # velocity
+                             1.0, 1.0, 1.0,          # attitude
+                             0.05, 0.05, 0.05]),     # body rates
+        hu_diag=jnp.asarray([0.2, 0.2, 0.2, 0.2]),
+        final_scale=jnp.asarray(25.0),
+        u_min=jnp.asarray([0.0, 0.0, 0.0, 0.0]),
+        u_max=jnp.asarray([3.0, 3.0, 3.0, 3.0]),
+    )
+
+
+def hover_control(p: QuadrotorParams) -> jnp.ndarray:
+    """The per-rotor thrust that exactly cancels gravity (mg/4 each)."""
+    return jnp.full((4,), p.mass * p.gravity / 4.0,
+                    dtype=jnp.result_type(float))
+
+
+def dynamics(p: QuadrotorParams, x, u):
+    v = x[3:6]
+    phi, theta, psi = x[6], x[7], x[8]
+    om = x[9:12]
+
+    F = u[0] + u[1] + u[2] + u[3]
+    tau = jnp.stack([
+        p.arm * (u[1] - u[3]),
+        p.arm * (u[2] - u[0]),
+        p.c_tau * (u[0] - u[1] + u[2] - u[3]),
+    ])
+
+    sph, cph = jnp.sin(phi), jnp.cos(phi)
+    sth, cth = jnp.sin(theta), jnp.cos(theta)
+    sps, cps = jnp.sin(psi), jnp.cos(psi)
+
+    # world-frame thrust direction: third column of R_zyx(ψ, θ, φ)
+    acc = (F / p.mass) * jnp.stack([
+        cph * sth * cps + sph * sps,
+        cph * sth * sps - sph * cps,
+        cph * cth,
+    ]) - jnp.stack([0.0 * F, 0.0 * F, p.gravity])
+
+    tth = sth / cth
+    eul_rate = jnp.stack([
+        om[0] + sph * tth * om[1] + cph * tth * om[2],
+        cph * om[1] - sph * om[2],
+        (sph * om[1] + cph * om[2]) / cth,
+    ])
+
+    J = p.inertia
+    om_dot = jnp.stack([
+        (tau[0] - (J[2] - J[1]) * om[1] * om[2]) / J[0],
+        (tau[1] - (J[0] - J[2]) * om[2] * om[0]) / J[1],
+        (tau[2] - (J[1] - J[0]) * om[0] * om[1]) / J[2],
+    ])
+
+    return jnp.concatenate([v, acc, eul_rate, om_dot])
+
+
+def cost(p: QuadrotorParams, x, u):
+    e = p.goal - x
+    du = u - p.mass * p.gravity / 4.0
+    return jnp.dot(e * p.hx_diag, e) + jnp.dot(du * p.hu_diag, du)
+
+
+def final_cost(p: QuadrotorParams, x):
+    e = p.goal - x
+    return p.final_scale * jnp.dot(e * p.hx_diag, e)
+
+
+MODEL = Model(
+    name="quadrotor",
+    n=12,
+    m=4,
+    dynamics=dynamics,
+    cost=cost,
+    final_cost=final_cost,
+    default_params=default_params,
+)

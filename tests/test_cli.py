@@ -51,3 +51,27 @@ def test_batch_mode(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "solves/s" in captured
     assert os.path.exists(out)
+
+
+def test_every_choice_has_a_problem_spec():
+    """Every problem name the parser advertises must have a _PROBLEMS
+    entry (point_mass_3d was once in choices only -> KeyError)."""
+    from ilqr_tpu.__main__ import _PROBLEMS
+
+    p = build_parser()
+    choices = next(a for a in p._actions if a.dest == "problem").choices
+    missing = [c for c in choices if c not in _PROBLEMS]
+    assert not missing, f"CLI choices without problem specs: {missing}"
+
+
+def test_quadrotor_short_horizon(tmp_path):
+    out = str(tmp_path / "q.csv")
+    rc = main(["quadrotor", "--quiet", "-T", "40", "--max-iter", "8",
+               "--deriv-mode", "analytic", "--output", out])
+    assert rc == 0
+    from ilqr_tpu.utils.io import read_trajectory_csv
+
+    xs, us = read_trajectory_csv(out, 12, 4)
+    assert xs.shape == (41, 12) and us.shape == (40, 4)
+    # hover-thrust init: controls stay in the asymmetric box
+    assert us.min() >= -1e-6 and us.max() <= 3.0 + 1e-6

@@ -22,6 +22,7 @@ def test_registry():
     assert "cartpole" in models
     assert "pendulum" in models
     assert "point_mass_3d" in models
+    assert "quadrotor" in models
 
 
 def test_double_integrator_dynamics():
@@ -237,3 +238,91 @@ def test_sweep_fold_helpers():
     np.testing.assert_allclose(np.asarray(_fadd(t, t)), [4.0, -6.0])
     np.testing.assert_allclose(np.asarray(_tile(2.0, t)), [2.0, 2.0])
     assert _tile(t, t) is t
+
+
+def test_quadrotor_hover_equilibrium():
+    """At rest attitude with hover thrust (mg/4 per rotor) the quadrotor is
+    in exact equilibrium; with zero thrust it free-falls at -g."""
+    from ilqr_tpu.models import quadrotor
+
+    m = get_model("quadrotor")
+    p = quadrotor.default_params()
+    x = jnp.zeros(12)
+    dx = m.dynamics(p, x, quadrotor.hover_control(p))
+    np.testing.assert_allclose(np.asarray(dx), np.zeros(12), atol=1e-7)
+    dx0 = m.dynamics(p, x, jnp.zeros(4))
+    np.testing.assert_allclose(np.asarray(dx0[5]), -float(p.gravity),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.delete(dx0, 5)), np.zeros(11), atol=1e-7)
+
+
+def test_quadrotor_mixer_torque_signs():
+    """'+'-configuration mixer: raising one rotor above hover tilts the
+    right axis the right way (f2 > f4 -> +roll rate, f3 > f1 -> +pitch,
+    f1+f3 > f2+f4 -> +yaw)."""
+    from ilqr_tpu.models import quadrotor
+
+    m = get_model("quadrotor")
+    p = quadrotor.default_params()
+    x = jnp.zeros(12)
+    h = quadrotor.hover_control(p)
+    d = jnp.asarray([0.0, 0.1, 0.0, 0.0])
+    assert float(m.dynamics(p, x, h + d)[9]) > 0       # om_x dot
+    d = jnp.asarray([0.0, 0.0, 0.1, 0.0])
+    assert float(m.dynamics(p, x, h + d)[10]) > 0      # om_y dot
+    d = jnp.asarray([0.1, 0.0, 0.1, 0.0])
+    assert float(m.dynamics(p, x, h + d)[11]) > 0      # om_z dot
+
+
+def test_quadrotor_fd_matches_autodiff_jacobian():
+    """Cross-validates the trig/mixer algebra: central-difference Jacobian
+    of the Euler step matches jacfwd on a generic state."""
+    import jax
+
+    from ilqr_tpu.models import quadrotor
+    from ilqr_tpu.models.base import euler_step
+
+    m = get_model("quadrotor")
+    p = quadrotor.default_params()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(0.2 * rng.normal(size=12), jnp.float64) \
+        if jax.config.jax_enable_x64 else \
+        jnp.asarray(0.2 * rng.normal(size=12), jnp.float32)
+    u = quadrotor.hover_control(p) + jnp.asarray(
+        0.1 * rng.normal(size=4), x.dtype)
+    dt = 0.02
+    fx = jax.jacfwd(lambda xx: euler_step(m, p, xx, u, dt))(x)
+    eps = 1e-3
+    fd = np.zeros((12, 12))
+    for j in range(12):
+        e = np.zeros(12)
+        e[j] = eps
+        fd[:, j] = (np.asarray(euler_step(m, p, x + e, u, dt))
+                    - np.asarray(euler_step(m, p, x - e, u, dt))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(fx), fd, atol=5e-4)
+
+
+def test_quadrotor_m4_waypoint_solve():
+    """End-to-end m=4 solve — the first workload on the ITERATIVE
+    projected-Newton boxQP leg (ops/boxqp.boxqp; m=1 has a closed form and
+    m<=3 the enumeration, so no other model reaches it with
+    boxqp_mode='auto'). Must reach the waypoint with every thrust inside
+    the ASYMMETRIC box [0, u_max], and the upper limit must actually
+    clamp somewhere (the task saturates rotors during the initial climb)."""
+    from ilqr_tpu import SolverConfig, solve
+    from ilqr_tpu.models import quadrotor
+
+    m = get_model("quadrotor")
+    p = quadrotor.default_params()
+    T = 80
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=40)
+    u0 = jnp.tile(quadrotor.hover_control(p)[None], (T, 1))
+    sol = solve(m, p, cfg, 0.02, jnp.zeros(12), u0)
+    xf = np.asarray(sol.xs[-1])
+    np.testing.assert_allclose(xf[:3], np.asarray(p.goal[:3]), atol=0.05)
+    assert np.linalg.norm(xf[3:6]) < 0.1          # arrives near rest
+    us = np.asarray(sol.us)
+    assert us.min() >= -1e-6 and us.max() <= 3.0 + 1e-6
+    assert us.max() > 2.99                        # box actually active
