@@ -133,6 +133,62 @@ def final_cost(p: QuadrotorParams, x):
     return p.final_scale * jnp.dot(e * p.hx_diag, e)
 
 
+def dynamics_soa(p: QuadrotorParams, x, u):
+    """SoA variant (see models/base.py): x (12, *batch), u (4, *batch),
+    elementwise ops only — lets batched quadrotor solves use the fused
+    rollout/derivative kernels (the backward pass stays on the XLA
+    iterative boxQP; the fused solver itself requires m <= 3)."""
+    inv_m = 1.0 / p.mass
+    F = u[0] + u[1] + u[2] + u[3]
+    taux = p.arm * (u[1] - u[3])
+    tauy = p.arm * (u[2] - u[0])
+    tauz = p.c_tau * (u[0] - u[1] + u[2] - u[3])
+
+    sph, cph = jnp.sin(x[6]), jnp.cos(x[6])
+    sth, cth = jnp.sin(x[7]), jnp.cos(x[7])
+    sps, cps = jnp.sin(x[8]), jnp.cos(x[8])
+
+    Fm = F * inv_m
+    inv_cth = 1.0 / cth
+    tth = sth * inv_cth
+    Jx, Jy, Jz = p.inertia[0], p.inertia[1], p.inertia[2]
+
+    return jnp.stack([
+        x[3], x[4], x[5],
+        Fm * (cph * sth * cps + sph * sps),
+        Fm * (cph * sth * sps - sph * cps),
+        Fm * (cph * cth) - p.gravity * jnp.ones_like(F),
+        x[9] + sph * tth * x[10] + cph * tth * x[11],
+        cph * x[10] - sph * x[11],
+        (sph * x[10] + cph * x[11]) * inv_cth,
+        (taux - (Jz - Jy) * x[10] * x[11]) / Jx,
+        (tauy - (Jx - Jz) * x[11] * x[9]) / Jy,
+        (tauz - (Jy - Jx) * x[9] * x[10]) / Jz,
+    ])
+
+
+def cost_soa(p: QuadrotorParams, x, u):
+    hov = p.mass * p.gravity * 0.25
+    e = p.goal[0] - x[0]
+    acc = e * p.hx_diag[0] * e
+    for i in range(1, 12):
+        e = p.goal[i] - x[i]
+        acc = acc + e * p.hx_diag[i] * e
+    for j in range(4):
+        du = u[j] - hov
+        acc = acc + du * p.hu_diag[j] * du
+    return acc
+
+
+def final_cost_soa(p: QuadrotorParams, x):
+    e = p.goal[0] - x[0]
+    acc = e * p.hx_diag[0] * e
+    for i in range(1, 12):
+        e = p.goal[i] - x[i]
+        acc = acc + e * p.hx_diag[i] * e
+    return p.final_scale * acc
+
+
 MODEL = Model(
     name="quadrotor",
     n=12,
@@ -141,4 +197,7 @@ MODEL = Model(
     cost=cost,
     final_cost=final_cost,
     default_params=default_params,
+    dynamics_soa=dynamics_soa,
+    cost_soa=cost_soa,
+    final_cost_soa=final_cost_soa,
 )

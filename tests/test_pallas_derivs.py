@@ -92,3 +92,21 @@ def test_compute_derivs_dispatch_forced_pallas():
         np.testing.assert_allclose(
             np.asarray(getattr(d_k, f)), np.asarray(getattr(d_r, f)),
             atol=1e-4, err_msg=f)
+
+
+@pytest.mark.slow
+def test_kernel_matches_jacfwd_quadrotor():
+    """n=12/m=4: the largest-state model through the derivative kernel
+    (16 in-kernel JVP probes per step). Euler only — interpret mode at
+    this size is heavy enough."""
+    mo = get_model("quadrotor")
+    p, xs, us = _problem(mo, B=2, T=4)
+    cfg = SolverConfig(integrator="euler")
+    d_k = derivs_batched(mo, "euler", p, 0.02, xs, us, interpret=True)
+    d_r = jax.vmap(
+        lambda a, b: analytic_derivs(mo, p, cfg, 0.02, a, b))(xs, us)
+    for f in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(d_k, f)), np.asarray(getattr(d_r, f)),
+            atol=2e-4, err_msg=f"quadrotor/{f}",
+        )

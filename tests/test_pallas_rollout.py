@@ -23,7 +23,8 @@ def _f32_params(model):
 
 
 @pytest.mark.parametrize("name", ["acrobot", "double_integrator",
-                                  "pendulum", "cartpole", "point_mass_3d"])
+                                  "pendulum", "cartpole", "point_mass_3d",
+                                  "quadrotor"])
 def test_soa_matches_aos(name):
     """SoA model functions agree with the per-problem versions on a tile."""
     mo = get_model(name)
@@ -51,6 +52,7 @@ def test_soa_matches_aos(name):
     ("double_integrator", False, "euler"),
     ("pendulum", True, "euler"),
     ("cartpole", False, "euler"),
+    ("quadrotor", True, "euler"),
 ])
 def test_kernel_matches_scan(name, clamp, integ):
     mo = get_model(name)
