@@ -56,6 +56,19 @@ def _zeros_derivs(T, n, m, dtype) -> Derivs:
     )
 
 
+def _cast_params(params, dtype):
+    """Cast floating params leaves to the solve dtype (which follows x0 —
+    f64 for parity runs, f32 otherwise). Under jax_enable_x64
+    default_params() builds f64 leaves, and mixing those with f32 problem
+    data used to poison individual loop-carry fields to f64 (a while_loop
+    carry dtype error deep in the first iteration)."""
+    return jax.tree_util.tree_map(
+        lambda a: (jnp.asarray(a, dtype)
+                   if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                   else jnp.asarray(a)),
+        params)
+
+
 def init_state(
     model: Model,
     params,
@@ -80,6 +93,8 @@ def init_state(
     dtype = x0.dtype
     T, m = u0.shape
     n = x0.shape[0]
+
+    params = _cast_params(params, dtype)
 
     if warm_K is None:
         xs, us, cost = open_loop_rollout(model, params, cfg, dt, x0, u0)
@@ -262,6 +277,7 @@ def solve(
     """Full solve as one XLA computation (ref generate_trajectory overload 3,
     ilqr_core.cpp:59-62). jit with static (model, cfg); vmap over
     (params, x0, u0) for batched solves."""
+    params = _cast_params(params, jnp.asarray(x0).dtype)
     state = init_state(model, params, cfg, dt, x0, u0, lam=lam, dlam=dlam)
 
     def cond(s: SolverState):
@@ -280,6 +296,7 @@ def solve_warm(
     re-rollout the previous controls WITH the previous feedback gains from the
     new x0, and carry λ/dλ over explicitly (the reference does this implicitly
     through its static globals, include/ilqr.h:17-18 / notes.md:11)."""
+    params = _cast_params(params, jnp.asarray(x0).dtype)
     state = init_state(
         model, params, cfg, dt, x0, prev.us,
         lam=prev.lam, dlam=prev.dlam, warm_xs=prev.xs, warm_K=prev.K,
@@ -307,6 +324,7 @@ def solve_verbose(
     per loop turn; used by the CLI, not the hot path."""
     import numpy as np
 
+    params = _cast_params(params, jnp.asarray(x0).dtype)
     state = init_state(model, params, cfg, dt, x0, u0)
     print(f"Initial cost: {float(state.cost):.6g}")
     step = jax.jit(
