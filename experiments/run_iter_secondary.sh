@@ -17,7 +17,7 @@ done
 echo "=== secondary (iter kernel) $(date) ===" >> "$LOG"
 for mode in m2 m3 mpc mpc1; do
   echo "=== SB_MODE=$mode ===" >> "$LOG"
-  SB_MODE=$mode timeout 1800 python experiments/secondary_bench.py >> "$OUT" 2>> "$LOG"
+  SB_MODE=$mode timeout 3000 python experiments/secondary_bench.py >> "$OUT" 2>> "$LOG"
   sleep 5
 done
 echo DONE_ITER_SECONDARY >> "$LOG"

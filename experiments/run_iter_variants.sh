@@ -21,7 +21,7 @@ echo "=== starting iter-kernel variants $(date) ===" >> "$LOG"
 
 run() {
   echo "=== $* ===" >> "$LOG"
-  env "$@" timeout 1800 python experiments/bench_variant.py >> "$OUT" 2>> "$LOG"
+  env "$@" timeout 3000 python experiments/bench_variant.py >> "$OUT" 2>> "$LOG"
   rc=$?
   [ $rc -ne 0 ] && echo "{\"failed\": \"$*\", \"rc\": $rc}" >> "$OUT"
   sleep 5
@@ -31,6 +31,6 @@ run VAR_ITER=merged VAR_ITB=16
 run VAR_ITER=merged VAR_ITB=32
 run VAR_ITER=split VAR_TB=32 VAR_STB=32
 echo "=== bench.py $(date) ===" >> "$LOG"
-timeout 2400 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
+timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
 echo DONE_ITER_VARIANTS >> "$LOG"
 echo DONE_ITER_VARIANTS
