@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from ilqr_tpu.config import SolverConfig
 from ilqr_tpu.models.base import Model, get_integrator
-from ilqr_tpu.solver import init_state, _masked_iteration, _solution
+from ilqr_tpu.solver import (
+    _cast_params,
+    _masked_iteration,
+    _solution,
+    init_state,
+)
 from ilqr_tpu.types import Solution
 
 
@@ -61,6 +66,9 @@ def mpc_step(
     to the simulated next state to exercise feedback."""
     integ = get_integrator(cfg.integrator)
     plan = state.plan
+    # like solve(): the replan's dtype follows the controller state (under
+    # x64, f64 default_params + an f32 plan would poison loop carries)
+    params = _cast_params(params, jnp.asarray(state.x).dtype)
 
     # Apply the plan's first control with its feedback correction.
     u0 = plan.us[0] + plan.K[0] @ (state.x - plan.xs[0])

@@ -132,3 +132,17 @@ def test_mpc_state_checkpoint_roundtrip(tmp_path):
     s1 = mpc_step(m, p, cfg, dt, state)
     s2 = mpc_step(m, p, cfg, dt, restored)
     assert np.allclose(np.asarray(s1.x), np.asarray(s2.x))
+
+
+def test_mpc_step_mixed_dtype_params():
+    """Under jax_enable_x64 (this suite), default_params() leaves are f64;
+    replanning an f32 controller with them must not poison the loop-carry
+    dtypes (regression: while_loop carry dtype error in mpc_step)."""
+    m, p, cfg = _setup()
+    dt = 0.05
+    x0 = jnp.asarray([-1.0, 0.0, 0.0, 0.0], jnp.float32)
+    state = mpc_init(m, p, cfg, dt, x0, jnp.zeros((20, 2), jnp.float32))
+    assert state.plan.us.dtype == jnp.float32
+    nxt = mpc_step(m, p, cfg, dt, state)   # p still carries f64 leaves
+    assert nxt.plan.us.dtype == jnp.float32
+    assert np.isfinite(float(nxt.plan.cost))
