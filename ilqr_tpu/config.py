@@ -59,10 +59,10 @@ class SolverConfig:
       - "iterative": always run the reference-semantics projected Newton
         (ref: src/boxqp.cpp:26-139), including its tolerance quirks —
         required for bit-tolerant parity with the reference binary.
-      - "enum": exact loop-free active-set enumeration for m ≤ 3
-        (ops/boxqp.boxqp_enum) — trace-light, TPU-friendly, finds the
-        true QP optimum rather than the reference's tolerance-limited
-        iterate.
+      - "enum": exact loop-free active-set enumeration for m ≤ 4
+        (ops/boxqp.boxqp_enum, 3^m candidates) — trace-light,
+        TPU-friendly, finds the true QP optimum rather than the
+        reference's tolerance-limited iterate.
     """
 
     max_iter: int = 100

@@ -110,7 +110,7 @@ def backward_pass(
             k_mat = jnp.where(
                 clamped | div_here, jnp.zeros_like(qux), -qux / q_safe
             )
-        elif cfg.use_control_limits and m <= 3 and cfg.boxqp_mode == "enum":
+        elif cfg.use_control_limits and m <= 4 and cfg.boxqp_mode == "enum":
             # exact loop-free active-set enumeration (see ops/boxqp.py)
             from ilqr_tpu.ops.boxqp import boxqp_enum
 

@@ -103,16 +103,17 @@ def quadclamp_line_search(x0, search, Q, c, lower, upper, cfg: BoxQPConfig):
 
 
 def boxqp_enum(Q, c, lower, upper) -> BoxQPResult:
-    """Exact box QP by active-set enumeration — for small m (≤ 3).
+    """Exact box QP by active-set enumeration — for small m (≤ 4).
 
     A strictly convex box QP has a unique KKT point; with m dims there are
-    3^m candidate active sets (each dim at lower / free / at upper). All
-    candidates are evaluated with fixed shapes and no loops: solve the
-    free subspace in closed form, clamp actives, and keep the candidate
-    whose KKT conditions hold (primal feasibility on free dims, dual sign
-    on clamped dims). Loop-free → trace-light and TPU-friendly, replacing
-    the iterative projected Newton (ref src/boxqp.cpp) wholesale for the
-    reference's control sizes (m=1, 2). Select with
+    3^m candidate active sets (each dim at lower / free / at upper — 81
+    at m=4, the quadrotor's size). All candidates are evaluated with
+    fixed shapes and no loops: solve the free subspace in closed form,
+    clamp actives, and keep the candidate whose KKT conditions hold
+    (primal feasibility on free dims, dual sign on clamped dims).
+    Loop-free → trace-light and TPU-friendly, replacing the iterative
+    projected Newton (ref src/boxqp.cpp) wholesale for the reference's
+    control sizes (m=1, 2). Select with
     ``SolverConfig(boxqp_mode="enum")``.
 
     Returns the same BoxQPResult contract as :func:`boxqp` (status 5 on
@@ -122,7 +123,7 @@ def boxqp_enum(Q, c, lower, upper) -> BoxQPResult:
     import itertools
 
     m = Q.shape[0]
-    assert m <= 3, "active-set enumeration is for m <= 3"
+    assert m <= 4, "active-set enumeration is for m <= 4 (3^m candidates)"
     dtype = Q.dtype
 
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)

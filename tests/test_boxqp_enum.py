@@ -1,4 +1,4 @@
-"""Active-set-enumeration boxQP tests (exact, loop-free, m ≤ 3)."""
+"""Active-set-enumeration boxQP tests (exact, loop-free, m ≤ 4)."""
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,7 @@ from ilqr_tpu.ops.boxqp import boxqp, boxqp_enum, quad_cost
 
 
 @pytest.mark.parametrize("seed", range(10))
-@pytest.mark.parametrize("m", [1, 2, 3])
+@pytest.mark.parametrize("m", [1, 2, 3, 4])
 def test_enum_matches_scipy(seed, m):
     from scipy.optimize import minimize
 
@@ -50,7 +50,7 @@ def test_enum_agrees_with_iterative():
                                    atol=1e-3)
 
 
-@pytest.mark.parametrize("m", [1, 2, 3])
+@pytest.mark.parametrize("m", [1, 2, 3, 4])
 def test_enum_matches_iterative_property(m):
     """Property sweep (VERDICT r1 item 9): across random PD QPs — interior
     optima, active boxes, and ill-conditioned Hessians — the enumeration is
@@ -120,6 +120,30 @@ def test_enum_vmaps():
     res = jax.vmap(boxqp_enum)(Q, c, lo, hi)
     assert res.x.shape == (B, m)
     assert bool(jnp.all(res.status == 5))
+
+
+def test_enum_mode_solves_quadrotor_m4():
+    """boxqp_mode='enum' at m=4 (81 candidates, loop-free) lands on the
+    same waypoint solution as the iterative projected Newton on the
+    quadrotor — the asymmetric [0, u_max] box saturates during the climb,
+    so clamped active sets are genuinely exercised."""
+    from ilqr_tpu.models import quadrotor
+
+    model = get_model("quadrotor")
+    p = quadrotor.default_params()
+    T = 60
+    cfg_it = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                          max_iter=30)
+    cfg_en = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                          max_iter=30, boxqp_mode="enum")
+    u0 = jnp.tile(quadrotor.hover_control(p)[None], (T, 1))
+    x0 = jnp.zeros(12)
+    s_it = solve(model, p, cfg_it, 0.02, x0, u0)
+    s_en = solve(model, p, cfg_en, 0.02, x0, u0)
+    assert abs(float(s_it.cost) - float(s_en.cost)) < 1e-2 * abs(
+        float(s_it.cost))
+    us = np.asarray(s_en.us)
+    assert us.min() >= -1e-6 and us.max() <= 3.0 + 1e-6
 
 
 def test_enum_mode_solves_integrator():
