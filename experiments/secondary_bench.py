@@ -1,9 +1,12 @@
 """Secondary-workload TPU benchmarks on the fused solver (round-2 kernels).
 
-SB_MODE: m2 | m3 | mpc
+SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter
   m2  — reference integrator workload: double integrator, T=99, ≤100 iters
   m3  — 3D point mass (27-candidate in-kernel QP), T=99, ≤100 iters
   mpc — fleet MPC: 1024 controllers, T=199, warm-started ≤20-iter replans
+  m4_enum / m4_iter — quadrotor (n=12, m=4) on the vmap path, exact 81-
+  candidate enumeration QP vs the reference-style iterative projected
+  Newton (one mode per process — two different programs, axon discipline)
 """
 
 import json
@@ -60,6 +63,39 @@ def main():
         print(json.dumps({
             "mode": MODE, "B": B, "T": T,
             "solves_per_s": round(B / min(reps), 1),
+            "best_s": round(min(reps), 4), "first_s": round(first, 1),
+            "mean_cost": round(float(jnp.mean(sol.cost)), 4),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
+    elif MODE in ("m4_enum", "m4_iter"):
+        # m=4 exceeds the fused kernels — this is the vmap/XLA leg. The
+        # iterative variant's boxQP while_loops make tracing/remote compile
+        # slow; B is kept small and max_iter modest.
+        from ilqr_tpu.batch import solve_batch
+        from ilqr_tpu.models import quadrotor as qd
+        model = get_model("quadrotor")
+        params = qd.default_params()
+        B4, T = 256, 80
+        cfg = SolverConfig(
+            deriv_mode="analytic", clamp_forward=True, max_iter=40,
+            boxqp_mode="enum" if MODE == "m4_enum" else "auto")
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B4, 12)), jnp.float32)
+        u0 = jnp.tile(qd.hover_control(params)[None].astype(jnp.float32),
+                      (T, 1))
+        t0 = time.perf_counter()
+        sol = solve_batch(model, params, cfg, 0.02, x0, u0)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(4):
+            x0r = jnp.asarray(0.05 * rng.normal(size=(B4, 12)), jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch(model, params, cfg, 0.02, x0r, u0)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "mode": MODE, "B": B4, "T": T,
+            "solves_per_s": round(B4 / min(reps), 1),
             "best_s": round(min(reps), 4), "first_s": round(first, 1),
             "mean_cost": round(float(jnp.mean(sol.cost)), 4),
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
