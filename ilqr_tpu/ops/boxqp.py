@@ -49,20 +49,74 @@ def quad_cost(Q, c, x):
     return 0.5 * x @ (Q @ x) + x @ c
 
 
+def _chol_small(Q):
+    """Fully-unrolled Cholesky–Banachiewicz for the tiny (m ≤ 4) SPD
+    matrices of the control-space QP. XLA lowers ``jnp.linalg.cholesky``
+    to a LAPACK custom call (CPU) or a blocked loop expansion (TPU) —
+    per-call machinery that dwarfs the ~30 flops actually needed at these
+    sizes, and that sits inside the backward scan for every m ≥ 2 model.
+    The unrolled form is pure elementwise arithmetic (fuses, vmaps,
+    lives happily inside Pallas-adjacent code). Non-PD semantics match
+    the solver contract: a non-positive pivot produces NaN (explicitly —
+    ``sqrt(where(s>0, s, nan))``) which poisons the dependent entries,
+    so ``jnp.any(jnp.isnan(...))`` detects failure exactly as with the
+    LAPACK path."""
+    m = Q.shape[-1]
+    nan = jnp.asarray(jnp.nan, Q.dtype)
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = Q[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.where(s > 0, s, nan))
+            else:
+                L[i][j] = s / L[j][j]
+    rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(L[i][i])
+                       for j in range(m)], axis=-1) for i in range(m)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _cho_solve_small(chol_lower, b):
+    """Unrolled forward+back substitution solving L Lᵀ x = b (m ≤ 4)."""
+    m = b.shape[-1]
+    y = []
+    for i in range(m):
+        s = b[..., i]
+        for k in range(i):
+            s = s - chol_lower[..., i, k] * y[k]
+        y.append(s / chol_lower[..., i, i])
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = y[i]
+        for k in range(i + 1, m):
+            s = s - chol_lower[..., k, i] * x[k]
+        x[i] = s / chol_lower[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+_UNROLL_MAX = 4
+
+
 def masked_cholesky(Q, free):
     """Lower Cholesky factor of Q restricted to `free` dims, padded with
     identity on clamped dims. Replaces extract_bool_rowsandcols + LLT
     (ref: boxqp.cpp:80-90) with static shapes. NaN entries signal non-PD."""
     eye = jnp.eye(Q.shape[0], dtype=Q.dtype)
     qf = jnp.where(jnp.outer(free, free), Q, eye)
+    if Q.shape[0] <= _UNROLL_MAX:
+        return _chol_small(qf)
     return jnp.linalg.cholesky(qf)
 
 
 def free_solve(chol_lower, b, free):
     """Solve Q_free z = b on the free subspace; zero on clamped dims."""
-    z = jax.scipy.linalg.cho_solve(
-        (chol_lower, True), jnp.where(free, b, jnp.zeros_like(b))
-    )
+    bm = jnp.where(free, b, jnp.zeros_like(b))
+    if b.shape[-1] <= _UNROLL_MAX:
+        z = _cho_solve_small(chol_lower, bm)
+    else:
+        z = jax.scipy.linalg.cho_solve((chol_lower, True), bm)
     return jnp.where(free, z, jnp.zeros_like(z))
 
 
