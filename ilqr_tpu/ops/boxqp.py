@@ -99,13 +99,21 @@ def _cho_solve_small(chol_lower, b):
 _UNROLL_MAX = 4
 
 
+def _use_unrolled(dtype, size) -> bool:
+    # f32 only: the unrolled factorization's op order rounds differently
+    # in the last ulp, which can flip knife-edge termination decisions;
+    # f64 parity runs must keep the LAPACK numerics the golden files were
+    # produced against. The f32 perf paths have no such contract.
+    return size <= _UNROLL_MAX and dtype == jnp.float32
+
+
 def masked_cholesky(Q, free):
     """Lower Cholesky factor of Q restricted to `free` dims, padded with
     identity on clamped dims. Replaces extract_bool_rowsandcols + LLT
     (ref: boxqp.cpp:80-90) with static shapes. NaN entries signal non-PD."""
     eye = jnp.eye(Q.shape[0], dtype=Q.dtype)
     qf = jnp.where(jnp.outer(free, free), Q, eye)
-    if Q.shape[0] <= _UNROLL_MAX:
+    if _use_unrolled(Q.dtype, Q.shape[0]):
         return _chol_small(qf)
     return jnp.linalg.cholesky(qf)
 
@@ -113,7 +121,7 @@ def masked_cholesky(Q, free):
 def free_solve(chol_lower, b, free):
     """Solve Q_free z = b on the free subspace; zero on clamped dims."""
     bm = jnp.where(free, b, jnp.zeros_like(b))
-    if b.shape[-1] <= _UNROLL_MAX:
+    if _use_unrolled(b.dtype, b.shape[-1]):
         z = _cho_solve_small(chol_lower, bm)
     else:
         z = jax.scipy.linalg.cho_solve((chol_lower, True), bm)
