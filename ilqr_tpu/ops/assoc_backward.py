@@ -46,7 +46,26 @@ import jax.numpy as jnp
 from jax import lax
 
 from ilqr_tpu.config import SolverConfig
+from ilqr_tpu.ops.boxqp import _chol_small, _cho_solve_small, _use_unrolled
 from ilqr_tpu.types import BackwardResult, Derivs
+
+
+def _chol_batched(M):
+    """(..., m, m) SPD Cholesky — unrolled at the tiny f32 sizes of the
+    control Hessian (see ops/boxqp._chol_small), LAPACK otherwise."""
+    if _use_unrolled(M.dtype, M.shape[-1]):
+        return _chol_small(M)
+    return jnp.linalg.cholesky(M)
+
+
+def _cho_solve_batched(chol, rhs):
+    """Solve L Lᵀ X = rhs for matrix rhs (..., m, k), batched over T."""
+    if _use_unrolled(rhs.dtype, rhs.shape[-2]):
+        z = _cho_solve_small(chol[..., None, :, :],
+                             jnp.swapaxes(rhs, -1, -2))
+        return jnp.swapaxes(z, -1, -2)
+    return jax.vmap(
+        lambda c, r: jax.scipy.linalg.cho_solve((c, True), r))(chol, rhs)
 
 
 class _Elem(NamedTuple):
@@ -98,11 +117,11 @@ def backward_pass_assoc(
 
     # PD check on the regularized control Hessian (divergence signal, the
     # analogue of the serial sweep's non-PD QuuF detection).
-    chol_U = jnp.linalg.cholesky(U)
+    chol_U = _chol_batched(U)
     diverged = jnp.any(jnp.isnan(chol_U))
 
-    Uinv = jax.vmap(lambda c, e: jax.scipy.linalg.cho_solve((c, True), e),
-                    in_axes=(0, None))(chol_U, eye_m)   # (T, m, m)
+    Uinv = _cho_solve_batched(
+        chol_U, jnp.broadcast_to(eye_m, U.shape))       # (T, m, m)
     LUinv = L @ Uinv                   # (T, n, m)
     UinvMT = Uinv @ MT                 # (T, m, n)
 
@@ -140,11 +159,10 @@ def backward_pass_assoc(
     quuF = quu + lam * eye_m
     qux = MT + LT_Vxx @ F
 
-    chol_q = jnp.linalg.cholesky(quuF)
+    chol_q = _chol_batched(quuF)
     diverged = diverged | jnp.any(jnp.isnan(chol_q))
-    sol = jax.vmap(
-        lambda c, rhs: jax.scipy.linalg.cho_solve((c, True), rhs)
-    )(chol_q, jnp.concatenate([qu[..., None], qux], axis=-1))
+    sol = _cho_solve_batched(
+        chol_q, jnp.concatenate([qu[..., None], qux], axis=-1))
     k = -sol[..., 0]                   # (T, m)
     K = -sol[..., 1:]                  # (T, m, n)
     k = jnp.where(jnp.isnan(k), jnp.zeros_like(k), k)

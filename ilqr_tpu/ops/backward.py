@@ -130,10 +130,20 @@ def backward_pass(
                 lambda col: free_solve(res.chol_free, col, res.free)
             )(qux.T).T
         else:
-            chol = jnp.linalg.cholesky(quuF)
-            div_here = jnp.any(jnp.isnan(chol))
-            sol = jax.scipy.linalg.cho_solve((chol, True), jnp.concatenate(
-                [qu[:, None], qux], axis=1))
+            from ilqr_tpu.ops.boxqp import (_cho_solve_small, _chol_small,
+                                            _use_unrolled)
+
+            rhs = jnp.concatenate([qu[:, None], qux], axis=1)
+            if _use_unrolled(dtype, m):
+                chol = _chol_small(quuF)
+                div_here = jnp.any(jnp.isnan(chol))
+                sol = jnp.swapaxes(
+                    _cho_solve_small(chol, jnp.swapaxes(rhs, -1, -2)),
+                    -1, -2)
+            else:
+                chol = jnp.linalg.cholesky(quuF)
+                div_here = jnp.any(jnp.isnan(chol))
+                sol = jax.scipy.linalg.cho_solve((chol, True), rhs)
             k_i = -sol[:, 0]
             k_mat = -sol[:, 1:]
             # NaN-poisoning guard so the retry loop sees clean numbers.
