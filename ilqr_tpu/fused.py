@@ -20,11 +20,11 @@ interpretations the vmapped path already has:
 - the λ-escalation retry loop and the outer loop run until every live lane
   finishes, with converged/padded lanes frozen by masking.
 
-Requirements: m ≤ 3 with ``sweep_kernel="merged"`` (the in-kernel exact
+Requirements: m ≤ 4 with ``sweep_kernel="merged"`` (the in-kernel exact
 QP / Newton; m == 1 also works with the split kernels), a model with SoA
 functions, f32. Both control-limited (``boxqp_mode`` auto/enum) and
 unconstrained (``use_control_limits=False``) problems are supported. Use
-``vmap(solve)`` for anything else (m > 3, f64 parity, iterative boxQP).
+``vmap(solve)`` for anything else (m > 4, f64 parity, iterative boxQP).
 """
 
 from __future__ import annotations
@@ -98,6 +98,12 @@ def _use_iter_kernel(model: Model, cfg: SolverConfig, T: int,
         return False
     if cfg.iter_kernel == "merged":
         return True
+    if model.m * n >= 32:
+        # large models: the whole-iteration kernel's phase-0 body embeds
+        # the ~20k-op sweep step per blocked timestep — auto prefers the
+        # two-kernel path (compile-friendlier); explicit "merged" is
+        # still honored above.
+        return False
     from ilqr_tpu.ops.pallas_iter import iter_kernel_fits
 
     return iter_kernel_fits(T, model.m, n, cfg.iter_time_block)
@@ -384,11 +390,11 @@ def solve_batch_fused(
     Args: x0 (B, n); u0 (T, m) shared or (B, T, m). With
     ``params_batched=True`` every params leaf carries a leading B axis
     (per-problem goals/masses/limits — each params scalar becomes one
-    per-problem row of the kernel's resident tile). Requires m == 1 and a
+    per-problem row of the kernel's resident tile). Requires m ≤ 4 and a
     model with SoA functions. Returns a Solution with leading batch axis B.
     """
-    if model.m > 3:
-        raise ValueError("solve_batch_fused requires m <= 3")
+    if model.m > 4:
+        raise ValueError("solve_batch_fused requires m <= 4")
     if model.m >= 2 and cfg.sweep_kernel != "merged":
         raise ValueError("m >= 2 needs sweep_kernel='merged' (in-kernel "
                          "active-set-enumeration QP)")
@@ -480,8 +486,8 @@ def solve_batch_fused_warm(
     ``x0`` (ref generate_trajectory overload 2, ilqr_core.cpp:65-76) and
     carry λ/dλ per lane. Shared params; B ≤ 1024 per chunk like
     :func:`solve_batch_fused`."""
-    if model.m > 3 or not model.has_soa:
-        raise ValueError("fused warm start requires m <= 3 and SoA model")
+    if model.m > 4 or not model.has_soa:
+        raise ValueError("fused warm start requires m <= 4 and SoA model")
     if model.m >= 2 and cfg.sweep_kernel != "merged":
         raise ValueError("m >= 2 warm start needs sweep_kernel='merged'")
     if interpret is None:

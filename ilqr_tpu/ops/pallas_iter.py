@@ -307,6 +307,12 @@ def iteration_packed(model, integrator: str, clamp: bool, packed_params,
     P = params_p.shape[0]
     f32 = jnp.float32
     TB = max(1, min(int(time_block), T))
+    if m * n >= 32:
+        # large models: phase 0 embeds the ~20k-op sweep step per blocked
+        # timestep — keep the unrolled body compile-friendly (matching cap
+        # in ops/pallas_sweep.sweep_packed; fused.py's auto mode prefers
+        # the two-kernel path entirely for these models)
+        TB = min(TB, 2)
     NT = (T + TB - 1) // TB
     t_pad = NT * TB          # gain scratch rows (edge rows masked)
 

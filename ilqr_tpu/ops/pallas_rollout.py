@@ -515,6 +515,11 @@ def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
     P = params_p.shape[0]
     f32 = jnp.float32
     TB = max(1, min(int(time_block), T))
+    if m * n >= 32:
+        # large models: the A-candidate per-timestep body is ~2k ops —
+        # keep the unrolled grid-step body compile-friendly (see the
+        # matching cap in ops/pallas_sweep.sweep_packed)
+        TB = min(TB, 4)
     NT = (T + TB - 1) // TB  # time blocks; edge steps masked in-kernel
 
     if params_p.ndim == 4:

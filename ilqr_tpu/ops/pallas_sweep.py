@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ 3).
+"""Merged linearize+backward Pallas kernel (m ≤ 4).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -15,11 +15,12 @@ full HBM round-trip of every per-timestep derivative array (~190 MB per
 
 The control-limited QP is solved exactly in-registers:
   - m = 1: closed form clamp(−Qu/QuuF) (see ops/backward.py),
-  - m = 2 / m = 3: active-set enumeration — all 3^m (lower/free/upper)^m
+  - m = 2 / 3 / 4: active-set enumeration — all 3^m (lower/free/upper)^m
     candidate sets solved in closed form with KKT filters (the in-kernel
-    version of ops/boxqp.boxqp_enum). Feedback rows come from the
-    identity-padded free-subspace inverse, zeroed on clamped dims
-    (ref :377-385).
+    version of ops/boxqp.boxqp_enum; at m=4 the 15 per-free-subset
+    adjugates are shared across the 81 candidates). Feedback rows come
+    from the identity-padded free-subspace inverse, zeroed on clamped
+    dims (ref :377-385).
   - unconstrained (``use_limits=False``): plain regularized Newton
     k = −QuuF⁻¹Qu — the infinite-box degenerate
     (ref src/ilqr_core.cpp:369).
@@ -304,6 +305,135 @@ def _qp_m3(quuF, qu, lo, hi):
     return k, free, bad
 
 
+def _subdet(q, rows, cols):
+    """Determinant of the submatrix q[rows][cols] of a nested-list tile
+    matrix, by first-row cofactor expansion — fully unrolled at trace time
+    (rows/cols are static index tuples, len ≤ 4)."""
+    if len(rows) == 1:
+        return q[rows[0]][cols[0]]
+    acc = None
+    for jpos, cj in enumerate(cols):
+        minor = _subdet(q, rows[1:], cols[:jpos] + cols[jpos + 1:])
+        term = q[rows[0]][cj] * minor
+        if acc is None:
+            acc = term
+        elif jpos % 2 == 0:
+            acc = acc + term
+        else:
+            acc = acc - term
+    return acc
+
+
+def _adj_det(q, idx):
+    """Adjugate (as a nested list over positions in ``idx``) and
+    determinant of the symmetric submatrix q[idx][idx]. Static index
+    tuple, len ≤ 4; symmetry halves the cofactor count."""
+    k = len(idx)
+    if k == 1:
+        return [[jnp.ones_like(q[idx[0]][idx[0]])]], q[idx[0]][idx[0]]
+    det = _subdet(q, idx, idx)
+    adj = [[None] * k for _ in range(k)]
+    for a in range(k):
+        for b in range(a, k):
+            rows = idx[:b] + idx[b + 1:]
+            cols = idx[:a] + idx[a + 1:]
+            cof = _subdet(q, rows, cols)
+            if (a + b) % 2:
+                cof = -cof
+            adj[a][b] = adj[b][a] = cof
+    return adj, det
+
+
+def _qp_m4(quuF, qu, lo, hi):
+    """Exact 4-D box QP by active-set enumeration on tiles: all 81
+    (lower/free/upper)⁴ candidate sets, closed-form subspace solves via
+    shared per-free-subset adjugates (15 of them serve all 81 candidates),
+    KKT filters — the in-kernel ops/boxqp.boxqp_enum at m=4 (ref boxqp.cpp
+    handles arbitrary m; this covers the fused solver to m ≤ 4, e.g. the
+    quadrotor's per-rotor thrust box)."""
+    import itertools
+
+    q = quuF
+    g = qu
+    one = jnp.ones_like(q[0][0])
+    zero = jnp.zeros_like(q[0][0])
+
+    def safe(d):
+        return jnp.where(d <= 0.0, one, d)
+
+    # Sylvester criterion on the four leading principal minors
+    bad = q[0][0] <= 0.0
+    for k in range(2, 5):
+        bad = bad | (_subdet(q, tuple(range(k)), tuple(range(k))) <= 0.0)
+
+    # shared per-free-subset solve data: adjugate + reciprocal determinant
+    sub = {}
+    for k in range(1, 5):
+        for idx in itertools.combinations(range(4), k):
+            adj, det = _adj_det(q, idx)
+            sub[idx] = (adj, 1.0 / safe(det))
+
+    best_v = jnp.full_like(one, 3.0e38)
+    best = [zero, zero, zero, zero]
+    # free-mask carriers as f32 0/1 — Mosaic rejects selects on bool values
+    bf = [zero, zero, zero, zero]
+
+    for combo in itertools.product((0, 1, 2), repeat=4):
+        F = tuple(i for i in range(4) if combo[i] == 1)
+        xc = [lo[i] if combo[i] == 0 else hi[i] if combo[i] == 2 else None
+              for i in range(4)]
+        x = [xc[i] for i in range(4)]
+        if F:
+            adj, rdet = sub[F]
+            rhs = []
+            for i in F:
+                acc = g[i]
+                for j in range(4):
+                    if combo[j] != 1:
+                        acc = acc + q[i][j] * xc[j]
+                rhs.append(acc)
+            for a, i in enumerate(F):
+                s = adj[a][0] * rhs[0]
+                for b in range(1, len(F)):
+                    s = s + adj[a][b] * rhs[b]
+                x[i] = -s * rdet
+
+        gr = []
+        for i in range(4):
+            acc = g[i]
+            for j in range(4):
+                acc = acc + q[i][j] * x[j]
+            gr.append(acc)
+
+        ok = None
+        for i in range(4):
+            if combo[i] == 1:
+                c = (x[i] >= lo[i]) & (x[i] <= hi[i])
+            elif combo[i] == 0:
+                c = gr[i] >= 0.0
+            else:
+                c = gr[i] <= 0.0
+            ok = c if ok is None else ok & c
+
+        v = zero
+        for i in range(4):
+            v = v + g[i] * x[i] + 0.5 * q[i][i] * x[i] * x[i]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                v = v + q[i][j] * x[i] * x[j]
+
+        take = ok & (v < best_v)
+        best_v = jnp.where(take, v, best_v)
+        for i in range(4):
+            best[i] = jnp.where(take, x[i], best[i])
+            bf[i] = jnp.where(
+                take, jnp.full_like(bf[i], 1.0 * (combo[i] == 1)), bf[i])
+
+    k_out = [jnp.where(bad, zero, best[i]) for i in range(4)]
+    free = [(bf[i] > 0.5) & ~bad for i in range(4)]
+    return k_out, free, bad
+
+
 def _qp_newton(quuF, qu, m):
     """Unconstrained regularized Newton step on tiles: k = −QuuF⁻¹Qu with a
     Sylvester PD check — what boxQP degenerates to with an infinite box
@@ -341,8 +471,21 @@ def _qp_newton(quuF, qu, m):
         adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
         x = [-(adj[j][0] * qu[0] + adj[j][1] * qu[1] + adj[j][2] * qu[2])
              * rsdet for j in range(3)]
+    elif m == 4:
+        bad = quuF[0][0] <= 0.0
+        for kk in range(2, 5):
+            bad = bad | (
+                _subdet(quuF, tuple(range(kk)), tuple(range(kk))) <= 0.0)
+        adj, det = _adj_det(quuF, (0, 1, 2, 3))
+        rsdet = 1.0 / safe(det)
+        x = []
+        for j in range(4):
+            s = adj[j][0] * qu[0]
+            for i in range(1, 4):
+                s = s + adj[j][i] * qu[i]
+            x.append(-s * rsdet)
     else:
-        raise ValueError("in-kernel Newton supports m <= 3")
+        raise ValueError("in-kernel Newton supports m <= 4")
     k = [jnp.where(bad, zero, xi) for xi in x]
     free = [~bad for _ in range(m)]
     return k, free, bad
@@ -379,32 +522,55 @@ def _free_solve_rows(quuF, free, cols, m):
             out0.append(jnp.where(free[0], -s0, jnp.zeros_like(s0)))
             out1.append(jnp.where(free[1], -s1, jnp.zeros_like(s1)))
         return [out0, out1]
-    # m == 3: identity-padded 3×3 inverse via the adjugate
+    if m == 3:
+        # identity-padded 3×3 inverse via the adjugate
+        one = jnp.ones_like(quuF[0][0])
+        zero = jnp.zeros_like(quuF[0][0])
+        a = jnp.where(free[0], quuF[0][0], one)
+        dd = jnp.where(free[1], quuF[1][1], one)
+        f = jnp.where(free[2], quuF[2][2], one)
+        b = jnp.where(free[0] & free[1], quuF[0][1], zero)
+        c = jnp.where(free[0] & free[2], quuF[0][2], zero)
+        e = jnp.where(free[1] & free[2], quuF[1][2], zero)
+        A00 = dd * f - e * e
+        A01 = -(b * f - e * c)
+        A02 = b * e - dd * c
+        A11 = a * f - c * c
+        A12 = -(a * e - b * c)
+        A22 = a * dd - b * b
+        det = a * A00 + b * A01 + c * A02
+        det = jnp.where(det == 0.0, one, det)
+        rdet = 1.0 / det        # one reciprocal shared by all columns
+        adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
+        out = [[], [], []]
+        for i in range(len(cols[0])):
+            v = [cols[0][i], cols[1][i], cols[2][i]]
+            for j in range(3):
+                s = (adj[j][0] * v[0] + adj[j][1] * v[1]
+                     + adj[j][2] * v[2]) * rdet
+                out[j].append(jnp.where(free[j], -s, zero))
+        return out
+    # m == 4: identity-padded 4×4 inverse via the generic adjugate
+    assert m == 4, "free-subspace rows support m <= 4"
     one = jnp.ones_like(quuF[0][0])
     zero = jnp.zeros_like(quuF[0][0])
-    a = jnp.where(free[0], quuF[0][0], one)
-    dd = jnp.where(free[1], quuF[1][1], one)
-    f = jnp.where(free[2], quuF[2][2], one)
-    b = jnp.where(free[0] & free[1], quuF[0][1], zero)
-    c = jnp.where(free[0] & free[2], quuF[0][2], zero)
-    e = jnp.where(free[1] & free[2], quuF[1][2], zero)
-    A00 = dd * f - e * e
-    A01 = -(b * f - e * c)
-    A02 = b * e - dd * c
-    A11 = a * f - c * c
-    A12 = -(a * e - b * c)
-    A22 = a * dd - b * b
-    det = a * A00 + b * A01 + c * A02
+    P = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        P[i][i] = jnp.where(free[i], quuF[i][i], one)
+        for j in range(i + 1, 4):
+            v = jnp.where(free[i] & free[j], quuF[i][j], zero)
+            P[i][j] = P[j][i] = v
+    adj, det = _adj_det(P, (0, 1, 2, 3))
     det = jnp.where(det == 0.0, one, det)
     rdet = 1.0 / det            # one reciprocal shared by all columns
-    adj = [[A00, A01, A02], [A01, A11, A12], [A02, A12, A22]]
-    out = [[], [], []]
+    out = [[], [], [], []]
     for i in range(len(cols[0])):
-        v = [cols[0][i], cols[1][i], cols[2][i]]
-        for j in range(3):
-            s = (adj[j][0] * v[0] + adj[j][1] * v[1]
-                 + adj[j][2] * v[2]) * rdet
-            out[j].append(jnp.where(free[j], -s, zero))
+        v = [cols[jm][i] for jm in range(4)]
+        for j in range(4):
+            s = adj[j][0] * v[0]
+            for b in range(1, 4):
+                s = s + adj[j][b] * v[b]
+            out[j].append(jnp.where(free[j], -s * rdet, zero))
     return out
 
 
@@ -683,8 +849,10 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
             k_i, free, bad = _qp_m2(quuF, qu, lo, hi)
         elif m == 3:
             k_i, free, bad = _qp_m3(quuF, qu, lo, hi)
+        elif m == 4:
+            k_i, free, bad = _qp_m4(quuF, qu, lo, hi)
         else:
-            raise ValueError("merged sweep kernel supports m <= 3")
+            raise ValueError("merged sweep kernel supports m <= 4")
 
     Krow = _free_solve_rows(quuF, free, qux, m)  # (m, n) rows
 
@@ -763,6 +931,13 @@ def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
     P = params_p.shape[0]
     f32 = jnp.float32
     TB = max(1, min(int(time_block), T))
+    if m * n >= 32:
+        # Large models (e.g. quadrotor n=12/m=4): the per-timestep body is
+        # ~20k ops (n³ Riccati algebra + 3^m QP candidates); at the default
+        # blocking the unrolled grid-step body makes the (remote Mosaic or
+        # CPU XLA) compile pathological. Grid-step machinery is only
+        # ~0.15-0.6 µs/step (BENCH_NOTES.md), so a tiny block is right.
+        TB = min(TB, 2)
     NT = (T + TB - 1) // TB  # time blocks, processed in reverse; the edge
     # block (trailing, possibly-partial rows) is masked in-kernel
 

@@ -186,6 +186,133 @@ def test_m3_matches_xla_path():
     assert fus.K.shape == (2, 15, 3, 6)
 
 
+def _overactuated_model():
+    """Test-local m=4 model small enough for interpret-mode end-to-ends:
+    a 3D point mass driven by FOUR thrusters through a non-orthogonal
+    mixing matrix (overactuation couples Quu = MᵀVvvM, so the 81-candidate
+    QP faces genuinely coupled boxes; thrusts live in an asymmetric
+    [0, u_max] box like the quadrotor's rotors). The quadrotor itself
+    (n=12) makes the interpret-mode XLA compile take tens of minutes on
+    CPU — the m=4 kernel WIRING is what this verifies; the QP math is
+    tile-tested against boxqp_enum in tests/test_qp_tiles.py."""
+    from typing import NamedTuple
+
+    from ilqr_tpu.models.base import Model
+
+    MIX = ((1.0, 0.3, -0.2, 0.1),
+           (0.2, 1.0, 0.3, -0.1),
+           (-0.1, 0.2, 1.0, 0.4))
+
+    class P(NamedTuple):
+        goal: jnp.ndarray
+        u_min: jnp.ndarray
+        u_max: jnp.ndarray
+
+    def params():
+        return P(goal=jnp.asarray([0.5, -0.3, 0.4, 0.0, 0.0, 0.0],
+                                  jnp.float32),
+                 u_min=jnp.zeros((4,), jnp.float32),
+                 u_max=jnp.full((4,), 0.6, jnp.float32))
+
+    def dyn(p, x, u):
+        f = [sum(MIX[i][j] * u[j] for j in range(4)) - 0.970 - 0.1 * x[3 + i]
+             for i in range(3)]
+        return jnp.stack([x[3], x[4], x[5], f[0], f[1], f[2]])
+
+    def cost(p, x, u):
+        e = p.goal - x
+        return jnp.dot(e, e) + 0.1 * jnp.dot(u, u)
+
+    def final(p, x):
+        e = p.goal - x
+        return 20.0 * jnp.dot(e, e)
+
+    def dyn_soa(p, x, u):
+        f = [sum(MIX[i][j] * u[j] for j in range(4)) - 0.970 - 0.1 * x[3 + i]
+             for i in range(3)]
+        return jnp.stack([x[3], x[4], x[5], f[0], f[1], f[2]])
+
+    def cost_soa(p, x, u):
+        acc = None
+        for i in range(6):
+            e = p.goal[i] - x[i]
+            acc = e * e if acc is None else acc + e * e
+        for j in range(4):
+            acc = acc + 0.1 * u[j] * u[j]
+        return acc
+
+    def final_soa(p, x):
+        acc = None
+        for i in range(6):
+            e = p.goal[i] - x[i]
+            acc = e * e if acc is None else acc + e * e
+        return 20.0 * acc
+
+    return Model(name="_overactuated_pm", n=6, m=4, dynamics=dyn,
+                 cost=cost, final_cost=final, default_params=params,
+                 dynamics_soa=dyn_soa, cost_soa=cost_soa,
+                 final_cost_soa=final_soa), params()
+
+
+_M4_E2E = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp, numpy as np, sys
+sys.path.insert(0, {testdir!r})
+from test_fused_solver import _overactuated_model
+from ilqr_tpu import SolverConfig
+from ilqr_tpu.batch import solve_batch
+from ilqr_tpu.fused import solve_batch_fused
+m, p = _overactuated_model()
+rng = np.random.default_rng(3)
+x0 = jnp.asarray(rng.normal(size=(2, 6)) * 0.1, jnp.float32)
+u0 = jnp.full((8, 4), 0.3, jnp.float32)
+cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                   max_iter=4, backward_kernel="xla",
+                   rollout_kernel="xla", deriv_kernel="xla",
+                   iter_kernel="split", sweep_time_block=2,
+                   ls_time_block=2)
+ref = solve_batch(m, p, cfg, 0.02, x0, u0)
+fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
+np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                           rtol=1e-3)
+assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 2e-2
+us = np.asarray(fus.us)
+assert us.min() >= -1e-6 and us.max() <= 0.6 + 1e-6
+assert us.max() > 0.6 - 1e-4, us.max()   # upper box actually binds
+assert fus.us.shape == (2, 8, 4) and fus.K.shape == (2, 8, 4, 6)
+print("M4_E2E_OK")
+"""
+
+
+@pytest.mark.slow
+def test_m4_matches_xla_path():
+    """m=4: the in-kernel 81-candidate active-set QP (shared per-free-
+    subset adjugates) matches the XLA path (iterative boxQP) to f32
+    tolerance, with the asymmetric [0, u_max] thrust box binding (the
+    constant gravity-like offset exceeds what free thrusts would give).
+
+    Runs in a SUBPROCESS with XLA:CPU's instruction fusion disabled: the
+    fusion pass chokes on the interpret-mode m=4 sweep body (a compiled
+    mega-fusion that executes ~10^4× slower than its flop count — run
+    went from >900 s to 0.01 s with the pass off; measured 2026-08-18).
+    TPU compiles through Mosaic, which never sees this pass.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_disable_hlo_passes=cpu-instruction-fusion,"
+                        "fusion").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    script = _M4_E2E.format(testdir=os.path.dirname(__file__))
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "M4_E2E_OK" in out.stdout
+
+
 @pytest.mark.slow
 def test_unconstrained_matches_xla_path():
     """use_control_limits=False: the in-kernel plain-Newton degenerate

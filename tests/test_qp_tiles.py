@@ -1,0 +1,134 @@
+"""Direct tile-level tests for the in-kernel m=4 QP machinery
+(ops/pallas_sweep: _subdet/_adj_det/_qp_m4/_qp_newton/_free_solve_rows).
+
+These helpers are plain jnp on (8, 128) tiles — testable against dense
+oracles without entering Pallas. The ORACLE is ops/boxqp.boxqp_enum (itself
+scipy-verified in tests/test_boxqp_enum.py) and plain dense linear algebra.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_tpu.ops.boxqp import boxqp_enum
+from ilqr_tpu.ops.pallas_sweep import (
+    _adj_det,
+    _free_solve_rows,
+    _qp_m4,
+    _qp_newton,
+    _subdet,
+)
+
+S, L = 8, 128
+B = S * L
+
+
+def _random_qps(seed, m=4, ridge=None, scale=1.0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(B, m, m))
+    r = rng.uniform(0.2, 3.0, size=(B, 1, 1)) if ridge is None else ridge
+    Q = A @ np.swapaxes(A, 1, 2) + r * np.eye(m)
+    g = scale * rng.normal(size=(B, m))
+    lo = -rng.uniform(0.05, 1.0, size=(B, m))
+    hi = rng.uniform(0.05, 1.0, size=(B, m))
+    return Q.astype(np.float32), g.astype(np.float32), \
+        lo.astype(np.float32), hi.astype(np.float32)
+
+
+def _tiles_mat(Q):
+    """(B, m, m) -> nested list of (S, L) tiles (full symmetric)."""
+    m = Q.shape[-1]
+    return [[jnp.asarray(Q[:, i, j].reshape(S, L)) for j in range(m)]
+            for i in range(m)]
+
+
+def _tiles_vec(v):
+    m = v.shape[-1]
+    return [jnp.asarray(v[:, i].reshape(S, L)) for i in range(m)]
+
+
+def test_subdet_and_adjugate_match_numpy():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(B, 4, 4))
+    Q = (A + np.swapaxes(A, 1, 2)).astype(np.float32)  # symmetric, any sign
+    q = _tiles_mat(Q)
+    det = np.asarray(_subdet(q, (0, 1, 2, 3), (0, 1, 2, 3))).reshape(B)
+    np.testing.assert_allclose(det, np.linalg.det(Q), rtol=2e-3, atol=2e-3)
+    adj, det2 = _adj_det(q, (0, 1, 2, 3))
+    # adjugate identity: adj(Q) = det(Q) · Q⁻¹
+    ref = np.linalg.det(Q)[:, None, None] * np.linalg.inv(Q)
+    got = np.stack([np.stack([np.asarray(adj[i][j]).reshape(B)
+                              for j in range(4)], -1) for i in range(4)], -2)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+    # sub-block: dims (0, 2, 3)
+    idx = (0, 2, 3)
+    sub = Q[:, np.ix_(idx, idx)[0], np.ix_(idx, idx)[1]]
+    adj_s, det_s = _adj_det(q, idx)
+    np.testing.assert_allclose(np.asarray(det_s).reshape(B),
+                               np.linalg.det(sub), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("seed,scale", [(1, 1.0), (2, 4.0), (3, 0.2)])
+def test_qp_m4_matches_boxqp_enum(seed, scale):
+    """All 1024 random PD box QPs in one tile: the in-kernel 81-candidate
+    enumeration lands on the boxqp_enum optimum (x AND free set)."""
+    Q, g, lo, hi = _random_qps(seed, scale=scale)
+    k, free, bad = _qp_m4(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi))
+    ref = jax.vmap(boxqp_enum)(jnp.asarray(Q), jnp.asarray(g),
+                               jnp.asarray(lo), jnp.asarray(hi))
+    assert not bool(jnp.any(bad))
+    assert bool(jnp.all(ref.status == 5))
+    x_got = np.stack([np.asarray(k[i]).reshape(B) for i in range(4)], -1)
+    np.testing.assert_allclose(x_got, np.asarray(ref.x),
+                               rtol=2e-3, atol=2e-3)
+    f_got = np.stack([np.asarray(free[i]).reshape(B) for i in range(4)], -1)
+    # free sets match wherever the solution isn't within tolerance of a
+    # box face (exact ties make 'free' ambiguous — same x either way)
+    interior_margin = np.minimum(np.asarray(ref.x) - lo, hi - np.asarray(ref.x))
+    decisive = np.abs(interior_margin) > 1e-4
+    np.testing.assert_array_equal(f_got[decisive],
+                                  np.asarray(ref.free)[decisive])
+
+
+def test_qp_m4_flags_non_pd():
+    Q, g, lo, hi = _random_qps(7)
+    Q[:, 3, 3] = -1.0  # break the 4th leading minor everywhere
+    k, free, bad = _qp_m4(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi))
+    assert bool(jnp.all(bad))
+    for i in range(4):
+        assert not bool(jnp.any(free[i]))
+        np.testing.assert_array_equal(np.asarray(k[i]), 0.0)
+
+
+def test_qp_newton_m4_matches_dense_solve():
+    Q, g, _lo, _hi = _random_qps(11)
+    k, free, bad = _qp_newton(_tiles_mat(Q), _tiles_vec(g), 4)
+    assert not bool(jnp.any(bad))
+    ref = -np.linalg.solve(Q, g[..., None])[..., 0]
+    got = np.stack([np.asarray(k[i]).reshape(B) for i in range(4)], -1)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_free_solve_rows_m4_matches_padded_inverse():
+    """K rows: −(Q_free)⁻¹ · cols with identity padding, zeroed clamped
+    rows (ref ilqr_core.cpp:377-385) — against the dense construction."""
+    rng = np.random.default_rng(13)
+    Q, _g, _lo, _hi = _random_qps(13)
+    n = 3
+    cols_np = rng.normal(size=(B, 4, n)).astype(np.float32)
+    free_np = rng.uniform(size=(B, 4)) > 0.4
+    free = [jnp.asarray(free_np[:, i].reshape(S, L)) for i in range(4)]
+    cols = [[jnp.asarray(cols_np[:, j, i].reshape(S, L)) for i in range(n)]
+            for j in range(4)]
+    out = _free_solve_rows(_tiles_mat(Q), free, cols, 4)
+    got = np.stack([np.stack([np.asarray(out[j][i]).reshape(B)
+                              for i in range(n)], -1) for j in range(4)], -2)
+    eye = np.eye(4, dtype=np.float32)
+    mask = free_np[:, :, None] & free_np[:, None, :]
+    P = np.where(mask, Q, eye)
+    ref = -np.linalg.solve(P, cols_np)
+    ref = np.where(free_np[:, :, None], ref, 0.0)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
