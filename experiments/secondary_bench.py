@@ -7,6 +7,8 @@ SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter
   m4_enum / m4_iter — quadrotor (n=12, m=4) on the vmap path, exact 81-
   candidate enumeration QP vs the reference-style iterative projected
   Newton (one mode per process — two different programs, axon discipline)
+  m4_fused — quadrotor on the FUSED solver (in-kernel 81-candidate QP,
+  two-kernel iteration; auto caps the time block for the big body)
 """
 
 import json
@@ -63,6 +65,35 @@ def main():
         print(json.dumps({
             "mode": MODE, "B": B, "T": T,
             "solves_per_s": round(B / min(reps), 1),
+            "best_s": round(min(reps), 4), "first_s": round(first, 1),
+            "mean_cost": round(float(jnp.mean(sol.cost)), 4),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
+    elif MODE == "m4_fused":
+        from ilqr_tpu.models import quadrotor as qd
+        model = get_model("quadrotor")
+        params = qd.default_params()
+        B4, T = 1024, 80
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=40)
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B4, 12)), jnp.float32)
+        u0 = jnp.tile(qd.hover_control(params)[None].astype(jnp.float32),
+                      (T, 1))
+        t0 = time.perf_counter()
+        sol = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(4):
+            x0r = jnp.asarray(0.05 * rng.normal(size=(B4, 12)),
+                              jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch_fused(model, params, cfg, 0.02, x0r, u0)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "mode": MODE, "B": B4, "T": T,
+            "solves_per_s": round(B4 / min(reps), 1),
             "best_s": round(min(reps), 4), "first_s": round(first, 1),
             "mean_cost": round(float(jnp.mean(sol.cost)), 4),
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
