@@ -189,6 +189,101 @@ def final_cost_soa(p: QuadrotorParams, x):
     return p.final_scale * acc
 
 
+def jac_soa(p: QuadrotorParams, x, u):
+    """Closed-form continuous-time Jacobians of :func:`dynamics` (see
+    models/base.py). Structural zeros/ones stay Python floats so the
+    merged sweep kernel folds them out at trace time — A has 23 live
+    entries of 144, B has 20 of 48."""
+    inv_m = 1.0 / p.mass
+    F = u[0] + u[1] + u[2] + u[3]
+    Fm = F * inv_m
+
+    sph, cph = jnp.sin(x[6]), jnp.cos(x[6])
+    sth, cth = jnp.sin(x[7]), jnp.cos(x[7])
+    sps, cps = jnp.sin(x[8]), jnp.cos(x[8])
+    inv_cth = 1.0 / cth
+    tth = sth * inv_cth
+    sec2 = inv_cth * inv_cth
+    w1, w2, w3 = x[9], x[10], x[11]
+    Jx, Jy, Jz = p.inertia[0], p.inertia[1], p.inertia[2]
+
+    # world-frame thrust direction (third column of R_zyx)
+    rx = cph * sth * cps + sph * sps
+    ry = cph * sth * sps - sph * cps
+    rz = cph * cth
+
+    A = [[0.0] * 12 for _ in range(12)]
+    for i in range(3):
+        A[i][i + 3] = 1.0
+    # v̇ rows: angle sensitivities of the thrust direction
+    A[3][6] = Fm * (-sph * sth * cps + cph * sps)
+    A[3][7] = Fm * (cph * cth * cps)
+    A[3][8] = Fm * (-cph * sth * sps + sph * cps)
+    A[4][6] = Fm * (-sph * sth * sps - cph * cps)
+    A[4][7] = Fm * (cph * cth * sps)
+    A[4][8] = Fm * rx
+    A[5][6] = Fm * (-sph * cth)
+    A[5][7] = Fm * (-cph * sth)
+    # Euler-rate rows: W(φ,θ)ω sensitivities
+    A[6][6] = (cph * w2 - sph * w3) * tth
+    A[6][7] = (sph * w2 + cph * w3) * sec2
+    A[6][9] = 1.0
+    A[6][10] = sph * tth
+    A[6][11] = cph * tth
+    A[7][6] = -sph * w2 - cph * w3
+    A[7][10] = cph
+    A[7][11] = -sph
+    A[8][6] = (cph * w2 - sph * w3) * inv_cth
+    A[8][7] = (sph * w2 + cph * w3) * sth * sec2
+    A[8][10] = sph * inv_cth
+    A[8][11] = cph * inv_cth
+    # body-rate rows: gyroscopic coupling
+    A[9][10] = -(Jz - Jy) * w3 / Jx
+    A[9][11] = -(Jz - Jy) * w2 / Jx
+    A[10][9] = -(Jx - Jz) * w3 / Jy
+    A[10][11] = -(Jx - Jz) * w1 / Jy
+    A[11][9] = -(Jy - Jx) * w2 / Jz
+    A[11][10] = -(Jy - Jx) * w1 / Jz
+
+    B = [[0.0] * 4 for _ in range(12)]
+    for j in range(4):
+        B[3][j] = rx * inv_m
+        B[4][j] = ry * inv_m
+        B[5][j] = rz * inv_m
+    LJx = p.arm / Jx
+    LJy = p.arm / Jy
+    cJz = p.c_tau / Jz
+    B[9][1] = LJx
+    B[9][3] = -LJx
+    B[10][0] = -LJy
+    B[10][2] = LJy
+    B[11][0] = cJz
+    B[11][1] = -cJz
+    B[11][2] = cJz
+    B[11][3] = -cJz
+    return A, B
+
+
+def cost_derivs_soa(p: QuadrotorParams, x, u):
+    hov = p.mass * p.gravity * 0.25
+    cx = [-2.0 * p.hx_diag[i] * (p.goal[i] - x[i]) for i in range(12)]
+    cu = [2.0 * p.hu_diag[j] * (u[j] - hov) for j in range(4)]
+    cxx = [[2.0 * p.hx_diag[i] if i == j else 0.0 for j in range(12)]
+           for i in range(12)]
+    cxu = [[0.0] * 4 for _ in range(12)]
+    cuu = [[2.0 * p.hu_diag[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
+    return cx, cu, cxx, cxu, cuu
+
+
+def final_cost_derivs_soa(p: QuadrotorParams, x):
+    fs = p.final_scale
+    cx = [-2.0 * fs * p.hx_diag[i] * (p.goal[i] - x[i]) for i in range(12)]
+    cxx = [[2.0 * fs * p.hx_diag[i] if i == j else 0.0 for j in range(12)]
+           for i in range(12)]
+    return cx, cxx
+
+
 MODEL = Model(
     name="quadrotor",
     n=12,
@@ -200,4 +295,7 @@ MODEL = Model(
     dynamics_soa=dynamics_soa,
     cost_soa=cost_soa,
     final_cost_soa=final_cost_soa,
+    jac_soa=jac_soa,
+    cost_derivs_soa=cost_derivs_soa,
+    final_cost_derivs_soa=final_cost_derivs_soa,
 )

@@ -248,10 +248,39 @@ def _overactuated_model():
             acc = e * e if acc is None else acc + e * e
         return 20.0 * acc
 
+    def jac_soa(p, x, u):
+        A = [[0.0] * 6 for _ in range(6)]
+        for i in range(3):
+            A[i][i + 3] = 1.0
+            A[i + 3][i + 3] = -0.1
+        B = [[0.0] * 4 for _ in range(6)]
+        for i in range(3):
+            for j in range(4):
+                B[i + 3][j] = MIX[i][j]
+        return A, B
+
+    def cost_derivs_soa(p, x, u):
+        cx = [-2.0 * (p.goal[i] - x[i]) for i in range(6)]
+        cu = [0.2 * u[j] for j in range(4)]
+        cxx = [[2.0 if i == j else 0.0 for j in range(6)]
+               for i in range(6)]
+        cxu = [[0.0] * 4 for _ in range(6)]
+        cuu = [[0.2 if i == j else 0.0 for j in range(4)]
+               for i in range(4)]
+        return cx, cu, cxx, cxu, cuu
+
+    def final_cost_derivs_soa(p, x):
+        cx = [-40.0 * (p.goal[i] - x[i]) for i in range(6)]
+        cxx = [[40.0 if i == j else 0.0 for j in range(6)]
+               for i in range(6)]
+        return cx, cxx
+
     return Model(name="_overactuated_pm", n=6, m=4, dynamics=dyn,
                  cost=cost, final_cost=final, default_params=params,
                  dynamics_soa=dyn_soa, cost_soa=cost_soa,
-                 final_cost_soa=final_soa), params()
+                 final_cost_soa=final_soa, jac_soa=jac_soa,
+                 cost_derivs_soa=cost_derivs_soa,
+                 final_cost_derivs_soa=final_cost_derivs_soa), params()
 
 
 _M4_E2E = """
@@ -272,14 +301,18 @@ cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                    iter_kernel="split", sweep_time_block=2,
                    ls_time_block=2)
 ref = solve_batch(m, p, cfg, 0.02, x0, u0)
-fus = solve_batch_fused(m, p, cfg, 0.02, x0, u0)
-np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
-                           rtol=1e-3)
-assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 2e-2
-us = np.asarray(fus.us)
-assert us.min() >= -1e-6 and us.max() <= 0.6 + 1e-6
-assert us.max() > 0.6 - 1e-4, us.max()   # upper box actually binds
-assert fus.us.shape == (2, 8, 4) and fus.K.shape == (2, 8, 4, 6)
+import dataclasses
+m_jvp = dataclasses.replace(m, jac_soa=None, cost_derivs_soa=None,
+                            final_cost_derivs_soa=None)
+for mm in (m, m_jvp):   # analytic closed-form derivs AND in-kernel JVP
+    fus = solve_batch_fused(mm, p, cfg, 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-3)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 2e-2
+    us = np.asarray(fus.us)
+    assert us.min() >= -1e-6 and us.max() <= 0.6 + 1e-6
+    assert us.max() > 0.6 - 1e-4, us.max()   # upper box actually binds
+    assert fus.us.shape == (2, 8, 4) and fus.K.shape == (2, 8, 4, 6)
 print("M4_E2E_OK")
 """
 
