@@ -1,0 +1,52 @@
+#!/bin/bash
+# Measurement supervisor: probes the TPU tunnel every 8 min (indefinitely,
+# up to ~20 h), and once HEALTHY runs the full measurement chain
+# sequentially — one TPU process at a time, never falling through onto a
+# wedged tunnel. Replaces the fragile probe-log + multi-waiter setup.
+cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH}"
+OUT_V=experiments/variant_results.jsonl
+OUT_S=experiments/secondary_results.jsonl
+LOG=experiments/iter_variant_log.txt
+
+ok=0
+for i in $(seq 1 150); do
+  if timeout 45 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((256,256)); y = np.asarray(x @ x)
+assert y[0,0] == 256.0
+print('HEALTHY')
+" 2>/dev/null | grep -q HEALTHY; then
+    ok=1
+    echo "TPU HEALTHY after $i probes ($(date))" >> /tmp/tpu_probe.log
+    break
+  fi
+  echo "probe4 $i: still wedged ($(date))" >> /tmp/tpu_probe.log
+  sleep 480
+done
+[ "$ok" = 1 ] || { echo "supervisor: never recovered $(date)" >> "$LOG"; exit 1; }
+
+echo "=== starting measurement chain $(date) ===" >> "$LOG"
+run() {  # env vars... script outfile
+  local out="${@: -1}"
+  local script="${@: -2:1}"
+  echo "=== ${*:1:$#-2} $script $(date) ===" >> "$LOG"
+  env "${@:1:$#-2}" timeout 3000 python "$script" >> "$out" 2>> "$LOG"
+  local rc=$?
+  [ $rc -ne 0 ] && echo "{\"failed\": \"${*:1:$#-2} $script\", \"rc\": $rc}" >> "$out"
+  sleep 5
+}
+
+run VAR_ITER=merged VAR_ITB=16 experiments/bench_variant.py "$OUT_V"
+run VAR_ITER=merged VAR_ITB=32 experiments/bench_variant.py "$OUT_V"
+run VAR_ITER=split VAR_TB=32 VAR_STB=32 experiments/bench_variant.py "$OUT_V"
+echo "=== bench.py $(date) ===" >> "$LOG"
+BENCH_HEALTH_BUDGET_S=600 timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
+echo DONE_ITER_VARIANTS >> "$LOG"
+for mode in m2 m3 mpc mpc1 m4_fused m4_enum m4_iter; do
+  run SB_MODE=$mode experiments/secondary_bench.py "$OUT_S"
+done
+echo DONE_ITER_SECONDARY >> "$LOG"
+echo DONE_M4 >> "$LOG"
+echo DONE_M4_FUSED >> "$LOG"
+echo DONE_ALL >> "$LOG"
