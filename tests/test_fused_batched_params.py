@@ -86,3 +86,36 @@ def test_batched_matches_shared_when_identical():
                                np.asarray(s_shared.cost), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s_batched.us),
                                np.asarray(s_shared.us), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_batched_goals_m2_integrator():
+    """Per-problem params on an m=2 model: the merged sweep reads limits/
+    goals from the packed per-lane params tile (the m=1-only slice in
+    fused.py's chunk_args feeds only the split path), so batched params
+    must work for every fused-supported m."""
+    from ilqr_tpu.models import double_integrator as di
+
+    m = get_model("double_integrator")
+    B = 2
+    base = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        di.default_params(goal=(1.0, 0.5, 0.0, 0.0)))
+    goals = jnp.asarray([[1.0, 0.5, 0.0, 0.0], [-0.5, 0.8, 0.0, 0.0]],
+                        jnp.float32)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(), base)
+    params = params._replace(goal=goals)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=4, alphas=(1.0, 0.3, 0.03))
+    x0 = jnp.asarray([[-1.0, 0.0, 0.0, -0.2], [0.3, -0.4, 0.0, 0.0]],
+                     jnp.float32)
+    u0 = jnp.zeros((8, 2), jnp.float32)
+    sol = solve_batch_fused(m, params, cfg, 0.02, x0, u0,
+                            params_batched=True)
+    for b in range(B):
+        pb = jax.tree_util.tree_map(lambda a: a[b], params)
+        ref = solve_batch_fused(m, pb, cfg, 0.02, x0[b:b + 1], u0)
+        assert abs(float(sol.cost[b]) - float(ref.cost[0])) < 1e-3, b
+        np.testing.assert_allclose(np.asarray(sol.us[b]),
+                                   np.asarray(ref.us[0]), atol=1e-4)
