@@ -313,6 +313,14 @@ for mm in (m, m_jvp):   # analytic closed-form derivs AND in-kernel JVP
     assert us.min() >= -1e-6 and us.max() <= 0.6 + 1e-6
     assert us.max() > 0.6 - 1e-4, us.max()   # upper box actually binds
     assert fus.us.shape == (2, 8, 4) and fus.K.shape == (2, 8, 4, 6)
+# warm start at m=4: replanning from a slightly moved x0 must accept the
+# carried trajectory and converge in fewer iterations than the cold solve
+from ilqr_tpu.fused import solve_batch_fused_warm
+x0w = x0 + 0.01
+warm = solve_batch_fused_warm(m, p, cfg, 0.02, x0w, fus)
+cold = solve_batch_fused(m, p, cfg, 0.02, x0w, u0)
+assert float(jnp.max(jnp.abs(warm.cost - cold.cost))) < 0.05 * float(
+    jnp.max(cold.cost))
 print("M4_E2E_OK")
 """
 
