@@ -11,8 +11,8 @@ from typing import Dict
 
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
 from ilqr_tpu.models import (
-    acrobot, double_integrator, cartpole, pendulum, point_mass_3d,
-    quadrotor,
+    acrobot, bicycle, double_integrator, cartpole, pendulum,
+    point_mass_3d, quadrotor,
 )
 
 _REGISTRY: Dict[str, Model] = {}
@@ -40,6 +40,7 @@ def list_models():
 
 register(double_integrator.MODEL)
 register(acrobot.MODEL)
+register(bicycle.MODEL)
 register(cartpole.MODEL)
 register(pendulum.MODEL)
 register(point_mass_3d.MODEL)

@@ -326,3 +326,29 @@ def test_quadrotor_m4_waypoint_solve():
     us = np.asarray(sol.us)
     assert us.min() >= -1e-6 and us.max() <= 3.0 + 1e-6
     assert us.max() > 2.99                        # box actually active
+
+
+def test_bicycle_lane_change_solve():
+    """Kinematic bicycle (m=2): reach a displaced pose from rest. The
+    analytic SoA derivatives are covered by test_analytic_soa_jacobians;
+    this drives the full solve — goal position reached at rest, controls
+    inside the ASYMMETRIC accel box [-4, 2] and the steering box,
+    throttle limit actually active during the launch. (Final heading is
+    deliberately not pinned: iLQR settles into the angled-arrival local
+    minimum for this maneuver.)"""
+    from ilqr_tpu import SolverConfig, solve
+    from ilqr_tpu.models import bicycle as bc
+
+    m = get_model("bicycle")
+    p = bc.default_params(goal=(5.0, 2.0, 0.0, 0.0))
+    T = 100
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=60)
+    sol = solve(m, p, cfg, 0.05, jnp.zeros(4), jnp.zeros((T, 2)))
+    xf = np.asarray(sol.xs[-1])
+    np.testing.assert_allclose(xf[:2], [5.0, 2.0], atol=0.15)
+    assert abs(xf[3]) < 0.25                      # ends near rest
+    us = np.asarray(sol.us)
+    assert us[:, 0].min() >= -4.0 - 1e-6 and us[:, 0].max() <= 2.0 + 1e-6
+    assert np.abs(us[:, 1]).max() <= 0.55 + 1e-6
+    assert us[:, 0].max() > 1.99                  # throttle limit binds
