@@ -21,11 +21,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
-                 "cartpole", "point_mass_3d", "quadrotor"],
+                 "cartpole", "bicycle", "point_mass_3d", "quadrotor"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
-    p.add_argument("--dt", type=float, default=0.02,
-                   help="timestep (ref uses 0.02 for both workloads)")
+    p.add_argument("--dt", type=float, default=None,
+                   help="timestep (default: the problem's canonical value;"
+                        " the reference uses 0.02 for both its workloads)")
     p.add_argument("--horizon", "-T", type=int, default=None,
                    help="horizon; defaults to the reference's per-problem value")
     p.add_argument("--max-iter", type=int, default=100)
@@ -87,6 +88,9 @@ _PROBLEMS = {
                      x0=(0.0, 0.0, 0.0, 0.0)),
     "point_mass_3d": dict(model="point_mass_3d", T=99, goal=None,
                           x0=(0.0,) * 6),
+    # kinematic bicycle lane change: dt=0.05 (driving timescale)
+    "bicycle": dict(model="bicycle", T=100, goal=None, x0=(0.0,) * 4,
+                    dt=0.05),
     # quadrotor launches from rest with hover thrust as the initial
     # control sequence (zero thrust would free-fall the initial rollout)
     "quadrotor": dict(model="quadrotor", T=120, goal=None, x0=(0.0,) * 12,
@@ -112,6 +116,8 @@ def main(argv=None) -> int:
     from ilqr_tpu.utils.io import write_trajectory_csv
 
     spec = _PROBLEMS[args.problem]
+    if args.dt is None:
+        args.dt = spec.get("dt", 0.02)
     model = get_model(spec["model"])
     params = (model.default_params(goal=spec["goal"]) if spec["goal"]
               else model.default_params())

@@ -12,7 +12,8 @@ def test_parser_problems():
     p = build_parser()
     args = p.parse_args(["acrobot"])
     assert args.problem == "acrobot"
-    assert args.dt == 0.02
+    # dt defaults per problem inside main() (None until resolved)
+    assert args.dt is None
     with pytest.raises(SystemExit):
         p.parse_args(["not_a_model"])
 
