@@ -43,9 +43,14 @@ run VAR_ITER=split VAR_TB=32 VAR_STB=32 experiments/bench_variant.py "$OUT_V"
 echo "=== bench.py $(date) ===" >> "$LOG"
 BENCH_HEALTH_BUDGET_S=600 timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
 echo DONE_ITER_VARIANTS >> "$LOG"
-for mode in m2 m3 mpc mpc1 m4_fused m4_enum m4_iter; do
+for mode in m2 m3 mpc mpc1 m4_enum m4_iter; do
   run SB_MODE=$mode experiments/secondary_bench.py "$OUT_S"
 done
+# m4_fused LAST: its merged-sweep Mosaic compile is the biggest program in
+# the chain; a timeout-kill mid-compile can re-wedge the tunnel, so nothing
+# may run after it. Generous timeout for the same reason.
+echo "=== SB_MODE=m4_fused $(date) ===" >> "$LOG"
+SB_MODE=m4_fused timeout 5400 python experiments/secondary_bench.py >> "$OUT_S" 2>> "$LOG" || echo '{"failed": "m4_fused"}' >> "$OUT_S"
 echo DONE_ITER_SECONDARY >> "$LOG"
 echo DONE_M4 >> "$LOG"
 echo DONE_M4_FUSED >> "$LOG"
