@@ -26,10 +26,17 @@ print('HEALTHY')
 done
 [ "$ok" = 1 ] || { echo "supervisor: never recovered $(date)" >> "$LOG"; exit 1; }
 
+# Hard deadline (epoch): stop STARTING new steps near the round's end so
+# the driver's own bench.py never races a chain process on the tunnel
+# (one TPU process at a time). 17:30 UTC on 2026-08-18.
+DEADLINE=1787074200
+past_deadline() { [ "$(date +%s)" -gt "$DEADLINE" ]; }
+
 echo "=== starting measurement chain $(date) ===" >> "$LOG"
 run() {  # env vars... script outfile
   local out="${@: -1}"
   local script="${@: -2:1}"
+  past_deadline && { echo "deadline passed, skipping ${*:1:$#-2} $(date)" >> "$LOG"; return; }
   echo "=== ${*:1:$#-2} $script $(date) ===" >> "$LOG"
   env "${@:1:$#-2}" timeout 3000 python "$script" >> "$out" 2>> "$LOG"
   local rc=$?
@@ -41,7 +48,7 @@ run VAR_ITER=merged VAR_ITB=16 experiments/bench_variant.py "$OUT_V"
 run VAR_ITER=merged VAR_ITB=32 experiments/bench_variant.py "$OUT_V"
 run VAR_ITER=split VAR_TB=32 VAR_STB=32 experiments/bench_variant.py "$OUT_V"
 echo "=== bench.py $(date) ===" >> "$LOG"
-BENCH_HEALTH_BUDGET_S=600 timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
+past_deadline || BENCH_HEALTH_BUDGET_S=600 timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
 echo DONE_ITER_VARIANTS >> "$LOG"
 for mode in m2 m3 mpc mpc1 m4_enum m4_iter; do
   run SB_MODE=$mode experiments/secondary_bench.py "$OUT_S"
@@ -50,7 +57,7 @@ done
 # the chain; a timeout-kill mid-compile can re-wedge the tunnel, so nothing
 # may run after it. Generous timeout for the same reason.
 echo "=== SB_MODE=m4_fused $(date) ===" >> "$LOG"
-SB_MODE=m4_fused timeout 5400 python experiments/secondary_bench.py >> "$OUT_S" 2>> "$LOG" || echo '{"failed": "m4_fused"}' >> "$OUT_S"
+past_deadline || SB_MODE=m4_fused timeout 5400 python experiments/secondary_bench.py >> "$OUT_S" 2>> "$LOG" || echo '{"failed": "m4_fused"}' >> "$OUT_S"
 echo DONE_ITER_SECONDARY >> "$LOG"
 echo DONE_M4 >> "$LOG"
 echo DONE_M4_FUSED >> "$LOG"
