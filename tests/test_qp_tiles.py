@@ -132,3 +132,19 @@ def test_free_solve_rows_m4_matches_padded_inverse():
     ref = -np.linalg.solve(P, cols_np)
     ref = np.where(free_np[:, :, None], ref, 0.0)
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_qp_m4_boundary_tie():
+    """A solution exactly on a box face ties the free and clamped
+    candidate sets — the enumeration must still return the optimum
+    (free-set choice is ambiguous there; x is not)."""
+    Q = np.eye(4, dtype=np.float32)[None].repeat(B, 0)
+    c = np.tile(np.asarray([-0.5, 0.25, 0.0, 0.1], np.float32), (B, 1))
+    lo = np.full((B, 4), -0.5, np.float32)
+    hi = np.full((B, 4), 0.5, np.float32)
+    k, free, bad = _qp_m4(_tiles_mat(Q), _tiles_vec(c),
+                          _tiles_vec(lo), _tiles_vec(hi))
+    assert not bool(jnp.any(bad))
+    x = np.stack([np.asarray(k[i]).reshape(B) for i in range(4)], -1)
+    np.testing.assert_allclose(x, np.tile([0.5, -0.25, 0.0, -0.1], (B, 1)),
+                               atol=1e-6)
