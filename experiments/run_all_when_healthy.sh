@@ -28,9 +28,14 @@ done
 
 # Hard deadline (epoch): stop STARTING new steps near the round's end so
 # the driver's own bench.py never races a chain process on the tunnel
-# (one TPU process at a time). 17:30 UTC on 2026-08-18.
-DEADLINE=1787074200
+# (one TPU process at a time). Session restarted ~11:30 UTC Aug 18 with a
+# fresh ~12 h budget, so round end is ~23:30 UTC; regular steps (<=50 min
+# timeout) may start until 22:00, the m4_fused step (90 min timeout) only
+# until 21:30.
+DEADLINE=1787090400
+DEADLINE_FUSED=1787088600
 past_deadline() { [ "$(date +%s)" -gt "$DEADLINE" ]; }
+past_deadline_fused() { [ "$(date +%s)" -gt "$DEADLINE_FUSED" ]; }
 
 echo "=== starting measurement chain $(date) ===" >> "$LOG"
 run() {  # env vars... script outfile
@@ -57,7 +62,7 @@ done
 # the chain; a timeout-kill mid-compile can re-wedge the tunnel, so nothing
 # may run after it. Generous timeout for the same reason.
 echo "=== SB_MODE=m4_fused $(date) ===" >> "$LOG"
-past_deadline || SB_MODE=m4_fused timeout 5400 python experiments/secondary_bench.py >> "$OUT_S" 2>> "$LOG" || echo '{"failed": "m4_fused"}' >> "$OUT_S"
+past_deadline_fused || SB_MODE=m4_fused timeout 5400 python experiments/secondary_bench.py >> "$OUT_S" 2>> "$LOG" || echo '{"failed": "m4_fused"}' >> "$OUT_S"
 echo DONE_ITER_SECONDARY >> "$LOG"
 echo DONE_M4 >> "$LOG"
 echo DONE_M4_FUSED >> "$LOG"

@@ -68,6 +68,12 @@ class SolverConfig:
     max_iter: int = 100
     tol_fun: float = 1e-6
     tol_grad: float = 1e-6
+    full_ddp: bool = False  # include the second-order dynamics tensors
+    # (Vx·fxx etc.) in the Q-term expansion — the full_DDP option of Tassa's
+    # original MATLAB iLQG that the reference never implemented (its backward
+    # pass is Gauss-Newton only, ref src/ilqr_core.cpp:359-363). Exact via
+    # nested jacfwd; requires deriv_mode="analytic" and runs on the
+    # scan/vmap path (the fused kernel-layout solver rejects it).
     lambda_init: float = 1.0
     dlambda_init: float = 1.0
     lambda_factor: float = 1.6

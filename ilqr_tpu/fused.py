@@ -395,6 +395,10 @@ def solve_batch_fused(
     """
     if model.m > 4:
         raise ValueError("solve_batch_fused requires m <= 4")
+    if cfg.full_ddp:
+        raise ValueError(
+            "solve_batch_fused does not support full_ddp (the kernel "
+            "bodies are Gauss-Newton only) — use vmap(solve)")
     if model.m >= 2 and cfg.sweep_kernel != "merged":
         raise ValueError("m >= 2 needs sweep_kernel='merged' (in-kernel "
                          "active-set-enumeration QP)")
@@ -488,6 +492,10 @@ def solve_batch_fused_warm(
     :func:`solve_batch_fused`."""
     if model.m > 4 or not model.has_soa:
         raise ValueError("fused warm start requires m <= 4 and SoA model")
+    if cfg.full_ddp:
+        raise ValueError(
+            "solve_batch_fused_warm does not support full_ddp — use "
+            "vmap(solve_warm)")
     if model.m >= 2 and cfg.sweep_kernel != "merged":
         raise ValueError("m >= 2 warm start needs sweep_kernel='merged'")
     if interpret is None:

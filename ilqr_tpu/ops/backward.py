@@ -45,6 +45,11 @@ def backward_pass(
     # Parallel-in-time mode (unconstrained only): O(log T) associative scan
     # instead of the serial recursion (see ops/assoc_backward.py).
     if cfg.backward_mode == "assoc" and not cfg.use_control_limits:
+        if cfg.full_ddp:
+            raise ValueError(
+                "full_ddp is incompatible with backward_mode='assoc': the "
+                "Vx·fxx terms make each step's Q-expansion depend on the "
+                "carried Vx, which breaks the associative reformulation")
         from ilqr_tpu.ops.assoc_backward import backward_pass_assoc
 
         return backward_pass_assoc(derivs, us, lam, cfg)
@@ -57,6 +62,7 @@ def backward_pass(
     use_fused = (
         cfg.use_control_limits
         and m == 1
+        and not cfg.full_ddp  # kernel bodies are Gauss-Newton only
         and cfg.boxqp_mode == "auto"
         and cfg.backward_kernel != "xla"
         and dtype == jnp.float32
@@ -76,7 +82,10 @@ def backward_pass(
 
     def step(carry, inp):
         vx, vxx, k_next, dv, diverged = carry
-        fx, fu, cx, cu, cxx, cxu, cuu, u = inp
+        if cfg.full_ddp:
+            fx, fu, cx, cu, cxx, cxu, cuu, u, fxx, fxu, fuu = inp
+        else:
+            fx, fu, cx, cu, cxx, cxu, cuu, u = inp
 
         fuT = fu.T
         qx = cx + fx.T @ vx
@@ -85,6 +94,13 @@ def backward_pass(
         qxx = cxx + fx.T @ (vxx @ fx)
         qux = cxu.T + fuT_vxx @ fx  # == Qux_reg (ref :362,366 are identical)
         quu = cuu + fuT_vxx @ fu
+        if cfg.full_ddp:
+            # Full second-order expansion: contract V'_x (the carried vx is
+            # V_{t+1} in this reverse scan) with the dynamics Hessians —
+            # Tassa's full_DDP terms, absent from the reference.
+            qxx = qxx + jnp.tensordot(vx, fxx, axes=(0, 0))
+            qux = qux + jnp.tensordot(vx, fxu, axes=(0, 0)).T
+            quu = quu + jnp.tensordot(vx, fuu, axes=(0, 0))
         quuF = quu + lam * eye_m
 
         if cfg.use_control_limits and m == 1 and cfg.boxqp_mode == "auto":
@@ -171,6 +187,8 @@ def backward_pass(
         derivs.fx, derivs.fu, derivs.cx[:-1], derivs.cu,
         derivs.cxx[:-1], derivs.cxu, derivs.cuu, us,
     )
+    if cfg.full_ddp:
+        inputs = inputs + (derivs.fxx, derivs.fxu, derivs.fuu)
     (_vx, _vxx, _k, dv, diverged), (k, K) = lax.scan(
         step, init, inputs, reverse=True
     )

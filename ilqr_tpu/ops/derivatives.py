@@ -58,6 +58,18 @@ def analytic_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Deri
     cx_T = jax.grad(final)(xs[-1])
     cxx_T = jax.hessian(final)(xs[-1])
 
+    # Full-DDP second-order dynamics tensors (exact, nested forward-mode;
+    # see types.Derivs for shapes). Tassa's MATLAB iLQG computes these under
+    # its full_DDP flag; the C++ reference never did.
+    fxx = fxu = fuu = None
+    if cfg.full_ddp:
+        fxx = jax.vmap(jax.jacfwd(jax.jacfwd(step, argnums=0), argnums=0))(
+            xs_run, us)
+        fxu = jax.vmap(jax.jacfwd(jax.jacfwd(step, argnums=0), argnums=1))(
+            xs_run, us)
+        fuu = jax.vmap(jax.jacfwd(jax.jacfwd(step, argnums=1), argnums=1))(
+            xs_run, us)
+
     return Derivs(
         fx=fx,
         fu=fu,
@@ -66,6 +78,9 @@ def analytic_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Deri
         cxx=jnp.concatenate([cxx_run, cxx_T[None]], axis=0),
         cxu=cxu,
         cuu=cuu,
+        fxx=fxx,
+        fxu=fxu,
+        fuu=fuu,
     )
 
 
@@ -192,6 +207,7 @@ import functools
 def _use_fused_derivs(model: Model, cfg: SolverConfig, dtype) -> bool:
     return (
         model.has_soa
+        and not cfg.full_ddp  # kernels are Gauss-Newton-layout only
         and dtype == jnp.float32
         and cfg.deriv_kernel != "xla"
         and (cfg.deriv_kernel == "pallas"
@@ -251,6 +267,11 @@ def _get_derivs_cv(model: Model, cfg: SolverConfig):
 def compute_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Derivs:
     if cfg.deriv_mode not in ("analytic", "fd"):
         raise ValueError(f"unknown deriv_mode {cfg.deriv_mode!r}")
+    if cfg.full_ddp and cfg.deriv_mode != "analytic":
+        raise ValueError(
+            "full_ddp requires deriv_mode='analytic' (the second-order "
+            "dynamics tensors come from nested forward-mode AD; the "
+            "reference's FD engine has no such stencils to be parity with)")
     if _use_fused_derivs(model, cfg, jnp.asarray(xs).dtype):
         fn = _get_derivs_cv(model, cfg)
         return fn(params, jnp.asarray(dt, jnp.float32), xs, us)

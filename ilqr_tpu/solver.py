@@ -44,7 +44,7 @@ from ilqr_tpu.types import (
 )
 
 
-def _zeros_derivs(T, n, m, dtype) -> Derivs:
+def _zeros_derivs(T, n, m, dtype, full_ddp=False) -> Derivs:
     return Derivs(
         fx=jnp.zeros((T, n, n), dtype),
         fu=jnp.zeros((T, n, m), dtype),
@@ -53,6 +53,9 @@ def _zeros_derivs(T, n, m, dtype) -> Derivs:
         cxx=jnp.zeros((T + 1, n, n), dtype),
         cxu=jnp.zeros((T, n, m), dtype),
         cuu=jnp.zeros((T, m, m), dtype),
+        fxx=jnp.zeros((T, n, n, n), dtype) if full_ddp else None,
+        fxu=jnp.zeros((T, n, n, m), dtype) if full_ddp else None,
+        fuu=jnp.zeros((T, n, m, m), dtype) if full_ddp else None,
     )
 
 
@@ -112,7 +115,7 @@ def init_state(
         dlam=dlam,
         k=jnp.zeros((T, m), dtype),
         K=jnp.zeros((T, m, n), dtype),
-        derivs=_zeros_derivs(T, n, m, dtype),
+        derivs=_zeros_derivs(T, n, m, dtype, full_ddp=cfg.full_ddp),
         flg_change=jnp.ones((), bool),
         iteration=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),

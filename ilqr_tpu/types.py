@@ -39,6 +39,15 @@ class Derivs(NamedTuple):
     The reference allocates T+1 entries for everything and leaves fx/fu[T],
     cu/cxu/cuu[T] zero or garbage that the backward pass never reads
     (ref: src/derivatives.cpp:15-74); we simply don't store them.
+
+    ``fxx``/``fxu``/``fuu`` are the second-order dynamics tensors used by
+    full DDP (``SolverConfig.full_ddp``) — the ``full_DDP`` option of Tassa's
+    original MATLAB iLQG that the reference never implemented (it is
+    Gauss-Newton iLQR only; ref src/ilqr_core.cpp:359-363 has no
+    second-order terms). ``None`` (an empty pytree subtree) unless enabled:
+      fxx (T, n, n, n)  fxx[t, i, j, k] = ∂²f_i/∂x_j∂x_k of the discrete step
+      fxu (T, n, n, m)  ∂²f_i/∂x_j∂u_k
+      fuu (T, n, m, m)  ∂²f_i/∂u_j∂u_k
     """
 
     fx: jnp.ndarray
@@ -48,6 +57,9 @@ class Derivs(NamedTuple):
     cxx: jnp.ndarray
     cxu: jnp.ndarray
     cuu: jnp.ndarray
+    fxx: jnp.ndarray = None
+    fxu: jnp.ndarray = None
+    fuu: jnp.ndarray = None
 
 
 class BoxQPResult(NamedTuple):
