@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="corrected mode: clamp controls in the rollout "
                         "(the reference does not, ilqr_core.cpp:322-329)")
     p.add_argument("--no-control-limits", action="store_true")
+    p.add_argument("--full-ddp", action="store_true",
+                   help="include exact second-order dynamics terms "
+                        "(Vx·fxx etc.) in the backward pass — Tassa's "
+                        "full_DDP, absent from the reference; implies "
+                        "--deriv-mode analytic")
     p.add_argument("--integrator-scheme", choices=["euler", "rk4"],
                    default="euler")
     p.add_argument("--boxqp-mode", choices=["auto", "iterative", "enum"],
@@ -133,7 +138,8 @@ def main(argv=None) -> int:
 
     cfg = SolverConfig(
         max_iter=args.max_iter,
-        deriv_mode=args.deriv_mode,
+        deriv_mode="analytic" if args.full_ddp else args.deriv_mode,
+        full_ddp=args.full_ddp,
         clamp_forward=args.clamp_forward,
         use_control_limits=not args.no_control_limits,
         integrator=args.integrator_scheme,
@@ -158,6 +164,7 @@ def main(argv=None) -> int:
         ).astype(x0.dtype)
         t0 = time.perf_counter()
         use_fused = (model.has_soa and model.m <= 3
+                     and not cfg.full_ddp
                      and (cfg.sweep_kernel == "merged" or model.m == 1)
                      and (cfg.boxqp_mode in ("auto", "enum")
                           if cfg.use_control_limits
