@@ -98,6 +98,60 @@ def final_cost_soa(p: CartPoleParams, x):
     return _werr(p, x, p.w_final)
 
 
+def jac_soa(p: CartPoleParams, x, u):
+    """Closed-form Jacobians of :func:`dynamics_soa` (see models/base.py).
+
+    Only θ (x1) and θ̇ (x3) enter the accelerations, so columns 0 and 2
+    are structural zeros (plain floats, folded out of the kernel trace).
+    With N = −g·sinθ − cosθ·temp and D = l·(4/3 − k·cos²θ):
+      ∂θ̈ = (∂N − θ̈·∂D)/D,   ∂p̈ = ∂temp + k·l·∂(θ̈·cosθ).
+    One shared reciprocal per distinct denominator (mt, D) — divides are
+    ~10× a multiply in the VPU lowering (BENCH_NOTES.md)."""
+    theta, thetadot = x[1], x[3]
+    mt = p.mass_cart + p.mass_pole
+    rmt = 1.0 / mt
+    k = p.mass_pole * rmt
+    kl = k * p.length
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    temp = (u[0] + p.mass_pole * p.length * thetadot * thetadot * st) * rmt
+    dtemp_dth = kl * thetadot * thetadot * ct
+    dtemp_dw = 2.0 * kl * thetadot * st
+    rD = 1.0 / (p.length * (4.0 / 3.0 - k * ct * ct))
+    a2 = (-p.gravity * st - ct * temp) * rD          # θ̈
+    dD_dth = 2.0 * p.length * k * ct * st
+    dN_dth = -p.gravity * ct + st * temp - ct * dtemp_dth
+    da2_dth = (dN_dth - a2 * dD_dth) * rD
+    da2_dw = -ct * dtemp_dw * rD
+    da2_du = -ct * rmt * rD
+    da1_dth = dtemp_dth + kl * (da2_dth * ct - a2 * st)
+    da1_dw = dtemp_dw + kl * ct * da2_dw
+    da1_du = rmt + kl * ct * da2_du
+    A = [[0.0, 0.0, 1.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0],
+         [0.0, da1_dth, 0.0, da1_dw],
+         [0.0, da2_dth, 0.0, da2_dw]]
+    B = [[0.0], [0.0], [da1_du], [da2_du]]
+    return A, B
+
+
+def cost_derivs_soa(p: CartPoleParams, x, u):
+    cx = [-2.0 * p.w_state[i] * (p.goal[i] - x[i]) for i in range(4)]
+    cu = [2.0 * p.w_control * u[0]]
+    cxx = [[2.0 * p.w_state[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
+    cxu = [[0.0], [0.0], [0.0], [0.0]]
+    cuu = [[2.0 * p.w_control]]
+    return cx, cu, cxx, cxu, cuu
+
+
+def final_cost_derivs_soa(p: CartPoleParams, x):
+    cx = [-2.0 * p.w_final[i] * (p.goal[i] - x[i]) for i in range(4)]
+    cxx = [[2.0 * p.w_final[i] if i == j else 0.0 for j in range(4)]
+           for i in range(4)]
+    return cx, cxx
+
+
 MODEL = Model(
     name="cartpole",
     n=4,
@@ -109,4 +163,7 @@ MODEL = Model(
     dynamics_soa=dynamics_soa,
     cost_soa=cost_soa,
     final_cost_soa=final_cost_soa,
+    jac_soa=jac_soa,
+    cost_derivs_soa=cost_derivs_soa,
+    final_cost_derivs_soa=final_cost_derivs_soa,
 )

@@ -47,6 +47,27 @@ def test_matches_vmapped_path():
     assert fus.K.shape == ref.K.shape
 
 
+def test_cartpole_analytic_soa_matches_xla_path():
+    """Cartpole's closed-form jac_soa/cost_derivs_soa (the merged sweep's
+    analytic linearization) must reproduce the XLA scan path end-to-end."""
+    from ilqr_tpu.solver import solve
+
+    m = get_model("cartpole")
+    p = _p32(m)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(0.3 * rng.normal(size=(4, 4)), jnp.float32)
+    u0 = jnp.zeros((12, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True,
+              use_control_limits=True, max_iter=6, alphas=FAST_ALPHAS)
+    ref = jax.jit(jax.vmap(lambda x, u: solve(
+        m, p, SolverConfig(backward_kernel="xla", rollout_kernel="xla",
+                           deriv_kernel="xla", **kw), 0.02, x, u)))(
+        x0, jnp.broadcast_to(u0, (4, 12, 1)))
+    fus = solve_batch_fused(m, p, SolverConfig(**kw), 0.02, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pendulum_converges():
     m = get_model("pendulum")
     p = _p32(m)
