@@ -28,12 +28,14 @@ done
 
 # Hard deadline (epoch): stop STARTING new steps near the round's end so
 # the driver's own bench.py never races a chain process on the tunnel
-# (one TPU process at a time). Session restarted ~11:30 UTC Aug 18 with a
-# fresh ~12 h budget, so round end is ~23:30 UTC; regular steps (<=50 min
-# timeout) may start until 22:00, the m4_fused step (90 min timeout) only
-# until 21:30.
-DEADLINE=1787090400
-DEADLINE_FUSED=1787088600
+# (one TPU process at a time). REQUIRED: pass deadlines via env —
+#   CHAIN_DEADLINE        last start time for regular steps (<=50 min each)
+#   CHAIN_DEADLINE_FUSED  last start time for the m4_fused step (90 min);
+# e.g. CHAIN_DEADLINE=$(date -d '+4 hours' +%s). Defaults ($now) skip
+# everything rather than guess — a timeout-kill mid-compile near the round
+# end can wedge the tunnel for hours and destroy the driver's own bench.
+DEADLINE=${CHAIN_DEADLINE:-$(date +%s)}
+DEADLINE_FUSED=${CHAIN_DEADLINE_FUSED:-$(date +%s)}
 past_deadline() { [ "$(date +%s)" -gt "$DEADLINE" ]; }
 past_deadline_fused() { [ "$(date +%s)" -gt "$DEADLINE_FUSED" ]; }
 
@@ -49,13 +51,17 @@ run() {  # env vars... script outfile
   sleep 5
 }
 
-run VAR_ITER=merged VAR_ITB=16 experiments/bench_variant.py "$OUT_V"
-run VAR_ITER=merged VAR_ITB=32 experiments/bench_variant.py "$OUT_V"
-run VAR_ITER=split VAR_TB=32 VAR_STB=32 experiments/bench_variant.py "$OUT_V"
-echo "=== bench.py $(date) ===" >> "$LOG"
-past_deadline || BENCH_HEALTH_BUDGET_S=600 timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
+# Already measured (2026-08-18/19, see *_results.jsonl + BENCH_NOTES.md):
+# iter-kernel variants, bench.py (29101 solves/s, merged iter kernel),
+# SB_MODE=m2/m3/mpc. Only the still-missing steps remain below; re-enable
+# the others by uncommenting if a code change invalidates their numbers.
+# run VAR_ITER=merged VAR_ITB=16 experiments/bench_variant.py "$OUT_V"
+# run VAR_ITER=merged VAR_ITB=32 experiments/bench_variant.py "$OUT_V"
+# run VAR_ITER=split VAR_TB=32 VAR_STB=32 experiments/bench_variant.py "$OUT_V"
+# past_deadline || BENCH_HEALTH_BUDGET_S=600 timeout 3600 python bench.py >> experiments/bench_iter_result.txt 2>> "$LOG"
+# for mode in m2 m3 mpc; do run SB_MODE=$mode experiments/secondary_bench.py "$OUT_S"; done
 echo DONE_ITER_VARIANTS >> "$LOG"
-for mode in m2 m3 mpc mpc1 m4_enum m4_iter; do
+for mode in mpc1 m4_enum m4_iter; do
   run SB_MODE=$mode experiments/secondary_bench.py "$OUT_S"
 done
 # m4_fused LAST: its merged-sweep Mosaic compile is the biggest program in
