@@ -47,6 +47,7 @@ def test_matches_vmapped_path():
     assert fus.K.shape == ref.K.shape
 
 
+@pytest.mark.slow
 def test_cartpole_analytic_soa_matches_xla_path():
     """Cartpole's closed-form jac_soa/cost_derivs_soa (the merged sweep's
     analytic linearization) must reproduce the XLA scan path end-to-end."""
