@@ -1,0 +1,115 @@
+"""On-TPU fused-vs-XLA numerical equivalence check (VERDICT r2 item 2).
+
+Every fused-vs-XLA equivalence test in tests/ runs the Pallas *interpreter*
+on CPU; this is the first device-level validation of the Mosaic codegen
+(FMA contraction, transcendental lowerings, and ops/trig.py polynomials can
+all differ on device). Runs `solve_batch_fused` (Mosaic kernels) and
+`jit(vmap(solve))` (XLA) on the SAME small batch ON DEVICE and compares
+per-lane costs + iterate-count histograms.
+
+max_iter is kept modest (12) to dodge knife-edge FUN_TOL terminations: at
+rounding level a lane can terminate one iteration apart between paths,
+which moves its cost by far more than the arithmetic difference we're
+trying to measure. The reference analogue is the golden-CSV oracle
+discipline (tests/test_solver.py) extended to the deployment path.
+
+Tolerance (stated): per-lane relative cost diff |cf-cx|/(1+|cx|) — PASS if
+p99 <= 1e-3 and max <= 5e-2 (f32, ~12 iterations of accumulated drift).
+
+EQ_MODEL: acrobot (m=1 path) | double_integrator (m=2 in-kernel QP path).
+Two Mosaic+XLA programs per process — run ONE model per process (axon
+discipline: remote compiles are 10-600 s per new program).
+
+Appends one JSON line to stdout (chain redirects to equiv_results.jsonl).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODEL = os.environ.get("EQ_MODEL", "acrobot")
+
+
+def main():
+    t0 = time.perf_counter()
+    a = jnp.ones((256, 256), jnp.float32)
+    (a @ a).block_until_ready()
+    print(f"[eq] health {time.perf_counter() - t0:.1f}s backend="
+          f"{jax.default_backend()}", file=sys.stderr, flush=True)
+
+    from ilqr_tpu import SolverConfig, get_model
+    from ilqr_tpu.fused import solve_batch_fused
+    from ilqr_tpu.solver import solve
+
+    rng = np.random.default_rng(7)
+    B = 256
+    model = get_model(MODEL)
+    if MODEL == "acrobot":
+        from ilqr_tpu.models import acrobot as mm
+        params = mm.default_params()
+        T = 199
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B, model.n)), jnp.float32)
+        # m=1: both paths use the exact closed-form 1-D box QP.
+        xla_boxqp = "auto"
+    else:
+        from ilqr_tpu.models import double_integrator as mm
+        params = mm.default_params(goal=(1.0, 0.5, 0.0, 0.0))
+        T = 99
+        x0 = jnp.asarray([-1.0, 0.0, 0.0, -0.2], jnp.float32)[None] \
+            + 0.1 * jnp.asarray(rng.normal(size=(B, model.n)), jnp.float32)
+        # m=2: the fused kernel's QP is the exact 3^m enumeration; match
+        # semantics on the XLA leg (also loop-free -> fast trace/compile).
+        xla_boxqp = "enum"
+    u0 = jnp.zeros((B, T, model.m), jnp.float32)
+
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       use_control_limits=True, max_iter=12)
+
+    # --- Mosaic leg -------------------------------------------------------
+    t0 = time.perf_counter()
+    solf = solve_batch_fused(model, params, cfg, 0.02, x0, u0)
+    cf = np.asarray(solf.cost)
+    itf = np.asarray(solf.iterations)
+    t_fused = time.perf_counter() - t0
+    print(f"[eq] fused leg {t_fused:.1f}s", file=sys.stderr, flush=True)
+
+    # --- XLA leg ----------------------------------------------------------
+    cfg_x = cfg.replace(boxqp_mode=xla_boxqp)
+    t0 = time.perf_counter()
+    solx = jax.jit(jax.vmap(
+        lambda x, u: solve(model, params, cfg_x, 0.02, x, u)))(x0, u0)
+    cx = np.asarray(solx.cost)
+    itx = np.asarray(solx.iterations)
+    t_xla = time.perf_counter() - t0
+    print(f"[eq] xla leg {t_xla:.1f}s", file=sys.stderr, flush=True)
+
+    rel = np.abs(cf - cx) / (1.0 + np.abs(cx))
+    hist_f = np.bincount(itf.astype(int), minlength=cfg.max_iter + 1)
+    hist_x = np.bincount(itx.astype(int), minlength=cfg.max_iter + 1)
+    # histogram overlap coefficient in [0, 1]
+    overlap = float(np.minimum(hist_f, hist_x).sum()) / B
+    p99 = float(np.quantile(rel, 0.99))
+    out = {
+        "probe": "equiv_tpu",
+        "model": MODEL,
+        "B": B, "T": T, "max_iter": cfg.max_iter,
+        "backend": jax.default_backend(),
+        "rel_cost_max": float(rel.max()),
+        "rel_cost_p99": p99,
+        "rel_cost_median": float(np.median(rel)),
+        "iter_hist_overlap": overlap,
+        "mean_cost_fused": float(cf.mean()),
+        "mean_cost_xla": float(cx.mean()),
+        "fused_s": round(t_fused, 1), "xla_s": round(t_xla, 1),
+        "pass": bool(p99 <= 1e-3 and rel.max() <= 5e-2),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,10 +34,12 @@ done
 # e.g. CHAIN_DEADLINE=$(date -d '+4 hours' +%s). Defaults ($now) skip
 # everything rather than guess — a timeout-kill mid-compile near the round
 # end can wedge the tunnel for hours and destroy the driver's own bench.
-DEADLINE=${CHAIN_DEADLINE:-$(date +%s)}
-DEADLINE_FUSED=${CHAIN_DEADLINE_FUSED:-$(date +%s)}
-past_deadline() { [ "$(date +%s)" -gt "$DEADLINE" ]; }
-past_deadline_fused() { [ "$(date +%s)" -gt "$DEADLINE_FUSED" ]; }
+# Default 0 (not $now): with -ge below, an unset deadline reliably skips
+# every step — $now with -gt let the first step start in the same second.
+DEADLINE=${CHAIN_DEADLINE:-0}
+DEADLINE_FUSED=${CHAIN_DEADLINE_FUSED:-0}
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
+past_deadline_fused() { [ "$(date +%s)" -ge "$DEADLINE_FUSED" ]; }
 
 echo "=== starting measurement chain $(date) ===" >> "$LOG"
 run() {  # env vars... script outfile
