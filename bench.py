@@ -131,6 +131,7 @@ def main():
         solver = functools.partial(
             solve_batch_fused, model, params, cfg, 0.02)
 
+    fallback = False
     # Warm-up / compile. TWO warm-up calls with distinct inputs: on the
     # axon backend a second (and only the second) invocation of a fresh
     # fused-solve program reliably triggers another multi-minute remote
@@ -153,6 +154,7 @@ def main():
             deriv_mode="analytic", clamp_forward=True,
             use_control_limits=True, max_iter=max_iter,
             iter_kernel="split")
+        fallback = True
         solver = functools.partial(
             solve_batch_fused, model, params, cfg, 0.02)
         t0 = time.perf_counter()
@@ -180,11 +182,29 @@ def main():
 
     best = min(times)
     solves_per_s = B / best
+    # Executed-path provenance (VERDICT r2): the silent split-kernel
+    # fallback above must never masquerade as the flagship merged-kernel
+    # number, so the JSON records which configuration actually ran.
+    if os.environ.get("BENCH_VMAP") or jax.default_backend() != "tpu":
+        path = "vmap"
+        iter_kernel = "n/a"
+    else:
+        from ilqr_tpu.fused import _use_iter_kernel
+
+        path = "fused"
+        iter_kernel = ("merged" if _use_iter_kernel(model, cfg, T, model.n)
+                       else "split")
     result = {
         "metric": "batched_acrobot_solves_per_s",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "config": {
+            "backend": jax.default_backend(), "path": path,
+            "iter_kernel": iter_kernel, "fallback": fallback,
+            "sweep_kernel": cfg.sweep_kernel, "boxqp_mode": cfg.boxqp_mode,
+            "B": B, "T": T, "max_iter": max_iter,
+        },
     }
     # Context to stderr; the contract line alone on stdout.
     print(
