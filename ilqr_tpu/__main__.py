@@ -21,7 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
-                 "cartpole", "bicycle", "point_mass_3d", "quadrotor"],
+                 "cartpole", "bicycle", "point_mass_3d", "power_mass",
+                 "quadrotor"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=None,
@@ -96,6 +97,9 @@ _PROBLEMS = {
     # kinematic bicycle lane change: dt=0.05 (driving timescale)
     "bicycle": dict(model="bicycle", T=100, goal=None, x0=(0.0,) * 4,
                     dt=0.05),
+    # power-limited point mass: live cost cross terms (cxu != 0)
+    "power_mass": dict(model="power_mass", T=120, goal=None, x0=(0.0,) * 4,
+                       dt=0.05),
     # quadrotor launches from rest with hover thrust as the initial
     # control sequence (zero thrust would free-fall the initial rollout)
     "quadrotor": dict(model="quadrotor", T=120, goal=None, x0=(0.0,) * 12,

@@ -12,7 +12,7 @@ from typing import Dict
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
 from ilqr_tpu.models import (
     acrobot, bicycle, double_integrator, cartpole, pendulum,
-    point_mass_3d, quadrotor,
+    point_mass_3d, power_mass, quadrotor,
 )
 
 _REGISTRY: Dict[str, Model] = {}
@@ -44,6 +44,7 @@ register(bicycle.MODEL)
 register(cartpole.MODEL)
 register(pendulum.MODEL)
 register(point_mass_3d.MODEL)
+register(power_mass.MODEL)
 register(quadrotor.MODEL)
 
 __all__ = [

@@ -22,6 +22,7 @@ def test_registry():
     assert "cartpole" in models
     assert "pendulum" in models
     assert "point_mass_3d" in models
+    assert "power_mass" in models
     assert "quadrotor" in models
 
 
@@ -213,6 +214,15 @@ def test_jac_soa_structural_constants_are_python_floats():
         consts = [v for row in A for v in row if isinstance(v, float)]
         assert consts, f"{name}: jac_soa returned no folded constants"
         _cx, _cu, cxx, cxu, _cuu = m.cost_derivs_soa(p, x, u)
+        if name == "power_mass":
+            # power_mass exists precisely to give the kernels LIVE cost
+            # cross terms — its cxu/cxx-velocity-block entries must be
+            # tiles, not folded floats (but position rows stay folded).
+            live = [v for row in cxu for v in row
+                    if not isinstance(v, float)]
+            assert live, "power_mass: cxu must carry live tiles"
+            assert all(isinstance(v, float) for row in cxu[:2] for v in row)
+            continue
         offdiag = [cxx[i][j] for i in range(m.n) for j in range(m.n)
                    if i != j]
         assert all(isinstance(v, float) for v in offdiag), (
@@ -352,3 +362,53 @@ def test_bicycle_lane_change_solve():
     assert us[:, 0].min() >= -4.0 - 1e-6 and us[:, 0].max() <= 2.0 + 1e-6
     assert np.abs(us[:, 1]).max() <= 0.55 + 1e-6
     assert us[:, 0].max() > 1.99                  # throttle limit binds
+
+
+def test_power_mass_dynamics_and_cost():
+    """Power-limited point mass: hand values for dynamics and the
+    quadratic mechanical-power cost term (v·u)²."""
+    from ilqr_tpu.models import power_mass as pm
+
+    m = get_model("power_mass")
+    p = pm.default_params(goal=(3.0, 2.0, 0.0, 0.0))
+    x = jnp.array([0.5, -0.2, 1.0, -0.5])
+    u = jnp.array([2.0, 1.0])
+    # v̇ = u/m − drag·v with m=1, drag=0.15
+    np.testing.assert_allclose(
+        m.dynamics(p, x, u),
+        [1.0, -0.5, 2.0 - 0.15 * 1.0, 1.0 - 0.15 * (-0.5)], atol=1e-7)
+    # s = 1·2 + (−0.5)·1 = 1.5; power term = 0.05·1.5² = 0.1125
+    e = np.array([3.0 - 0.5, 2.0 + 0.2, -1.0, 0.5])
+    expect = (0.5 * e[0] ** 2 + 0.5 * e[1] ** 2
+              + 0.05 * e[2] ** 2 + 0.05 * e[3] ** 2
+              + 0.1 * (4.0 + 1.0) + 0.05 * 1.5 ** 2)
+    np.testing.assert_allclose(float(m.cost(p, x, u)), expect, rtol=1e-6)
+
+
+def test_power_mass_reaches_goal_with_live_cxu():
+    """Full solve of the only model with nonzero state-dependent cxu:
+    reaches the goal at rest, controls stay inside the asymmetric box
+    [-1.5, 2.5], and the forward-thrust limit binds during the launch."""
+    from ilqr_tpu import SolverConfig, solve
+    from ilqr_tpu.models import power_mass as pm
+
+    m = get_model("power_mass")
+    p = pm.default_params()
+    T = 120
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=60)
+    sol = solve(m, p, cfg, 0.05, jnp.zeros(4), jnp.zeros((T, 2)))
+    xf = np.asarray(sol.xs[-1])
+    np.testing.assert_allclose(xf[:2], [3.0, 2.0], atol=0.05)
+    assert np.linalg.norm(xf[2:]) < 0.15          # arrives near rest
+    us = np.asarray(sol.us)
+    assert us.min() >= -1.5 - 1e-6 and us.max() <= 2.5 + 1e-6
+    assert us.max() > 2.49                        # thrust limit binds
+    # The power penalty must actually shape the solution: without it the
+    # same problem uses strictly more peak mechanical power.
+    p0 = p._replace(w_power=jnp.zeros(()))
+    sol0 = solve(m, p0, cfg, 0.05, jnp.zeros(4), jnp.zeros((T, 2)))
+    power = np.abs(np.asarray(sol.xs)[:-1, 2:] * np.asarray(sol.us)).sum(-1)
+    power0 = np.abs(np.asarray(sol0.xs)[:-1, 2:]
+                    * np.asarray(sol0.us)).sum(-1)
+    assert power.max() < power0.max()
