@@ -756,3 +756,72 @@ def test_unsupported_configs_raise():
                                        sweep_kernel="split"), 0.02,
                           jnp.zeros((2, 4), jnp.float32),
                           jnp.zeros((5, 1), jnp.float32))
+
+
+@pytest.mark.slow
+def test_power_mass_live_cxu_matches_xla_path():
+    """power_mass is the only registered model with nonzero state-dependent
+    cxu — the in-kernel QP's cross-term coupling (Qux = cxu + fuᵀVxx fx
+    with a LIVE cxu tile) gets its first non-synthetic workload here.
+    The fused path must match the XLA scan path end-to-end."""
+    from ilqr_tpu.models import power_mass as pm
+
+    m = get_model("power_mass")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), pm.default_params())
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.4, jnp.float32)
+    u0 = jnp.zeros((15, 2), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=8, backward_kernel="xla",
+                       rollout_kernel="xla", deriv_kernel="xla",
+                       alphas=FAST_ALPHAS)
+    ref = solve_batch(m, p, cfg, 0.05, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
+    # the solves must actually engage the cross terms: the QP's Qux
+    # coupling comes from cxu here, not only the dynamics
+    cxu = pm.cost_derivs_soa(p, jnp.asarray(x0[0])[:, None],
+                             jnp.ones((2, 1), jnp.float32))[3]
+    assert any(abs(float(jnp.broadcast_to(v, (1,))[0])) > 1e-6
+               for row in cxu for v in row if not isinstance(v, float))
+
+
+@pytest.mark.slow
+def test_maxiter_drift_is_bounded():
+    """Knife-edge drift guard (VERDICT r2 item 7): at maxit=100 individual
+    lanes may terminate one FUN_TOL check apart between the fused and XLA
+    paths (rounding-level iterate divergence flips a termination), so
+    per-lane equality is not a valid oracle — but the DISTRIBUTION must
+    agree. Bounds below turn the observed drift (experiments/
+    variant_results.jsonl 8.90→9.53 across kernel revisions; TPU probe
+    experiments/equiv_results.jsonl) into a regression-guarded invariant.
+    Measured on this path (2026-08-19): per-lane rel cost max 1.4e-7,
+    mean diff 0.0, iterate-histogram overlap 0.69 (knife-edge lanes reach
+    the SAME cost at different recorded iteration counts). Bounds leave
+    room for legitimate arithmetic reorderings, not behavior changes:
+    batch-mean cost within 1%, median per-lane relative diff ≤ 1e-4,
+    iterate-count histogram overlap ≥ 0.5."""
+    m = get_model("acrobot")
+    p = _p32(m)
+    rng = np.random.default_rng(11)
+    B, T = 64, 40
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
+    u0 = jnp.zeros((T, 1), jnp.float32)
+    kw = dict(deriv_mode="analytic", clamp_forward=True,
+              use_control_limits=True, max_iter=100, alphas=FAST_ALPHAS)
+    ref = solve_batch(m, p, SolverConfig(
+        backward_kernel="xla", rollout_kernel="xla", deriv_kernel="xla",
+        **kw), 0.02, x0, u0)
+    fus = solve_batch_fused(m, p, SolverConfig(**kw), 0.02, x0, u0)
+    cf, cx = np.asarray(fus.cost), np.asarray(ref.cost)
+    rel = np.abs(cf - cx) / (1.0 + np.abs(cx))
+    assert abs(cf.mean() - cx.mean()) <= 0.01 * (1.0 + abs(cx.mean())), (
+        cf.mean(), cx.mean())
+    assert float(np.median(rel)) <= 1e-4, float(np.median(rel))
+    hf = np.bincount(np.asarray(fus.iterations).astype(int), minlength=101)
+    hx = np.bincount(np.asarray(ref.iterations).astype(int), minlength=101)
+    overlap = float(np.minimum(hf, hx).sum()) / B
+    assert overlap >= 0.5, overlap
