@@ -32,6 +32,10 @@ class BoxQPConfig:
     min_step: float = 1e-22       # minStep
     armijo: float = 0.1           # Armijo sufficient-decrease fraction
     clamp_tol: float = 1e-4       # approx_eq tolerance (ref: boxqp.h:61-64)
+    vma_axes: tuple = ()  # shard_map manual axes the solve varies over —
+    # promotes the constant-initialized while_loop carries so
+    # check_vma=True type-checks (utils/vma.py); set via
+    # SolverConfig.with_vma_axes, not directly.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,10 +133,22 @@ class SolverConfig:
     # ~0.4 ms of sync overhead (BENCH_NOTES.md loop probes); unrolling
     # amortizes it U× at the cost of a U×-larger traced body. Lanes are
     # frozen past max_iter, so results are identical for any U ≥ 1.
+    vma_axes: tuple = ()  # shard_map manual axes (see BoxQPConfig.vma_axes
+    # and utils/vma.py); set via with_vma_axes.
     boxqp: BoxQPConfig = dataclasses.field(default_factory=BoxQPConfig)
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
+
+    def with_vma_axes(self, axes) -> "SolverConfig":
+        """Config for running inside ``shard_map(..., check_vma=True)``:
+        every constant-initialized loop carry in the solver (and its inner
+        boxQP) is promoted to vary over ``axes`` (utils/vma.py). Used by
+        parallel/mesh.py; a no-op config off the sharded path."""
+        axes = tuple(axes)
+        return dataclasses.replace(
+            self, vma_axes=axes,
+            boxqp=dataclasses.replace(self.boxqp, vma_axes=axes))
 
 
 # Configuration that reproduces the reference binary bit-for-bit semantics.

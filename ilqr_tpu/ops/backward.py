@@ -176,13 +176,15 @@ def backward_pass(
         carry = (vx_new, vxx_new, k_i, dv, diverged | div_here)
         return carry, (k_i, k_mat)
 
-    init = (
+    from ilqr_tpu.utils.vma import vary
+
+    init = vary((
         derivs.cx[-1],          # Vx[T] = cx[T]   (ref :353)
         derivs.cxx[-1],         # Vxx[T] = cxx[T] (ref :354)
         prev_k_last,
         jnp.zeros((2,), dtype),  # dV (ref :356)
         jnp.zeros((), bool),
-    )
+    ), cfg.vma_axes)
     inputs = (
         derivs.fx, derivs.fu, derivs.cx[:-1], derivs.cu,
         derivs.cxx[:-1], derivs.cxu, derivs.cuu, us,

@@ -159,7 +159,10 @@ def quadclamp_line_search(x0, search, Q, c, lower, upper, cfg: BoxQPConfig):
         failed = step < cfg.min_step
         return step, xc, v, failed, n + 1
 
-    init = (step0, xc0, v0, bad_direction, jnp.asarray(0, jnp.int32))
+    from ilqr_tpu.utils.vma import vary
+
+    init = vary((step0, xc0, v0, bad_direction, jnp.asarray(0, jnp.int32)),
+                cfg.vma_axes)
     _step, xc, v, failed, n = lax.while_loop(cond, body, init)
     return xc, v, failed | bad_direction, n
 
@@ -335,7 +338,9 @@ def boxqp(Q, c, x0, lower, upper, cfg: BoxQPConfig = BoxQPConfig()) -> BoxQPResu
         return (it + 1, x_out, val_out, oldval_out, clamped_out, chol_out,
                 status_new)
 
-    init = (
+    from ilqr_tpu.utils.vma import vary
+
+    init = vary((
         jnp.asarray(0, jnp.int32),
         x_init,
         val_init,
@@ -343,7 +348,7 @@ def boxqp(Q, c, x0, lower, upper, cfg: BoxQPConfig = BoxQPConfig()) -> BoxQPResu
         jnp.zeros((m,), bool),
         eye,
         jnp.asarray(0, jnp.int32),
-    )
+    ), cfg.vma_axes)
     it, x, _val, _oldval, clamped, chol, status = lax.while_loop(cond, body, init)
 
     return BoxQPResult(

@@ -95,10 +95,24 @@ def make_sharded_solver(
     batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
     repl = NamedSharding(mesh, P())
 
+    # with_vma_axes promotes the solver's constant-initialized loop
+    # carries to batch-varying (utils/vma.py) so the varying-manual-axes
+    # checker passes — this retired the round-1/2 check_vma=False
+    # workaround (jax 0.9, 2026-08).
+    cfg_v = cfg.with_vma_axes((BATCH_AXIS,))
+
     def local_solve(params, dt, x0, u0):
+        from ilqr_tpu.utils.vma import vary
+
+        # Promote the replicated params/dt to batch-varying up front: jax's
+        # automatic invariant→varying insertion mis-fires inside
+        # vmap(jacfwd(...)) (jax 0.9 — it re-applies pvary to an already-
+        # varying dual number); with every input varying it never triggers.
+        params, dt = vary((params, dt), (BATCH_AXIS,))
         in_axes = (0 if params_batched else None, None, 0, 0)
         return jax.vmap(
-            lambda p, d, x, u: solve(model, p, cfg, d, x, u), in_axes=in_axes
+            lambda p, d, x, u: solve(model, p, cfg_v, d, x, u),
+            in_axes=in_axes,
         )(params, dt, x0, u0)
 
     p_spec = P(BATCH_AXIS) if params_batched else P()
@@ -107,19 +121,7 @@ def make_sharded_solver(
         mesh=mesh,
         in_specs=(p_spec, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(BATCH_AXIS),
-        # TRACKED WORKAROUND (check_vma): the solver's flg_change lax.cond
-        # mixes batch-varying (re-derived from xs) and carried-zero
-        # (invariant-typed) branches, and the λ-retry while_loop carries
-        # constant-initialized scalars — the varying-manual-axes checker
-        # rejects both, and fixing it requires threading lax.pvary through
-        # every loop carry in solver.py (measured: the cond promotes, then
-        # the while_loop carries trip next). Until jax auto-promotes loop
-        # carries, keep the checker off. Replication safety is covered by
-        # tests instead: test_sharding.py::test_sharded_solver_matches_
-        # unsharded (outputs equal an unsharded solve) and
-        # tests/test_distributed_multiprocess.py (cross-process psum
-        # stats equal a single-process solve).
-        check_vma=False,
+        check_vma=True,
     )
     jitted = jax.jit(fn)
     param_shard = batch_spec if params_batched else repl
@@ -132,6 +134,7 @@ def make_sharded_solver(
         u0 = jax.device_put(u0, batch_spec)
         return jitted(params, jnp.asarray(dt), x0, u0)
 
+    run.jitted = jitted  # exposed for lowering/HLO inspection (benchmarks)
     return run
 
 
@@ -166,6 +169,15 @@ def make_sharded_fused_solver(
         mesh=mesh,
         in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(BATCH_AXIS),
+        # TRACKED WORKAROUND (check_vma, re-tested jax 0.9 2026-08): the
+        # vmap solver path now passes with check_vma=True via
+        # cfg.with_vma_axes (see make_sharded_solver), but the fused
+        # kernel-layout solver builds its loop carries inside
+        # fused.py/pallas kernels where the same promotion would have to
+        # thread through every kernel-layout carry and pallas_call
+        # boundary; keep the checker off here. Replication safety is
+        # covered by test_sharding.py::test_sharded_fused_matches and the
+        # cross-process test.
         check_vma=False,
     )
     batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
@@ -177,6 +189,7 @@ def make_sharded_fused_solver(
         u0 = jax.device_put(u0, batch_spec)
         return jitted(params, jnp.asarray(dt), x0, u0)
 
+    run.jitted = jitted  # exposed for lowering/HLO inspection (benchmarks)
     return run
 
 
@@ -189,11 +202,18 @@ def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
     convergence counters without gathering trajectories to the host.
     """
     shard_map = _shard_map()
+    cfg_v = cfg.with_vma_axes((BATCH_AXIS,))
 
     def local_solve_and_reduce(params, dt, x0, u0):
+        from ilqr_tpu.utils.vma import vary
+
+        # see make_sharded_solver: promote replicated inputs up front so
+        # jax's auto-pvary never mis-fires inside vmap(jacfwd(...)).
+        params, dt = vary((params, dt), (BATCH_AXIS,))
         in_axes = (0 if params_batched else None, None, 0, 0)
         sol = jax.vmap(
-            lambda p, d, x, u: solve(model, p, cfg, d, x, u), in_axes=in_axes
+            lambda p, d, x, u: solve(model, p, cfg_v, d, x, u),
+            in_axes=in_axes,
         )(params, dt, x0, u0)
         n_local = jnp.asarray(sol.cost.shape[0], jnp.float32)
         stats = {
@@ -222,10 +242,6 @@ def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
         mesh=mesh,
         in_specs=(p_spec, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(),
-        # varying-manual-axes checking trips over the flg_change lax.cond
-        # (one branch re-derives from batch-varying xs, the other returns
-        # the carried zeros); the math is replication-safe — everything
-        # returned passes through psum/pmax.
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(fn)

@@ -107,7 +107,9 @@ def init_state(
     lam = jnp.asarray(cfg.lambda_init if lam is None else lam, dtype)
     dlam = jnp.asarray(cfg.dlambda_init if dlam is None else dlam, dtype)
 
-    return SolverState(
+    from ilqr_tpu.utils.vma import vary
+
+    return vary(SolverState(
         xs=xs,
         us=us,
         cost=cost,
@@ -124,7 +126,7 @@ def init_state(
         dcost=jnp.zeros((), dtype),
         expected=jnp.zeros((), dtype),
         step_accepted=jnp.zeros((), bool),
-    )
+    ), cfg.vma_axes)
 
 
 def ilqr_iteration(
@@ -160,12 +162,16 @@ def ilqr_iteration(
         lam_new = jnp.where(ok, lam, jnp.maximum(lam * dlam_new, cfg.lambda_min))
         return lam_new, dlam_new, br, ok
 
+    from ilqr_tpu.utils.vma import vary
+
     br0 = BackwardResult(
         k=state.k, K=state.K, dV=jnp.zeros((2,), dtype),
         diverged=jnp.ones((), bool),
     )
     lam, dlam, br, back_ok = lax.while_loop(
-        bp_cond, bp_body, (state.lam, state.dlam, br0, jnp.zeros((), bool))
+        bp_cond, bp_body,
+        vary((state.lam, state.dlam, br0, jnp.zeros((), bool)),
+             cfg.vma_axes),
     )
 
     # ---- gradient-norm termination (ref :153-159); checked before the

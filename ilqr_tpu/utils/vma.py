@@ -1,0 +1,40 @@
+"""Varying-manual-axes (vma) promotion for shard_map type checking.
+
+Under ``shard_map(..., check_vma=True)`` every value carries a set of mesh
+axes it *varies* over; ``lax.cond`` branches and ``lax.while_loop``/``scan``
+carries must agree exactly. The solver initializes many carries from
+constants (``jnp.zeros`` λ/dλ/counters/flags, the pre-linearization derivs),
+which type as *invariant* while the loop body re-derives them from the
+batch-sharded trajectory (*varying over 'batch'*) — tripping the checker
+even though the program is replication-safe (solves are independent).
+
+:func:`vary` promotes exactly the invariant leaves to varying
+(``lax.pcast(..., to='varying')`` is not idempotent, so leaves already
+varying are left alone) and is a no-op outside sharded contexts
+(``axes=()``) — the unsharded solver path pays nothing.
+
+This is what lets ``parallel/mesh.py`` run the shard_map'ed solvers with
+``check_vma=True`` instead of the round-1/2 ``check_vma=False`` workaround.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax import lax
+
+
+def vary(tree, axes):
+    """Promote every array leaf of ``tree`` to vary over ``axes``.
+
+    No-op when ``axes`` is empty (the unsharded path) or for leaves already
+    varying over all of ``axes``.
+    """
+    if not axes:
+        return tree
+
+    def _leaf(x):
+        have = getattr(jax.typeof(x), "vma", frozenset())
+        need = tuple(a for a in axes if a not in have)
+        return lax.pcast(x, need, to="varying") if need else x
+
+    return jax.tree_util.tree_map(_leaf, tree)
