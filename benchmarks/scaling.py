@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--horizon", type=int, default=199)
     ap.add_argument("--max-iter", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--audit", action="store_true",
+                    help="instead of weak-scaling timings: (a) time the "
+                    "sharded solver against the unsharded vmap at EQUAL "
+                    "total batch (isolates GSPMD/shard_map overhead from "
+                    "core contention — virtual CPU devices share physical "
+                    "cores, so raw weak scaling undershoots there), and "
+                    "(b) count collectives in the compiled HLO to prove "
+                    "the hot loop is communication-free")
     args = ap.parse_args()
 
     import jax
@@ -53,8 +61,53 @@ def main():
                        max_iter=args.max_iter)
 
     devices = jax.devices()
-    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
     rng = np.random.default_rng(0)
+
+    if args.audit:
+        nd = len(devices)
+        B = args.per_device * nd
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B, 4)), jnp.float32)
+        u0 = jnp.zeros((B, args.horizon, 1), jnp.float32)
+
+        def timeit(fn):
+            jax.block_until_ready(fn().cost)      # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn().cost)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        mesh = make_mesh(devices)
+        sharded = make_sharded_solver(model, cfg, mesh=mesh)
+        t_sharded = timeit(lambda: sharded(params, 0.02, x0, u0))
+
+        from ilqr_tpu.solver import solve
+        unsharded = jax.jit(jax.vmap(
+            lambda x, u: solve(model, params, cfg, 0.02, x, u)))
+        t_unsharded = timeit(lambda: unsharded(x0, u0))
+
+        # Collective audit: the solves are independent, so the compiled
+        # sharded program must contain NO collectives at all (stat
+        # reductions live in sharded_convergence_stats, a separate program).
+        hlo = sharded.jitted.lower(
+            params, jnp.asarray(0.02), x0, u0).compile().as_text()
+        colls = {op: hlo.count(op) for op in
+                 ("all-reduce", "all-gather", "collective-permute",
+                  "all-to-all", "reduce-scatter")}
+        print(json.dumps({
+            "audit": "sharded_vs_unsharded_equal_batch",
+            "devices": nd, "physical_cores": os.cpu_count(),
+            "batch": B, "horizon": args.horizon, "max_iter": args.max_iter,
+            "sharded_s": round(t_sharded, 4),
+            "unsharded_s": round(t_unsharded, 4),
+            "partition_overhead": round(t_sharded / t_unsharded - 1.0, 4),
+            "hot_program_collectives": colls,
+            "collective_free": not any(colls.values()),
+        }))
+        return
+
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
     results = []
 
     for nd in counts:
