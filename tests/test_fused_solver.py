@@ -370,8 +370,19 @@ def test_m4_matches_xla_path():
                         "fusion").strip()
     env["JAX_PLATFORMS"] = "cpu"
     script = _M4_E2E.format(testdir=os.path.dirname(__file__))
-    out = subprocess.run([sys.executable, "-c", script], env=env,
-                         capture_output=True, text=True, timeout=900)
+    try:
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        # Pass names are not API: if a jax upgrade renames
+        # cpu-instruction-fusion/fusion, --xla_disable_hlo_passes silently
+        # no-ops and the mega-fusion pathology returns (>900 s). Fail with
+        # the likely cause instead of a bare timeout (re-tested jax 0.9).
+        raise AssertionError(
+            "m4 e2e subprocess exceeded 900 s — the XLA:CPU fusion-pass "
+            "names in XLA_FLAGS were probably renamed by a jax upgrade; "
+            "re-measure and update the --xla_disable_hlo_passes list "
+            "(see docstring)") from None
     assert out.returncode == 0, out.stderr[-2000:]
     assert "M4_E2E_OK" in out.stdout
 
