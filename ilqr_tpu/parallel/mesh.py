@@ -169,15 +169,17 @@ def make_sharded_fused_solver(
         mesh=mesh,
         in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(BATCH_AXIS),
-        # TRACKED WORKAROUND (check_vma, re-tested jax 0.9 2026-08): the
-        # vmap solver path now passes with check_vma=True via
-        # cfg.with_vma_axes (see make_sharded_solver), but the fused
-        # kernel-layout solver builds its loop carries inside
-        # fused.py/pallas kernels where the same promotion would have to
-        # thread through every kernel-layout carry and pallas_call
-        # boundary; keep the checker off here. Replication safety is
-        # covered by test_sharding.py::test_sharded_fused_matches and the
-        # cross-process test.
+        # TRACKED WORKAROUND (check_vma, re-tested jax 0.9 2026-08-19):
+        # the vmap solver path passes with check_vma=True via
+        # cfg.with_vma_axes (see make_sharded_solver), but under a
+        # vma-checked shard_map every pallas_call must declare `vma=` on
+        # its out ShapeDtypeStructs ("vma on jax.ShapeDtypeStruct must
+        # not be None") — threading that through all five kernels'
+        # out_shape lists (plus the kernel-layout loop-carry promotions)
+        # is the known fix; deferred as intrusive-to-hot-path. Replication
+        # safety is covered by test_sharding.py::
+        # test_sharded_fused_solver_matches_local (bit-exact equality vs
+        # the local fused solve).
         check_vma=False,
     )
     batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
