@@ -86,11 +86,13 @@ def main():
         _wait_tpu_healthy(
             float(os.environ.get("BENCH_HEALTH_BUDGET_S", 5400)))
 
-    # Default B=4096: the host-chunked fused solver overlaps each 1024-
+    # Default B=8192: the host-chunked fused solver overlaps each 1024-
     # lane chunk's ~26 ms dispatch+D2H round trip (axon tunnel latency,
     # BENCH_NOTES.md) with the previous chunk's compute, so larger
-    # batches measure the device throughput rather than the RPC floor.
-    B = int(os.environ.get("BENCH_BATCH", 4096))
+    # batches measure the device throughput rather than the RPC floor —
+    # the B-sweep (experiments/bsweep_results.jsonl) shows per-chunk time
+    # saturating at ~33 ms by B=8192 (vs 60.6 ms exposed at B=1024).
+    B = int(os.environ.get("BENCH_BATCH", 8192))
     max_iter = int(os.environ.get("BENCH_MAX_ITER", 100))
     T = int(os.environ.get("BENCH_HORIZON", 499))
 

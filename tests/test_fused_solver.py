@@ -836,3 +836,29 @@ def test_maxiter_drift_is_bounded():
     hx = np.bincount(np.asarray(ref.iterations).astype(int), minlength=101)
     overlap = float(np.minimum(hf, hx).sum()) / B
     assert overlap >= 0.5, overlap
+
+
+@pytest.mark.slow
+def test_bicycle_matches_xla_path():
+    """Kinematic bicycle (m=2, tan() steering, asymmetric accel box):
+    completes the per-model fused-vs-XLA matrix — every registered model
+    now has an end-to-end fused equivalence test (quadrotor via the m4
+    subprocess test)."""
+    from ilqr_tpu.models import bicycle as bc
+
+    m = get_model("bicycle")
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        bc.default_params(goal=(3.0, 1.0, 0.0, 0.0)))
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(rng.normal(size=(2, 4)) * 0.2, jnp.float32)
+    u0 = jnp.zeros((15, 2), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=8, backward_kernel="xla",
+                       rollout_kernel="xla", deriv_kernel="xla",
+                       alphas=FAST_ALPHAS)
+    ref = solve_batch(m, p, cfg, 0.05, x0, u0)
+    fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
