@@ -862,3 +862,30 @@ def test_bicycle_matches_xla_path():
     np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
                                rtol=1e-4)
     assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 5e-3
+
+
+def test_diverging_lane_does_not_poison_block():
+    """Production robustness: one insane problem (overflow → NaN dynamics)
+    in a batch must not corrupt the other lanes' solves — on the vmap
+    path (lanes are independent columns) AND in the fused kernel layout,
+    where all 1024 lanes share (8, 128) tiles and the line-search /
+    λ-retry masking must keep a NaN lane's candidate selection from
+    leaking into its neighbors."""
+    m = get_model("acrobot")
+    p = _p32(m)
+    rng = np.random.default_rng(4)
+    x0 = np.asarray(0.05 * rng.normal(size=(4, 4)), np.float32)
+    x0_bad = x0.copy()
+    x0_bad[1] = [1e30, -1e30, 1e30, 1e30]
+    u0 = jnp.zeros((12, 1), jnp.float32)
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=5, alphas=FAST_ALPHAS)
+    for solver in (
+        lambda x: solve_batch(m, p, cfg, 0.02, jnp.asarray(x), u0),
+        lambda x: solve_batch_fused(m, p, cfg, 0.02, jnp.asarray(x), u0),
+    ):
+        good = np.asarray(solver(x0).cost)
+        mixed = np.asarray(solver(x0_bad).cost)
+        assert not np.isfinite(mixed[1])          # the bad lane is marked
+        np.testing.assert_allclose(np.delete(mixed, 1), np.delete(good, 1),
+                                   rtol=1e-6)     # neighbors untouched
