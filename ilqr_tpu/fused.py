@@ -130,7 +130,8 @@ def _merged_iteration(model, cfg, packed_params, interpret, x0_p, state,
             live_f, alphas, mode=kmode, eps=cfg.fd_eps,
             use_limits=cfg.use_control_limits, z_min=cfg.z_min,
             tol_grad=cfg.tol_grad, lambda_grad_term=cfg.lambda_grad_term,
-            interpret=interpret, time_block=cfg.iter_time_block)
+            interpret=interpret, time_block=cfg.iter_time_block,
+            vma_axes=cfg.vma_axes)
 
     # attempt 1, unrolled (the all-lanes-succeed fast path — see the
     # split-path comments below; retries are 0/100 on the benchmark
@@ -222,13 +223,13 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
                 model, cfg.integrator, packed_params, state.xs_body,
                 state.x_term, state.us, lam, mode=kmode, eps=cfg.fd_eps,
                 interpret=interpret, use_limits=cfg.use_control_limits,
-                time_block=cfg.sweep_time_block)
+                time_block=cfg.sweep_time_block, vma_axes=cfg.vma_axes)
     else:
         xs_full = jnp.concatenate([state.xs_body, state.x_term[None]],
                                   axis=0)
         d = derivs_packed(model, cfg.integrator, packed_params,
                           xs_full, state.us, mode=kmode, eps=cfg.fd_eps,
-                          interpret=interpret)
+                          interpret=interpret, vma_axes=cfg.vma_axes)
         fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p = d
         # split path is m == 1 only; u_min is the shared (1,) limit vector
         # or a per-lane (NB, S, L) tile from batched params
@@ -241,7 +242,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
             k1, K1, dv1, div1 = backward_sweep_packed(
                 fx_p, fu_p[:, :, 0], cx_p[:-1], cu_p[:, 0], cxx_p[:-1],
                 cxu_p[:, :, 0], cuu_p[:, 0, 0], lo_p, hi_p, lam,
-                cx_p[-1], cxx_p[-1], interpret=interpret)
+                cx_p[-1], cxx_p[-1], interpret=interpret,
+                vma_axes=cfg.vma_axes)
             k1 = k1[:, None]
             # gnorm for the split path (the merged kernel emits it as an
             # epilogue output; here it needs one jnp pass over packed k)
@@ -319,7 +321,8 @@ def _iteration(model: Model, cfg: SolverConfig, packed_params,
         model, cfg.integrator, cfg.clamp_forward, packed_params,
         x0_p, state.us, state.xs_body, state.x_term, K, k, state.K,
         state.k, alphas, dV, state.cost, gate, keep,
-        cfg.z_min, interpret=interpret, time_block=cfg.ls_time_block)
+        cfg.z_min, interpret=interpret, time_block=cfg.ls_time_block,
+        vma_axes=cfg.vma_axes)
 
     accepted = back_ok & (acc_f > 0.5)
     take_step = accepted & ~grad_term & live
@@ -596,7 +599,8 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
 
     xs_body, us_p, x_fin, cost = rollout_packed(
         model, cfg.integrator, cfg.clamp_forward, packed_params,
-        x0_p, us_p, ref0, K0, interpret=interpret)
+        x0_p, us_p, ref0, K0, interpret=interpret,
+        vma_axes=cfg.vma_axes)
 
     # padded lanes start (and stay) done so they never drive the loops
     pad_mask = _pack_tail(pad_flags, nb)
@@ -617,6 +621,12 @@ def _solve_block(model, cfg, packed_params, u_min, u_max, interpret, T, n,
         dcost=jnp.zeros((nb, S, L), f32),
         expected=jnp.zeros((nb, S, L), f32),
     )
+    # Under shard_map(check_vma=True) the constant-initialized fields
+    # (λ/dλ, gains, counters) must be promoted to batch-varying to match
+    # the loop body's kernel outputs (utils/vma.py; no-op when unsharded).
+    from ilqr_tpu.utils.vma import vary
+
+    state = vary(state, cfg.vma_axes)
 
     step = functools.partial(_iteration, model, cfg, packed_params,
                              u_min, u_max, interpret, x0_p)

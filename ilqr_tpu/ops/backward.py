@@ -77,6 +77,7 @@ def backward_pass(
         k, K, dV, diverged = backward_m1(
             derivs.fx, derivs.fu, derivs.cx, derivs.cu,
             derivs.cxx, derivs.cxu, derivs.cuu, lo, hi, lam,
+            vma_axes=cfg.vma_axes,
         )
         return BackwardResult(k=k, K=K, dV=dV, diverged=diverged)
 

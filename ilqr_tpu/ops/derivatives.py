@@ -204,6 +204,12 @@ def fd_derivs(model: Model, params, cfg: SolverConfig, dt, xs, us) -> Derivs:
 import functools
 
 
+def _kernel_interpret() -> bool:
+    from ilqr_tpu.ops.rollout import _interpret
+
+    return _interpret()
+
+
 def _use_fused_derivs(model: Model, cfg: SolverConfig, dtype) -> bool:
     return (
         model.has_soa
@@ -228,7 +234,8 @@ def _get_derivs_cv(model: Model, cfg: SolverConfig):
         return derivs_batched(
             model, cfg.integrator, params, dt, xs, us,
             mode=kmode, eps=cfg.fd_eps,
-            interpret=jax.default_backend() != "tpu",
+            interpret=_kernel_interpret(),
+            vma_axes=cfg.vma_axes,
         )
 
     @jax.custom_batching.custom_vmap

@@ -184,7 +184,7 @@ def _unpack_tail(y, bb):
 
 def backward_sweep_packed(fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p,
                           lo_p, hi_p, lam_p, cxT_p, cxxT_p,
-                          interpret: bool = False):
+                          interpret: bool = False, vma_axes: tuple = ()):
     """Kernel-layout entry point (no relayout): inputs/outputs are packed
     (time-major, trailing (NB, S, L) problem tiles) — the layout the fused
     batch solver (ilqr_tpu/fused.py) keeps end-to-end.
@@ -233,11 +233,13 @@ def backward_sweep_packed(fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p,
                      memory_space=pltpu.VMEM),  # diverged
     ]
     f32 = jnp.float32
+    from ilqr_tpu.utils.vma import sds
+
     out_shape = [
-        jax.ShapeDtypeStruct((T, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((2, nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),
+        sds((T, nb, S, L), f32, vma_axes),
+        sds((T, n, nb, S, L), f32, vma_axes),
+        sds((2, nb, S, L), f32, vma_axes),
+        sds((nb, S, L), f32, vma_axes),
     ]
     scratch = [
         pltpu.VMEM((n, S, L), f32),     # vx
@@ -260,9 +262,10 @@ def backward_sweep_packed(fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p,
       cxT_p, cxxT_p)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "vma_axes"))
 def backward_sweep_batched(
-    fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam, interpret: bool = False
+    fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam, interpret: bool = False,
+    vma_axes: tuple = (),
 ):
     """Batched backward recursion via the fused kernel.
 
@@ -306,7 +309,7 @@ def backward_sweep_batched(
 
     k_p, K_p, dv_p, div_p = backward_sweep_packed(
         fx_p, fu_p, cx_p, cu_p, cxx_p, cxu_p, cuu_p, lo_p, hi_p, lam_p,
-        cxT_p, cxxT_p, interpret=interpret)
+        cxT_p, cxxT_p, interpret=interpret, vma_axes=vma_axes)
 
     k = _unpack_tail(k_p, bb)[:B][..., None]            # (B,T,1)
     K = _unpack_tail(K_p, bb)[:B][:, :, None, :]        # (B,T,1,n)
@@ -320,7 +323,8 @@ def backward_sweep_batched(
 # backward sweeps to the fused kernel (see ops/backward.backward_pass).
 # ---------------------------------------------------------------------------
 
-def _backward_m1_scan(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam):
+def _backward_m1_scan(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam,
+                      vma_axes: tuple = ()):
     """Unbatched m=1 closed-form backward recursion as a lax.scan — the
     single-problem path of the custom_vmap pair (math identical to the
     kernel; see ops/backward.py for the reference-cited semantics)."""
@@ -359,7 +363,12 @@ def _backward_m1_scan(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam):
         vxx_new = 0.5 * (vxx_new + vxx_new.T)
         return (vx_new, vxx_new, dv, diverged | bad), (k_i, k_mat)
 
-    init = (cx[-1], cxx[-1], jnp.zeros((2,), dtype), jnp.zeros((), bool))
+    # constant-initialized carries must match the body's (batch-varying)
+    # outputs under shard_map(check_vma=True) — utils/vma.py
+    from ilqr_tpu.utils.vma import vary
+
+    init = vary((cx[-1], cxx[-1], jnp.zeros((2,), dtype),
+                 jnp.zeros((), bool)), vma_axes)
     inputs = (fx, fu, cx[:-1], cu, cxx[:-1], cxu, cuu, lo, hi)
     (_vx, _vxx, dv, diverged), (k, K) = lax.scan(
         step, init, inputs, reverse=True
@@ -367,34 +376,47 @@ def _backward_m1_scan(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam):
     return k, K, dv, diverged
 
 
-@jax.custom_batching.custom_vmap
-def backward_m1(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam):
+def backward_m1(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam,
+                vma_axes: tuple = ()):
     """m=1 closed-form backward sweep; batched calls run the Pallas kernel.
 
     The unbatched (single-problem) path ALSO uses the kernel on TPU with a
     B=1 batch — the kernel's 1024-lane block is mostly idle but completes
     in ~0.1 ms, ~100× faster than T scan dispatches; that latency is what
-    bounds real-time MPC replanning."""
-    if jax.default_backend() == "tpu":
-        k, K, dV, div = backward_sweep_batched(
-            fx[None], fu[None], cx[None], cu[None], cxx[None], cxu[None],
-            cuu[None], lo[None], hi[None], jnp.asarray(lam)[None],
+    bounds real-time MPC replanning. ``vma_axes`` (static) declares the
+    shard_map manual axes for the kernel outputs (utils/vma.py)."""
+    return _get_backward_m1_cv(tuple(vma_axes))(
+        fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_backward_m1_cv(vma_axes: tuple):
+    @jax.custom_batching.custom_vmap
+    def _bm1(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam):
+        if jax.default_backend() == "tpu":
+            k, K, dV, div = backward_sweep_batched(
+                fx[None], fu[None], cx[None], cu[None], cxx[None],
+                cxu[None], cuu[None], lo[None], hi[None],
+                jnp.asarray(lam)[None], vma_axes=vma_axes,
+            )
+            return k[0], K[0], dV[0], div[0]
+        return _backward_m1_scan(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi,
+                                 lam, vma_axes=vma_axes)
+
+    @_bm1.def_vmap
+    def _backward_m1_vmap(axis_size, in_batched, *args):
+        full = []
+        for batched, a in zip(in_batched, args):
+            if not batched:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            full.append(a)
+        # Off-TPU (backward_kernel="pallas" forced, e.g. in tests) the
+        # kernel runs in interpreter mode; on TPU it compiles via Mosaic.
+        from ilqr_tpu.ops.rollout import _interpret
+
+        out = backward_sweep_batched(
+            *full, interpret=_interpret(), vma_axes=vma_axes,
         )
-        return k[0], K[0], dV[0], div[0]
-    return _backward_m1_scan(fx, fu, cx, cu, cxx, cxu, cuu, lo, hi, lam)
+        return out, (True, True, True, True)
 
-
-@backward_m1.def_vmap
-def _backward_m1_vmap(axis_size, in_batched, *args):
-    names = ("fx", "fu", "cx", "cu", "cxx", "cxu", "cuu", "lo", "hi", "lam")
-    full = []
-    for name, batched, a in zip(names, in_batched, args):
-        if not batched:
-            a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
-        full.append(a)
-    # Off-TPU (backward_kernel="pallas" forced, e.g. in tests) the kernel
-    # runs in interpreter mode; on TPU it compiles via Mosaic.
-    out = backward_sweep_batched(
-        *full, interpret=jax.default_backend() != "tpu"
-    )
-    return out, (True, True, True, True)
+    return _bm1

@@ -172,7 +172,7 @@ def _unpack_tail(y, bb):
 
 def derivs_packed(model, integrator: str, packed_params, xs_p, us_p,
                   mode: str = "jvp", eps: float = 1e-3,
-                  interpret: bool = False):
+                  interpret: bool = False, vma_axes: tuple = ()):
     """Kernel-layout entry point (no relayout) — see
     :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
@@ -224,14 +224,16 @@ def derivs_packed(model, integrator: str, packed_params, xs_p, us_p,
         pl.BlockSpec((1, m, m, 1, S, L), run_idx,
                      memory_space=pltpu.VMEM),  # cuu
     ]
+    from ilqr_tpu.utils.vma import sds
+
     out_shape = [
-        jax.ShapeDtypeStruct((T, n, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, n, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T + 1, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T + 1, n, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, n, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, m, nb, S, L), f32),
+        sds((T, n, n, nb, S, L), f32, vma_axes),
+        sds((T, n, m, nb, S, L), f32, vma_axes),
+        sds((T + 1, n, nb, S, L), f32, vma_axes),
+        sds((T, m, nb, S, L), f32, vma_axes),
+        sds((T + 1, n, n, nb, S, L), f32, vma_axes),
+        sds((T, n, m, nb, S, L), f32, vma_axes),
+        sds((T, m, m, nb, S, L), f32, vma_axes),
     ]
 
     return pl.pallas_call(
@@ -250,7 +252,7 @@ def derivs_packed(model, integrator: str, packed_params, xs_p, us_p,
 
 def derivs_batched(model, integrator: str, params, dt, xs, us,
                    mode: str = "jvp", eps: float = 1e-3,
-                   interpret: bool = False) -> Derivs:
+                   interpret: bool = False, vma_axes: tuple = ()) -> Derivs:
     """Batched linearization via the fused kernel.
 
     Args: xs (B, T+1, n), us (B, T, m); params shared, dt scalar.
@@ -278,7 +280,7 @@ def derivs_batched(model, integrator: str, params, dt, xs, us,
 
     fx, fu, cx, cu, cxx, cxu, cuu = derivs_packed(
         model, integrator, packed_params, xs_p, us_p,
-        mode=mode, eps=eps, interpret=interpret)
+        mode=mode, eps=eps, interpret=interpret, vma_axes=vma_axes)
 
     up = lambda a: _unpack_tail(a, bb)[:B]
     return Derivs(fx=up(fx), fu=up(fu), cx=up(cx), cu=up(cu),

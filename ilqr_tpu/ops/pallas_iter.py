@@ -285,7 +285,8 @@ def iteration_packed(model, integrator: str, clamp: bool, packed_params,
                      use_limits: bool = True, z_min: float = 0.0,
                      tol_grad: float = 1e-6,
                      lambda_grad_term: float = 1e-5,
-                     interpret: bool = False, time_block: int = 16):
+                     interpret: bool = False, time_block: int = 16,
+                     vma_axes: tuple = ()):
     """One full solver iteration (backward sweep + line search + epilogue)
     as a single Pallas call — see the module docstring.
 
@@ -386,19 +387,21 @@ def iteration_packed(model, integrator: str, clamp: bool, packed_params,
         lane_out, lane_out, lane_out, lane_out, lane_out,  # ls outputs
         lane_out, lane_out,                      # diverged, gnorm
     ]
+    from ilqr_tpu.utils.vma import sds
+
     out_shape = [
-        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # ls_cost
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # alpha_sel
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # accepted 0/1
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # dcost
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # expected
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # diverged 0/1
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # gnorm
+        sds((T, n, nb, S, L), f32, vma_axes),
+        sds((T, m, nb, S, L), f32, vma_axes),
+        sds((n, nb, S, L), f32, vma_axes),
+        sds((T, m, nb, S, L), f32, vma_axes),
+        sds((T, m, n, nb, S, L), f32, vma_axes),
+        sds((nb, S, L), f32, vma_axes),   # ls_cost
+        sds((nb, S, L), f32, vma_axes),   # alpha_sel
+        sds((nb, S, L), f32, vma_axes),   # accepted 0/1
+        sds((nb, S, L), f32, vma_axes),   # dcost
+        sds((nb, S, L), f32, vma_axes),   # expected
+        sds((nb, S, L), f32, vma_axes),   # diverged 0/1
+        sds((nb, S, L), f32, vma_axes),   # gnorm
     ]
     scratch = [
         pltpu.VMEM((t_pad, m, S, L), f32),       # k (all T, resident)

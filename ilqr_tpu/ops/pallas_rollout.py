@@ -211,7 +211,8 @@ def _unpack_tail(y, bb):
 def rollout_packed(model, integrator: str, clamp: bool, packed_params,
                    x0_p, uff_p, xsr_p, K_p, interpret: bool = False,
                    costs_only: bool = False, candidates: int = 1,
-                   k_p=None, alphas=None, alpha_lanes=None):
+                   k_p=None, alphas=None, alpha_lanes=None,
+                   vma_axes: tuple = ()):
     """Kernel-layout entry point (no relayout) — see
     :func:`backward_sweep_packed` in ops/pallas_backward.py.
 
@@ -285,9 +286,11 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
             inputs.append(jnp.asarray(alpha_lanes, f32))
     cost_spec = pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                              memory_space=pltpu.VMEM)
+    from ilqr_tpu.utils.vma import sds
+
     if costs_only:
         specs_out = cost_spec
-        out_shape = jax.ShapeDtypeStruct((grid_nb, S, L), f32)
+        out_shape = sds((grid_nb, S, L), f32, vma_axes)
     else:
         assert candidates == 1, "full outputs require candidates == 1"
         specs_out = [
@@ -300,10 +303,10 @@ def rollout_packed(model, integrator: str, clamp: bool, packed_params,
             cost_spec,                              # cost
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
-            jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-            jax.ShapeDtypeStruct((n, nb, S, L), f32),
-            jax.ShapeDtypeStruct((nb, S, L), f32),
+            sds((T, n, nb, S, L), f32, vma_axes),
+            sds((T, m, nb, S, L), f32, vma_axes),
+            sds((n, nb, S, L), f32, vma_axes),
+            sds((nb, S, L), f32, vma_axes),
         ]
     scratch = [
         pltpu.VMEM((n, S, L), f32),
@@ -482,7 +485,7 @@ def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
                       x0_p, us_p, xsr_p, xterm_p, K_p, k_p, Kold_p, kold_p,
                       alphas, dv_p, cost_prev, gate_p, keep_p,
                       z_min: float, interpret: bool = False,
-                      time_block: int = 8):
+                      time_block: int = 8, vma_axes: tuple = ()):
     """Line search + iteration epilogue as ONE kernel (ref ilqr_core.cpp:
     184-226, 242-255): grid (A+1, T) — phases 0..A-1 sweep the
     α-candidates with cost-only rollouts accumulated in VMEM scratch,
@@ -586,17 +589,19 @@ def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
                      memory_space=pltpu.VMEM),   # K_keep
         lane_out, lane_out, lane_out, lane_out, lane_out,
     ]
+    from ilqr_tpu.utils.vma import sds
+
     out_shape = [
-        jax.ShapeDtypeStruct((T, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # ls_cost
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # alpha_sel
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # accepted 0/1
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # dcost
-        jax.ShapeDtypeStruct((nb, S, L), f32),   # expected
+        sds((T, n, nb, S, L), f32, vma_axes),
+        sds((T, m, nb, S, L), f32, vma_axes),
+        sds((n, nb, S, L), f32, vma_axes),
+        sds((T, m, nb, S, L), f32, vma_axes),
+        sds((T, m, n, nb, S, L), f32, vma_axes),
+        sds((nb, S, L), f32, vma_axes),   # ls_cost
+        sds((nb, S, L), f32, vma_axes),   # alpha_sel
+        sds((nb, S, L), f32, vma_axes),   # accepted 0/1
+        sds((nb, S, L), f32, vma_axes),   # dcost
+        sds((nb, S, L), f32, vma_axes),   # expected
     ]
     scratch = [
         pltpu.VMEM((A + 1, n, S, L), f32),  # candidate + final states
@@ -622,7 +627,7 @@ def linesearch_packed(model, integrator: str, clamp: bool, packed_params,
 
 def rollout_batched(model, integrator: str, clamp: bool,
                     params, dt, x0, u_ff, xs_ref, K,
-                    interpret: bool = False):
+                    interpret: bool = False, vma_axes: tuple = ()):
     """Batched fused rollout.
 
     Args: x0 (B, n), u_ff (B, T, m), xs_ref (B, T+1, n) (row T unused),
@@ -652,7 +657,7 @@ def rollout_batched(model, integrator: str, clamp: bool,
 
     xs_body, us_p, xfin, cost_p = rollout_packed(
         model, integrator, clamp, packed_params,
-        x0_p, uff_p, xsr_p, K_p, interpret=interpret)
+        x0_p, uff_p, xsr_p, K_p, interpret=interpret, vma_axes=vma_axes)
 
     xs_b = _unpack_tail(xs_body, bb)[:B]    # (B, T, n)
     xf = _unpack_tail(xfin, bb)[:B]         # (B, n)

@@ -913,7 +913,7 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
 def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
                  us_p, lam_p, mode: str = "jvp", eps: float = 1e-3,
                  interpret: bool = False, use_limits: bool = True,
-                 time_block: int = 8):
+                 time_block: int = 8, vma_axes: tuple = ()):
     """Merged linearize+backward sweep in kernel layout.
 
     Shapes: xs_body_p (T, n, NB, S, L), xterm_p (n, NB, S, L) — the
@@ -974,12 +974,14 @@ def sweep_packed(model, integrator: str, packed_params, xs_body_p, xterm_p,
         pl.BlockSpec((1, S, L), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # gnorm
     ]
+    from ilqr_tpu.utils.vma import sds
+
     out_shape = [
-        jax.ShapeDtypeStruct((T, m, nb, S, L), f32),
-        jax.ShapeDtypeStruct((T, m, n, nb, S, L), f32),
-        jax.ShapeDtypeStruct((2, nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),
-        jax.ShapeDtypeStruct((nb, S, L), f32),
+        sds((T, m, nb, S, L), f32, vma_axes),
+        sds((T, m, n, nb, S, L), f32, vma_axes),
+        sds((2, nb, S, L), f32, vma_axes),
+        sds((nb, S, L), f32, vma_axes),
+        sds((nb, S, L), f32, vma_axes),
     ]
     scratch = [
         pltpu.VMEM((n, S, L), f32),

@@ -57,7 +57,15 @@ def _use_fused(model: Model, cfg: SolverConfig, dtype) -> bool:
     )
 
 
+_INTERPRET_OVERRIDE = None  # tests only: force compiled (False) or
+# interpreter (True) kernel dispatch regardless of backend — lets CPU
+# tests TRACE the Mosaic-path program (e.g. the check_vma typing) without
+# TPU hardware. None = backend rule.
+
+
 def _interpret() -> bool:
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.default_backend() != "tpu"
 
 
@@ -138,6 +146,7 @@ def _get_rollout_cv(model: Model, cfg: SolverConfig):
             xs, us, cost = rollout_batched(
                 model, cfg.integrator, cfg.clamp_forward, params, dt,
                 x0[None], u_ff[None], xs_ref[None], K[None],
+                vma_axes=cfg.vma_axes,
             )
             return xs[0], us[0], cost[0]
         return _rollout_scan(model, params, cfg, dt, x0, u_ff, xs_ref, K)
@@ -164,7 +173,7 @@ def _get_rollout_cv(model: Model, cfg: SolverConfig):
         out = rollout_batched(
             model, cfg.integrator, cfg.clamp_forward, params, dt,
             bc(x0, x0b), bc(u_ff, uffb), bc(xs_ref, xsb), bc(K, Kb),
-            interpret=_interpret(),
+            interpret=_interpret(), vma_axes=cfg.vma_axes,
         )
         return out, (True, True, True)
 
@@ -222,7 +231,7 @@ def _get_line_search_cv(model: Model, cfg: SolverConfig):
         xs_new, us_new, costs = rollout_batched(
             model, cfg.integrator, cfg.clamp_forward, params, dt,
             tile(x0), u_ff.reshape((BA,) + us.shape[1:]), tile(xs), tile(K),
-            interpret=_interpret(),
+            interpret=_interpret(), vma_axes=cfg.vma_axes,
         )
         xs_new = xs_new.reshape((B, A) + xs_new.shape[1:])
         us_new = us_new.reshape((B, A) + us_new.shape[1:])

@@ -142,6 +142,7 @@ def make_sharded_fused_solver(
     model: Model,
     cfg: SolverConfig,
     mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
 ):
     """Multi-chip deployment of the fused kernel-layout solver
     (ilqr_tpu/fused.py): the batch axis is sharded over the mesh and each
@@ -152,35 +153,47 @@ def make_sharded_fused_solver(
     ≤ 1024 (one kernel block) for peak throughput — larger local shards
     raise (host-side chunking can't run inside shard_map; call once per
     1024×n_devices instead). Shared params only.
+
+    ``check_vma`` state: ON for compiled (Mosaic) kernels — the kernels
+    declare their outputs batch-varying (utils/vma.sds) and fused.py
+    promotes the constant loop carries (utils/vma.vary). It must stay OFF
+    in interpret mode (off-TPU tests): interpret-mode ``pallas_call``
+    evaluates the kernel body through an internal grid ``while_loop``
+    whose carries cannot thread vma (jax 0.9 limitation — the body mixes
+    the invariant output-buffer init with varying operands). Replication
+    safety off-TPU is still covered by test_sharding.py::
+    test_sharded_fused_solver_matches_local (bit-exact vs local fused)
+    and the type-level threading by the trace-only check_vma test.
     """
     from ilqr_tpu.fused import solve_batch_fused
 
     mesh = make_mesh() if mesh is None else mesh
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    check_vma = not interpret
+    cfg_k = cfg.with_vma_axes((BATCH_AXIS,)) if check_vma else cfg
 
     def local_solve(params, dt, x0, u0):
         if x0.shape[0] > 1024:
             raise ValueError(
                 "per-device shard must be <= 1024 for the sharded fused "
                 f"solver; got {x0.shape[0]} (mesh size {mesh.size})")
-        return solve_batch_fused(model, params, cfg, dt, x0, u0)
+        if check_vma:
+            from ilqr_tpu.utils.vma import vary
+
+            # params/dt are replicated; the kernels consume them mixed
+            # with varying problem data (fine), but the jnp glue between
+            # kernels wants uniform vma — promote up front.
+            params, dt = vary((params, dt), (BATCH_AXIS,))
+        return solve_batch_fused(model, params, cfg_k, dt, x0, u0,
+                                 interpret=interpret)
 
     fn = _shard_map()(
         local_solve,
         mesh=mesh,
         in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS)),
         out_specs=P(BATCH_AXIS),
-        # TRACKED WORKAROUND (check_vma, re-tested jax 0.9 2026-08-19):
-        # the vmap solver path passes with check_vma=True via
-        # cfg.with_vma_axes (see make_sharded_solver), but under a
-        # vma-checked shard_map every pallas_call must declare `vma=` on
-        # its out ShapeDtypeStructs ("vma on jax.ShapeDtypeStruct must
-        # not be None") — threading that through all five kernels'
-        # out_shape lists (plus the kernel-layout loop-carry promotions)
-        # is the known fix; deferred as intrusive-to-hot-path. Replication
-        # safety is covered by test_sharding.py::
-        # test_sharded_fused_solver_matches_local (bit-exact equality vs
-        # the local fused solve).
-        check_vma=False,
+        check_vma=check_vma,
     )
     batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
     jitted = jax.jit(fn)

@@ -23,6 +23,21 @@ import jax
 from jax import lax
 
 
+def sds(shape, dtype, axes):
+    """``jax.ShapeDtypeStruct`` for a Pallas kernel output, declared varying
+    over the shard_map manual ``axes``.
+
+    Under ``shard_map(..., check_vma=True)`` every ``pallas_call`` must
+    declare how its outputs vary ("`vma` on `jax.ShapeDtypeStruct` must not
+    be None"); the kernels are per-problem independent, so every output
+    varies over the batch axes. With ``axes=()`` (the unsharded path) the
+    plain struct is returned — ``vma`` stays unset.
+    """
+    if axes:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(axes))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def vary(tree, axes):
     """Promote every array leaf of ``tree`` to vary over ``axes``.
 
