@@ -21,8 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
-                 "cartpole", "bicycle", "point_mass_3d", "power_mass",
-                 "quadrotor"],
+                 "cartpole", "bicycle", "omni_thruster", "point_mass_3d",
+                 "power_mass", "quadrotor"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=None,
@@ -104,6 +104,10 @@ _PROBLEMS = {
     # control sequence (zero thrust would free-fall the initial rollout)
     "quadrotor": dict(model="quadrotor", T=120, goal=None, x0=(0.0,) * 12,
                       u0="hover"),
+    # 6-thruster craft: one-sided thrust boxes; starts at gravity-cancel
+    # hover thrust (zero thrust free-falls the initial rollout)
+    "omni_thruster": dict(model="omni_thruster", T=120, goal=None,
+                          x0=(0.0,) * 6, dt=0.05, u0="hover"),
 }
 
 
@@ -133,9 +137,12 @@ def main(argv=None) -> int:
     T = args.horizon or spec["T"]
     x0 = jnp.asarray(spec["x0"])
     if spec.get("u0") == "hover":
-        from ilqr_tpu.models import quadrotor as _quad
+        if spec["model"] == "quadrotor":
+            from ilqr_tpu.models import quadrotor as _hover_mod
+        else:
+            from ilqr_tpu.models import omni_thruster as _hover_mod
 
-        u0 = jnp.tile(_quad.hover_control(params)[None].astype(x0.dtype),
+        u0 = jnp.tile(_hover_mod.hover_control(params)[None].astype(x0.dtype),
                       (T, 1))
     else:
         u0 = jnp.zeros((T, model.m), x0.dtype)

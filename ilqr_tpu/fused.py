@@ -20,11 +20,13 @@ interpretations the vmapped path already has:
 - the λ-escalation retry loop and the outer loop run until every live lane
   finishes, with converged/padded lanes frozen by masking.
 
-Requirements: m ≤ 4 with ``sweep_kernel="merged"`` (the in-kernel exact
-QP / Newton; m == 1 also works with the split kernels), a model with SoA
-functions, f32. Both control-limited (``boxqp_mode`` auto/enum) and
-unconstrained (``use_control_limits=False``) problems are supported. Use
-``vmap(solve)`` for anything else (m > 4, f64 parity, iterative boxQP).
+Requirements: m ≤ 8 with ``sweep_kernel="merged"`` (in-kernel QP: exact
+3^m active-set enumeration for m ≤ 4, fixed-shape projected Newton with
+masked unrolled Cholesky for 5 ≤ m ≤ 8, Newton when unconstrained; m == 1
+also works with the split kernels), a model with SoA functions, f32. Both
+control-limited (``boxqp_mode`` auto/enum) and unconstrained
+(``use_control_limits=False``) problems are supported. Use
+``vmap(solve)`` for anything else (m > 8, f64 parity, iterative boxQP).
 """
 
 from __future__ import annotations
@@ -393,11 +395,13 @@ def solve_batch_fused(
     Args: x0 (B, n); u0 (T, m) shared or (B, T, m). With
     ``params_batched=True`` every params leaf carries a leading B axis
     (per-problem goals/masses/limits — each params scalar becomes one
-    per-problem row of the kernel's resident tile). Requires m ≤ 4 and a
+    per-problem row of the kernel's resident tile). Requires m ≤ 8 and a
     model with SoA functions. Returns a Solution with leading batch axis B.
     """
-    if model.m > 4:
-        raise ValueError("solve_batch_fused requires m <= 4")
+    from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+
+    if model.m > MAX_FUSED_M:
+        raise ValueError(f"solve_batch_fused requires m <= {MAX_FUSED_M}")
     if cfg.full_ddp:
         raise ValueError(
             "solve_batch_fused does not support full_ddp (the kernel "
@@ -493,8 +497,11 @@ def solve_batch_fused_warm(
     ``x0`` (ref generate_trajectory overload 2, ilqr_core.cpp:65-76) and
     carry λ/dλ per lane. Shared params; B ≤ 1024 per chunk like
     :func:`solve_batch_fused`."""
-    if model.m > 4 or not model.has_soa:
-        raise ValueError("fused warm start requires m <= 4 and SoA model")
+    from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+
+    if model.m > MAX_FUSED_M or not model.has_soa:
+        raise ValueError(
+            f"fused warm start requires m <= {MAX_FUSED_M} and SoA model")
     if cfg.full_ddp:
         raise ValueError(
             "solve_batch_fused_warm does not support full_ddp — use "

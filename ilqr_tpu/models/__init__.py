@@ -11,7 +11,7 @@ from typing import Dict
 
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
 from ilqr_tpu.models import (
-    acrobot, bicycle, double_integrator, cartpole, pendulum,
+    acrobot, bicycle, double_integrator, cartpole, omni_thruster, pendulum,
     point_mass_3d, power_mass, quadrotor,
 )
 
@@ -43,6 +43,7 @@ register(acrobot.MODEL)
 register(bicycle.MODEL)
 register(cartpole.MODEL)
 register(pendulum.MODEL)
+register(omni_thruster.MODEL)
 register(point_mass_3d.MODEL)
 register(power_mass.MODEL)
 register(quadrotor.MODEL)

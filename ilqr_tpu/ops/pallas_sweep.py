@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ 4).
+"""Merged linearize+backward Pallas kernel (m ≤ 8).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -21,6 +21,10 @@ The control-limited QP is solved exactly in-registers:
     adjugates are shared across the 81 candidates). Feedback rows come
     from the identity-padded free-subspace inverse, zeroed on clamped
     dims (ref :377-385).
+  - 5 ≤ m ≤ 8: fixed-shape projected Newton (the reference's own boxQP
+    algorithm, src/boxqp.cpp:26-139) with the free-subspace solves
+    through a masked unrolled Cholesky — 3^m enumeration explodes past
+    m = 4 (see _qp_pn).
   - unconstrained (``use_limits=False``): plain regularized Newton
     k = −QuuF⁻¹Qu — the infinite-box degenerate
     (ref src/ilqr_core.cpp:369).
@@ -484,10 +488,168 @@ def _qp_newton(quuF, qu, m):
             for i in range(1, 4):
                 s = s + adj[j][i] * qu[i]
             x.append(-s * rsdet)
+    elif m <= MAX_FUSED_M:
+        # general m: all-free masked Cholesky (pivots double as the PD
+        # check) + one unrolled solve
+        one_l = [one] * m
+        Lr, rdiag, bad = _chol_masked_tiles(quuF, one_l, m)
+        x = _chol_solve_tiles(Lr, rdiag, [-g for g in qu], m)
     else:
-        raise ValueError("in-kernel Newton supports m <= 4")
+        raise ValueError(f"in-kernel Newton supports m <= {MAX_FUSED_M}")
     k = [jnp.where(bad, zero, xi) for xi in x]
     free = [~bad for _ in range(m)]
+    return k, free, bad
+
+
+# --- general-m machinery (m > 4): masked Cholesky + projected Newton ------
+#
+# 3^m active-set enumeration explodes past m = 4 (and the cofactor-expansion
+# adjugates grow factorially), so larger control dimensions use the
+# reference's actual algorithm — projected-Newton boxQP (src/boxqp.cpp:
+# 26-139) — re-designed for tiles: a fixed unrolled iteration count, the
+# per-lane active set carried as f32 0/1 masks (Mosaic rejects selects over
+# boolean VALUES), and the free-subspace solve through a fully-unrolled
+# Cholesky of the identity-padded masked matrix. Compile size is O(m³) per
+# Newton iteration, capped at MAX_FUSED_M.
+
+MAX_FUSED_M = 8
+
+
+def _chol_masked_tiles(q, free_f, m):
+    """Unrolled Cholesky of P = mask(q) on tiles, where P has the free
+    principal submatrix of ``q`` and exact identity rows/columns on clamped
+    dims (P[i][j] = free_i·free_j·q[i][j] + (1−free_i)·δ_ij) — the tile
+    version of ops/boxqp.masked_cholesky. The factor preserves the padding
+    pattern (clamped rows of L are e_i), so solves pass clamped entries
+    through untouched.
+
+    ``free_f``: list of f32 0/1 tiles. Returns (L rows as a nested
+    lower-triangular list, rdiag = 1/L[i][i] per row, bad) with ``bad``
+    flagging a non-positive pivot on a free dim (non-PD free subspace —
+    the reference's Cholesky-failure → divergence signal)."""
+    one = jnp.ones_like(q[0][0])
+    zero = jnp.zeros_like(q[0][0])
+    Lr = [[zero] * m for _ in range(m)]
+    rdiag = [None] * m
+    bad = None
+    for i in range(m):
+        d = free_f[i] * q[i][i] + (1.0 - free_f[i])
+        for k in range(i):
+            d = d - Lr[i][k] * Lr[i][k]
+        bad_i = (free_f[i] > 0.5) & (d <= 0.0)
+        bad = bad_i if bad is None else (bad | bad_i)
+        d_safe = jnp.where(d <= 0.0, one, d)
+        rd = jax.lax.rsqrt(d_safe)
+        rdiag[i] = rd
+        Lr[i][i] = d_safe * rd          # = sqrt(d_safe)
+        for j in range(i + 1, m):
+            acc = free_f[i] * free_f[j] * q[j][i]
+            for k in range(i):
+                acc = acc - Lr[j][k] * Lr[i][k]
+            Lr[j][i] = acc * rd
+    return Lr, rdiag, bad
+
+
+def _chol_solve_tiles(Lr, rdiag, b, m):
+    """Solve L·Lᵀ·x = b by unrolled forward/back substitution on tiles."""
+    y = [None] * m
+    for i in range(m):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - Lr[i][k] * y[k]
+        y[i] = acc * rdiag[i]
+    x = [None] * m
+    for i in range(m - 1, -1, -1):
+        acc = y[i]
+        for k in range(i + 1, m):
+            acc = acc - Lr[k][i] * x[k]
+        x[i] = acc * rdiag[i]
+    return x
+
+
+def _qp_pn(quuF, qu, lo, hi, m):
+    """General-m box QP on tiles by projected Newton (ref src/boxqp.cpp:
+    26-139 semantics, fixed-shape): start from the box-clamped
+    unconstrained Newton point, then m+4 unrolled iterations of
+    { KKT active set → masked-Cholesky free-subspace solve → best-of
+    {full step, half step} clamped candidates, monotone (keep current x
+    when neither improves) }. The full-matrix Cholesky pivots provide the
+    PD check (``bad``), like the enum paths' Sylvester minors.
+
+    Returns (k, free, bad) in the _qp_m* contract: k a list of m tiles,
+    free a list of m bool tiles (final KKT-free dims — the rows
+    _free_solve_rows solves K on), bad a bool tile."""
+    one = jnp.ones_like(quuF[0][0])
+    zero = jnp.zeros_like(quuF[0][0])
+
+    def val(x):
+        v = zero
+        for i in range(m):
+            v = v + qu[i] * x[i] + 0.5 * quuF[i][i] * x[i] * x[i]
+        for i in range(m):
+            for j in range(i + 1, m):
+                v = v + quuF[i][j] * x[i] * x[j]
+        return v
+
+    def grad(x):
+        g = []
+        for i in range(m):
+            acc = qu[i]
+            for j in range(m):
+                acc = acc + quuF[i][j] * x[j]
+            g.append(acc)
+        return g
+
+    # init: clamp(−QuuF⁻¹·Qu); the all-free factorization is the PD check
+    free_all = [one] * m
+    Lr, rdiag, bad = _chol_masked_tiles(quuF, free_all, m)
+    x = _chol_solve_tiles(Lr, rdiag, [-g for g in qu], m)
+    x = [jnp.clip(x[i], lo[i], hi[i]) for i in range(m)]
+    v_cur = val(x)
+
+    for _ in range(m + 6):
+        g = grad(x)
+        free_f = []
+        for i in range(m):
+            cl = (((x[i] <= lo[i]) & (g[i] > 0.0))
+                  | ((x[i] >= hi[i]) & (g[i] < 0.0)))
+            free_f.append(jnp.where(cl, zero, one))
+        Lr, rdiag, bad_it = _chol_masked_tiles(quuF, free_f, m)
+        bad = bad | bad_it
+        rhs = []
+        for i in range(m):
+            acc = qu[i]
+            for j in range(m):
+                acc = acc + quuF[i][j] * ((1.0 - free_f[j]) * x[j])
+            rhs.append(free_f[i] * acc)
+        d = _chol_solve_tiles(Lr, rdiag, rhs, m)
+        xn = [free_f[i] * (-d[i]) + (1.0 - free_f[i]) * x[i]
+              for i in range(m)]
+        # clamped backtracking ladder from the CURRENT x (the reference's
+        # Armijo halving, boxqp.cpp:121-139, as parallel candidates): the
+        # projection of a long Newton step can be ascent while a shorter
+        # step along the same direction descends. Keep the best improving
+        # candidate — strict decrease keeps the iteration monotone.
+        best = [x[i] for i in range(m)]
+        v_best = v_cur
+        for step in (1.0, 0.5, 0.25, 0.125, 0.0625):
+            c = [jnp.clip(x[i] + step * (xn[i] - x[i]), lo[i], hi[i])
+                 for i in range(m)]
+            v_c = val(c)
+            take = v_c < v_best
+            best = [jnp.where(take, c[i], best[i]) for i in range(m)]
+            v_best = jnp.where(take, v_c, v_best)
+        x = best
+        v_cur = v_best
+
+    # final KKT-active set at the converged x
+    g = grad(x)
+    free = []
+    for i in range(m):
+        cl = (((x[i] <= lo[i]) & (g[i] > 0.0))
+              | ((x[i] >= hi[i]) & (g[i] < 0.0)))
+        free.append(~cl & ~bad)
+    k = [jnp.where(bad, zero, x[i]) for i in range(m)]
     return k, free, bad
 
 
@@ -550,8 +712,23 @@ def _free_solve_rows(quuF, free, cols, m):
                      + adj[j][2] * v[2]) * rdet
                 out[j].append(jnp.where(free[j], -s, zero))
         return out
+    if m > 4:
+        # general m: one masked Cholesky of the identity-padded matrix
+        # shared by all n columns (clamped rows pass through and are
+        # zeroed on output)
+        assert m <= MAX_FUSED_M, "free-subspace rows support m <= 8"
+        zero = jnp.zeros_like(quuF[0][0])
+        one = jnp.ones_like(quuF[0][0])
+        free_f = [jnp.where(fb, one, zero) for fb in free]
+        Lr, rdiag, _bad = _chol_masked_tiles(quuF, free_f, m)
+        out = [[] for _ in range(m)]
+        for i in range(len(cols[0])):
+            v = [cols[jm][i] for jm in range(m)]
+            sv = _chol_solve_tiles(Lr, rdiag, v, m)
+            for j in range(m):
+                out[j].append(jnp.where(free[j], -sv[j], zero))
+        return out
     # m == 4: identity-padded 4×4 inverse via the generic adjugate
-    assert m == 4, "free-subspace rows support m <= 4"
     one = jnp.ones_like(quuF[0][0])
     zero = jnp.zeros_like(quuF[0][0])
     P = [[None] * 4 for _ in range(4)]
@@ -851,8 +1028,11 @@ def _sweep_step(model, n, m, mode, use_analytic, use_limits, p, dt,
             k_i, free, bad = _qp_m3(quuF, qu, lo, hi)
         elif m == 4:
             k_i, free, bad = _qp_m4(quuF, qu, lo, hi)
+        elif m <= MAX_FUSED_M:
+            k_i, free, bad = _qp_pn(quuF, qu, lo, hi, m)
         else:
-            raise ValueError("merged sweep kernel supports m <= 4")
+            raise ValueError(
+                f"merged sweep kernel supports m <= {MAX_FUSED_M}")
 
     Krow = _free_solve_rows(quuF, free, qux, m)  # (m, n) rows
 

@@ -387,6 +387,74 @@ def test_m4_matches_xla_path():
     assert "M4_E2E_OK" in out.stdout
 
 
+_M6_E2E = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp, numpy as np
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.batch import solve_batch
+from ilqr_tpu.fused import solve_batch_fused
+from ilqr_tpu.models import omni_thruster as ot
+m = get_model("omni_thruster")
+p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                           ot.default_params())
+rng = np.random.default_rng(5)
+x0 = jnp.asarray(rng.normal(size=(2, 6)) * 0.2, jnp.float32)
+u0 = jnp.tile(ot.hover_control(p)[None].astype(jnp.float32), (8, 1))
+cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                   max_iter=4, backward_kernel="xla",
+                   rollout_kernel="xla", deriv_kernel="xla",
+                   iter_kernel="split", sweep_time_block=2,
+                   ls_time_block=2)
+ref = solve_batch(m, p, cfg, 0.05, x0, u0)
+import dataclasses
+m_jvp = dataclasses.replace(m, jac_soa=None, cost_derivs_soa=None,
+                            final_cost_derivs_soa=None)
+for mm in (m, m_jvp):   # analytic closed-form derivs AND in-kernel JVP
+    fus = solve_batch_fused(mm, p, cfg, 0.05, x0, u0)
+    np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                               rtol=1e-3)
+    assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 2e-2
+    us = np.asarray(fus.us)
+    assert us.min() >= -1e-6 and us.max() <= 15.0 + 1e-5
+    assert (us <= 1e-5).mean() > 0.3, (us <= 1e-5).mean()  # one-sided
+    # thrusters really pin the lower bound of the in-kernel PN QP
+    assert fus.us.shape == (2, 8, 6) and fus.K.shape == (2, 8, 6, 6)
+print("M6_E2E_OK")
+"""
+
+
+@pytest.mark.slow
+def test_m6_matches_xla_path():
+    """m=6 (omni_thruster): the in-kernel general-m projected-Newton boxQP
+    (ops/pallas_sweep._qp_pn — masked unrolled Cholesky, the reference's
+    own algorithm, src/boxqp.cpp:26-139) matches the XLA path (iterative
+    boxQP) to f32 tolerance, with the one-sided [0, f_max] thrust boxes
+    pinning a third of the controls at the lower bound.
+
+    Same subprocess + fusion-pass workaround as test_m4_matches_xla_path
+    (the XLA:CPU mega-fusion pathology; Mosaic never runs that pass).
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_disable_hlo_passes=cpu-instruction-fusion,"
+                        "fusion").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        out = subprocess.run([sys.executable, "-c", _M6_E2E], env=env,
+                             capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        raise AssertionError(
+            "m6 e2e subprocess exceeded 900 s — see "
+            "test_m4_matches_xla_path's docstring (fusion-pass rename "
+            "pathology)") from None
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "M6_E2E_OK" in out.stdout
+
+
 @pytest.mark.slow
 def test_unconstrained_matches_xla_path():
     """use_control_limits=False: the in-kernel plain-Newton degenerate

@@ -22,6 +22,7 @@ def test_registry():
     assert "cartpole" in models
     assert "pendulum" in models
     assert "point_mass_3d" in models
+    assert "omni_thruster" in models
     assert "power_mass" in models
     assert "quadrotor" in models
 
@@ -412,3 +413,32 @@ def test_power_mass_reaches_goal_with_live_cxu():
     power0 = np.abs(np.asarray(sol0.xs)[:-1, 2:]
                     * np.asarray(sol0.us)).sum(-1)
     assert power.max() < power0.max()
+
+
+def test_omni_thruster_reaches_goal_with_one_sided_thrust():
+    """m=6 model: the craft must fly to the goal with every control
+    inside its one-sided [0, f_max] box on the clamped rollout, idle
+    thrusters pinned at exactly 0 by the linear fuel cost, and the +z
+    thruster carrying gravity."""
+    import jax
+
+    from ilqr_tpu import SolverConfig, solve
+    from ilqr_tpu.models import omni_thruster as ot
+
+    m = get_model("omni_thruster")
+    p = ot.default_params()
+    T = 80
+    u0 = jnp.tile(ot.hover_control(p)[None], (T, 1))
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=60)
+    sol = solve(m, p, cfg, 0.05, jnp.zeros(6), u0)
+    xs = np.asarray(sol.xs)
+    np.testing.assert_allclose(xs[-1][:3], np.asarray(p.goal)[:3],
+                               atol=0.08)
+    us = np.asarray(sol.us)
+    assert us.min() >= -1e-6 and us.max() <= float(p.u_max[0]) + 1e-5
+    # one-sided thrusters: a solid fraction of controls sit exactly on
+    # the lower bound (opposing thrusters idle)
+    assert (us <= 1e-6).mean() > 0.25, (us <= 1e-6).mean()
+    # hover against gravity: the +z thruster (index 4) works hardest
+    assert us[:, 4].mean() > us[:, 5].mean() + 1.0

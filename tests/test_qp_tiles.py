@@ -17,6 +17,7 @@ from ilqr_tpu.ops.pallas_sweep import (
     _free_solve_rows,
     _qp_m4,
     _qp_newton,
+    _qp_pn,
     _subdet,
 )
 
@@ -148,3 +149,114 @@ def test_qp_m4_boundary_tie():
     x = np.stack([np.asarray(k[i]).reshape(B) for i in range(4)], -1)
     np.testing.assert_allclose(x, np.tile([0.5, -0.25, 0.0, -0.1], (B, 1)),
                                atol=1e-6)
+
+
+# --- general-m (projected Newton) machinery, m > 4 -------------------------
+
+def _enum_oracle(Q, g, lo, hi):
+    """Exact box-QP argmin by full 3^m active-set enumeration (numpy) —
+    the same construction boxqp_enum uses, without its m <= 4 cap."""
+    import itertools
+
+    Bn, m = g.shape
+    best_v = np.full(Bn, np.inf)
+    best_x = np.zeros((Bn, m))
+    for combo in itertools.product((0, 1, 2), repeat=m):
+        F = [i for i in range(m) if combo[i] == 1]
+        x = np.empty((Bn, m))
+        for i in range(m):
+            if combo[i] == 0:
+                x[:, i] = lo[:, i]
+            elif combo[i] == 2:
+                x[:, i] = hi[:, i]
+        if F:
+            C = [i for i in range(m) if combo[i] != 1]
+            QFF = Q[:, F][:, :, F]
+            rhs = g[:, F].copy()
+            if C:
+                rhs += np.einsum("bij,bj->bi", Q[:, F][:, :, C], x[:, C])
+            x[:, np.array(F)] = -np.linalg.solve(QFF, rhs[..., None])[..., 0]
+        gr = np.einsum("bij,bj->bi", Q, x) + g
+        ok = np.ones(Bn, bool)
+        for i in range(m):
+            if combo[i] == 1:
+                ok &= ((x[:, i] >= lo[:, i] - 1e-9)
+                       & (x[:, i] <= hi[:, i] + 1e-9))
+            elif combo[i] == 0:
+                ok &= gr[:, i] >= -1e-9
+            else:
+                ok &= gr[:, i] <= 1e-9
+        v = (0.5 * np.einsum("bi,bij,bj->b", x, Q, x)
+             + np.einsum("bi,bi->b", g, x))
+        take = ok & (v < best_v)
+        best_v = np.where(take, v, best_v)
+        best_x = np.where(take[:, None], x, best_x)
+    return best_x, best_v
+
+
+@pytest.mark.parametrize("m,seed,scale", [(5, 21, 1.0), (5, 22, 3.0),
+                                          (6, 23, 1.0), (6, 24, 3.0)])
+def test_qp_pn_matches_enum_oracle(m, seed, scale):
+    """The fixed-shape in-kernel projected Newton (m > 4) lands on the
+    exact enumerated optimum: objective gap at f32 rounding level and
+    the argmin within f32 tolerance on every one of the 1024 lanes."""
+    Q, g, lo, hi = _random_qps(seed, m=m, scale=scale)
+    k, free, bad = _qp_pn(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi), m)
+    assert not bool(jnp.any(bad))
+    x = np.stack([np.asarray(k[i]).reshape(B) for i in range(m)], -1)
+    xo, vo = _enum_oracle(Q.astype(np.float64), g.astype(np.float64),
+                          lo.astype(np.float64), hi.astype(np.float64))
+    v = (0.5 * np.einsum("bi,bij,bj->b", x, Q, x)
+         + np.einsum("bi,bi->b", g, x))
+    assert (v - vo).max() < 1e-5, (v - vo).max()
+    np.testing.assert_allclose(x, xo, atol=2e-3)
+    # KKT-consistent free masks: free dims strictly inside the box agree
+    # with the oracle active set on non-degenerate lanes
+    fr = np.stack([np.asarray(free[i]).reshape(B) for i in range(m)], -1)
+    interior = (xo > lo + 1e-4) & (xo < hi - 1e-4)
+    assert (fr | ~interior).all()
+
+
+def test_qp_pn_flags_non_pd():
+    m = 6
+    Q, g, lo, hi = _random_qps(31, m=m)
+    Q[:, 5, 5] = -1.0  # break the last pivot everywhere
+    k, free, bad = _qp_pn(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi), m)
+    assert bool(jnp.all(bad))
+    for i in range(m):
+        assert not bool(jnp.any(free[i]))
+        np.testing.assert_array_equal(np.asarray(k[i]), 0.0)
+
+
+def test_qp_newton_m6_matches_dense_solve():
+    Q, g, _lo, _hi = _random_qps(33, m=6)
+    k, free, bad = _qp_newton(_tiles_mat(Q), _tiles_vec(g), 6)
+    assert not bool(jnp.any(bad))
+    ref = -np.linalg.solve(Q, g[..., None])[..., 0]
+    got = np.stack([np.asarray(k[i]).reshape(B) for i in range(6)], -1)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_free_solve_rows_m6_matches_padded_inverse():
+    """The masked-Cholesky K-row solve (m > 4) against the dense
+    identity-padded inverse construction (ref ilqr_core.cpp:377-385)."""
+    rng = np.random.default_rng(37)
+    m = 6
+    Q, _g, _lo, _hi = _random_qps(37, m=m)
+    n = 4
+    cols_np = rng.normal(size=(B, m, n)).astype(np.float32)
+    free_np = rng.uniform(size=(B, m)) > 0.4
+    free = [jnp.asarray(free_np[:, i].reshape(S, L)) for i in range(m)]
+    cols = [[jnp.asarray(cols_np[:, j, i].reshape(S, L)) for i in range(n)]
+            for j in range(m)]
+    out = _free_solve_rows(_tiles_mat(Q), free, cols, m)
+    got = np.stack([np.stack([np.asarray(out[j][i]).reshape(B)
+                              for i in range(n)], -1) for j in range(m)], -2)
+    eye = np.eye(m, dtype=np.float32)
+    mask = free_np[:, :, None] & free_np[:, None, :]
+    P = np.where(mask, Q, eye)
+    ref = -np.linalg.solve(P, cols_np)
+    ref = np.where(free_np[:, :, None], ref, 0.0)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)

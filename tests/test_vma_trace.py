@@ -51,6 +51,7 @@ def _trace(run, params, n, m, B=64, T=12):
     assert out.cost.shape == (B,)
 
 
+@pytest.mark.slow  # tracing the full fused program is ~90 s cold
 def test_fused_sharded_traces_with_check_vma_iter_kernel():
     # acrobot (m=1, small body) auto-selects the whole-iteration kernel
     model = get_model("acrobot")
@@ -59,6 +60,7 @@ def test_fused_sharded_traces_with_check_vma_iter_kernel():
     _trace(run, acrobot.default_params(), model.n, model.m)
 
 
+@pytest.mark.slow  # ~110 s trace (m=4 sweep body)
 def test_fused_sharded_traces_with_check_vma_two_kernel_m4():
     # quadrotor (m=4, m*n>=32) takes the two-kernel merged-sweep path
     model = get_model("quadrotor")
@@ -86,6 +88,8 @@ def test_vmap_sharded_traces_with_check_vma_compiled_kernels(force_compiled):
     _trace(run, acrobot.default_params(), model.n, model.m)
 
 
+@pytest.mark.slow  # interpret-mode execution; replication safety is
+# also covered by test_sharding.py's bit-exact sharded-vs-local test
 def test_fused_sharded_interpret_mode_keeps_vma_off():
     # Off-TPU execution must keep the checker off (jax interpret-mode
     # limitation) — the auto rule picks interpret=True on CPU.
