@@ -16,7 +16,9 @@ discipline (tests/test_solver.py) extended to the deployment path.
 Tolerance (stated): per-lane relative cost diff |cf-cx|/(1+|cx|) — PASS if
 p99 <= 1e-3 and max <= 5e-2 (f32, ~12 iterations of accumulated drift).
 
-EQ_MODEL: acrobot (m=1 path) | double_integrator (m=2 in-kernel QP path).
+EQ_MODEL: acrobot (m=1 path) | double_integrator (m=2 in-kernel QP path)
+| omni_thruster (m=6 in-kernel projected-Newton QP vs the XLA iterative
+boxQP — the general-m kernel's device-level numerical check).
 Two Mosaic+XLA programs per process — run ONE model per process (axon
 discipline: remote compiles are 10-600 s per new program).
 
@@ -49,12 +51,24 @@ def main():
     rng = np.random.default_rng(7)
     B = 256
     model = get_model(MODEL)
+    u0 = None
     if MODEL == "acrobot":
         from ilqr_tpu.models import acrobot as mm
         params = mm.default_params()
         T = 199
         x0 = jnp.asarray(0.05 * rng.normal(size=(B, model.n)), jnp.float32)
         # m=1: both paths use the exact closed-form 1-D box QP.
+        xla_boxqp = "auto"
+    elif MODEL == "omni_thruster":
+        from ilqr_tpu.models import omni_thruster as mm
+        params = mm.default_params()
+        T = 80
+        x0 = jnp.asarray(0.2 * rng.normal(size=(B, model.n)), jnp.float32)
+        u0 = jnp.tile(mm.hover_control(params)[None].astype(jnp.float32),
+                      (T, 1))
+        u0 = jnp.broadcast_to(u0[None], (B, T, model.m))
+        # m=6: the fused kernel runs the in-kernel projected Newton; the
+        # XLA leg runs the reference-semantics iterative boxQP ("auto").
         xla_boxqp = "auto"
     else:
         from ilqr_tpu.models import double_integrator as mm
@@ -65,7 +79,8 @@ def main():
         # m=2: the fused kernel's QP is the exact 3^m enumeration; match
         # semantics on the XLA leg (also loop-free -> fast trace/compile).
         xla_boxqp = "enum"
-    u0 = jnp.zeros((B, T, model.m), jnp.float32)
+    if u0 is None:
+        u0 = jnp.zeros((B, T, model.m), jnp.float32)
 
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                        use_control_limits=True, max_iter=12)

@@ -9,6 +9,9 @@ SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter
   Newton (one mode per process — two different programs, axon discipline)
   m4_fused — quadrotor on the FUSED solver (in-kernel 81-candidate QP,
   two-kernel iteration; auto caps the time block for the big body)
+  m6_fused — omni_thruster (n=6, m=6) on the FUSED solver: the general-m
+  in-kernel projected-Newton boxQP (masked unrolled Cholesky) with the
+  one-sided thrust boxes keeping half the controls on the lower bound
 """
 
 import json
@@ -97,6 +100,36 @@ def main():
             "best_s": round(min(reps), 4), "first_s": round(first, 1),
             "mean_cost": round(float(jnp.mean(sol.cost)), 4),
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
+    elif MODE == "m6_fused":
+        from ilqr_tpu.models import omni_thruster as ot
+        model = get_model("omni_thruster")
+        params = ot.default_params()
+        B6, T = 1024, 80
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=40)
+        x0 = jnp.asarray(0.2 * rng.normal(size=(B6, 6)), jnp.float32)
+        u0 = jnp.tile(ot.hover_control(params)[None].astype(jnp.float32),
+                      (T, 1))
+        t0 = time.perf_counter()
+        sol = solve_batch_fused(model, params, cfg, 0.05, x0, u0)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(4):
+            x0r = jnp.asarray(0.2 * rng.normal(size=(B6, 6)), jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch_fused(model, params, cfg, 0.05, x0r, u0)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        us = np.asarray(sol.us)
+        print(json.dumps({
+            "mode": MODE, "B": B6, "T": T,
+            "solves_per_s": round(B6 / min(reps), 1),
+            "best_s": round(min(reps), 4), "first_s": round(first, 1),
+            "mean_cost": round(float(jnp.mean(sol.cost)), 4),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+            "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
         }), flush=True)
     elif MODE in ("m4_enum", "m4_iter"):
         # m=4 exceeds the fused kernels — this is the vmap/XLA leg. The
