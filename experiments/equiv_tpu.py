@@ -18,7 +18,9 @@ p99 <= 1e-3 and max <= 5e-2 (f32, ~12 iterations of accumulated drift).
 
 EQ_MODEL: acrobot (m=1 path) | double_integrator (m=2 in-kernel QP path)
 | omni_thruster (m=6 in-kernel projected-Newton QP vs the XLA iterative
-boxQP — the general-m kernel's device-level numerical check).
+boxQP — the general-m kernel's device-level numerical check)
+| free_flyer (m=8: the projected-Newton QP at the MAX_FUSED_M cap, full
+8x8 masked Cholesky, vs the same XLA iterative boxQP).
 Two Mosaic+XLA programs per process — run ONE model per process (axon
 discipline: remote compiles are 10-600 s per new program).
 
@@ -69,6 +71,15 @@ def main():
         u0 = jnp.broadcast_to(u0[None], (B, T, model.m))
         # m=6: the fused kernel runs the in-kernel projected Newton; the
         # XLA leg runs the reference-semantics iterative boxQP ("auto").
+        xla_boxqp = "auto"
+    elif MODEL == "free_flyer":
+        from ilqr_tpu.models import free_flyer as mm
+        params = mm.default_params()
+        T = 80
+        x0 = jnp.asarray(0.3 * rng.normal(size=(B, model.n)), jnp.float32)
+        # m=8 (MAX_FUSED_M): fused leg runs the in-kernel projected Newton
+        # with the full 8x8 masked Cholesky; XLA leg the iterative boxQP.
+        # u0 stays zero (microgravity coasting start).
         xla_boxqp = "auto"
     else:
         from ilqr_tpu.models import double_integrator as mm

@@ -1,6 +1,7 @@
 """Secondary-workload TPU benchmarks on the fused solver (round-2 kernels).
 
-SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter
+SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter | m4_fused | m6_fused |
+m8_fused
   m2  — reference integrator workload: double integrator, T=99, ≤100 iters
   m3  — 3D point mass (27-candidate in-kernel QP), T=99, ≤100 iters
   mpc — fleet MPC: 1024 controllers, T=199, warm-started ≤20-iter replans
@@ -12,6 +13,9 @@ SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter
   m6_fused — omni_thruster (n=6, m=6) on the FUSED solver: the general-m
   in-kernel projected-Newton boxQP (masked unrolled Cholesky) with the
   one-sided thrust boxes keeping half the controls on the lower bound
+  m8_fused — free_flyer (n=6, m=8) on the FUSED solver AT the MAX_FUSED_M
+  cap: full 8x8 masked Cholesky, 5-dim thrust null space resolved by the
+  fuel cost, ~80% of controls pinned at the microgravity lower bound
 """
 
 import json
@@ -100,6 +104,35 @@ def main():
             "best_s": round(min(reps), 4), "first_s": round(first, 1),
             "mean_cost": round(float(jnp.mean(sol.cost)), 4),
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+        }), flush=True)
+    elif MODE == "m8_fused":
+        from ilqr_tpu.models import free_flyer as ff
+        model = get_model("free_flyer")
+        params = ff.default_params()
+        B8, T = 1024, 80
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=40)
+        x0 = jnp.asarray(0.3 * rng.normal(size=(B8, 6)), jnp.float32)
+        u0 = jnp.zeros((T, 8), jnp.float32)  # microgravity: coasting start
+        t0 = time.perf_counter()
+        sol = solve_batch_fused(model, params, cfg, 0.05, x0, u0)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(4):
+            x0r = jnp.asarray(0.3 * rng.normal(size=(B8, 6)), jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch_fused(model, params, cfg, 0.05, x0r, u0)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        us = np.asarray(sol.us)
+        print(json.dumps({
+            "mode": MODE, "B": B8, "T": T,
+            "solves_per_s": round(B8 / min(reps), 1),
+            "best_s": round(min(reps), 4), "first_s": round(first, 1),
+            "mean_cost": round(float(jnp.mean(sol.cost)), 4),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+            "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
         }), flush=True)
     elif MODE == "m6_fused":
         from ilqr_tpu.models import omni_thruster as ot

@@ -21,8 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
-                 "cartpole", "bicycle", "omni_thruster", "point_mass_3d",
-                 "power_mass", "quadrotor"],
+                 "cartpole", "bicycle", "free_flyer", "omni_thruster",
+                 "point_mass_3d", "power_mass", "quadrotor"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=None,
@@ -108,6 +108,10 @@ _PROBLEMS = {
     # hover thrust (zero thrust free-falls the initial rollout)
     "omni_thruster": dict(model="omni_thruster", T=120, goal=None,
                           x0=(0.0,) * 6, dt=0.05, u0="hover"),
+    # 8-thruster microgravity free-flyer: runs the fused solver at its
+    # m=8 cap; zero thrust is the natural initial control (no gravity)
+    "free_flyer": dict(model="free_flyer", T=120, goal=None,
+                       x0=(0.0,) * 6, dt=0.05),
 }
 
 

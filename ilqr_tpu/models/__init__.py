@@ -11,8 +11,8 @@ from typing import Dict
 
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
 from ilqr_tpu.models import (
-    acrobot, bicycle, double_integrator, cartpole, omni_thruster, pendulum,
-    point_mass_3d, power_mass, quadrotor,
+    acrobot, bicycle, double_integrator, cartpole, free_flyer, omni_thruster,
+    pendulum, point_mass_3d, power_mass, quadrotor,
 )
 
 _REGISTRY: Dict[str, Model] = {}
@@ -42,6 +42,7 @@ register(double_integrator.MODEL)
 register(acrobot.MODEL)
 register(bicycle.MODEL)
 register(cartpole.MODEL)
+register(free_flyer.MODEL)
 register(pendulum.MODEL)
 register(omni_thruster.MODEL)
 register(point_mass_3d.MODEL)

@@ -957,3 +957,86 @@ def test_diverging_lane_does_not_poison_block():
         assert not np.isfinite(mixed[1])          # the bad lane is marked
         np.testing.assert_allclose(np.delete(mixed, 1), np.delete(good, 1),
                                    rtol=1e-6)     # neighbors untouched
+
+
+_M8_E2E = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp, numpy as np
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.batch import solve_batch
+from ilqr_tpu.fused import solve_batch_fused
+from ilqr_tpu.models import free_flyer as ff
+m = get_model("free_flyer")
+p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                           ff.default_params())
+rng = np.random.default_rng(9)
+x0 = jnp.asarray(rng.normal(size=(2, 6)) * 0.3, jnp.float32)
+u0 = jnp.zeros((8, 8), jnp.float32)
+cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                   max_iter=4, backward_kernel="xla",
+                   rollout_kernel="xla", deriv_kernel="xla",
+                   iter_kernel="split", sweep_time_block=1,
+                   ls_time_block=1)
+ref = solve_batch(m, p, cfg, 0.05, x0, u0)
+fus = solve_batch_fused(m, p, cfg, 0.05, x0, u0)
+np.testing.assert_allclose(np.asarray(fus.cost), np.asarray(ref.cost),
+                           rtol=1e-3)
+assert np.abs(np.asarray(fus.us) - np.asarray(ref.us)).max() < 2e-2
+us = np.asarray(fus.us)
+assert us.min() >= -1e-6 and us.max() <= 4.0 + 1e-5
+assert (us <= 1e-5).mean() > 0.3, (us <= 1e-5).mean()  # microgravity +
+# fuel cost pin the lower bound of the m=8 in-kernel PN QP
+assert fus.us.shape == (2, 8, 8) and fus.K.shape == (2, 8, 8, 6)
+print("M8_E2E_OK")
+"""
+
+
+@pytest.mark.slow
+def test_m8_matches_xla_path():
+    """m=8 (free_flyer): the in-kernel projected-Newton boxQP at its
+    MAX_FUSED_M cap — full 8x8 masked unrolled Cholesky, 5-dim thrust
+    null space resolved by the fuel cost — matches the XLA path
+    (iterative boxQP) to f32 tolerance.
+
+    Same subprocess + fusion-pass workaround as test_m4_matches_xla_path
+    (the XLA:CPU mega-fusion pathology; Mosaic never runs that pass).
+    Even with those passes disabled, XLA:CPU takes minutes on the m=8
+    interpret-mode body (the PN QP unrolls a 14-iteration 8x8 masked
+    Cholesky per blocked timestep) — time_block=1 keeps it ~250 s on an
+    idle machine; the 2400 s budget absorbs xdist contention.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_disable_hlo_passes=cpu-instruction-fusion,"
+                        "fusion").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        out = subprocess.run([sys.executable, "-c", _M8_E2E], env=env,
+                             capture_output=True, text=True, timeout=2400)
+    except subprocess.TimeoutExpired:
+        raise AssertionError(
+            "m8 e2e subprocess exceeded 2400 s — see "
+            "test_m4_matches_xla_path's docstring (fusion-pass rename "
+            "pathology)") from None
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "M8_E2E_OK" in out.stdout
+
+
+def test_fused_rejects_m_above_cap():
+    """m > MAX_FUSED_M must fail fast with a clear error (the vmap/XLA
+    path is the supported route there), not die inside kernel tracing."""
+    import dataclasses
+
+    from ilqr_tpu.fused import solve_batch_fused
+    from ilqr_tpu.models import free_flyer as ff
+
+    m9 = dataclasses.replace(get_model("free_flyer"), m=9)
+    p = ff.default_params()
+    with pytest.raises(ValueError, match="m <= 8"):
+        solve_batch_fused(m9, p, SolverConfig(), 0.05,
+                          jnp.zeros((2, 6), jnp.float32),
+                          jnp.zeros((2, 4, 9), jnp.float32))

@@ -22,6 +22,7 @@ def test_registry():
     assert "cartpole" in models
     assert "pendulum" in models
     assert "point_mass_3d" in models
+    assert "free_flyer" in models
     assert "omni_thruster" in models
     assert "power_mass" in models
     assert "quadrotor" in models
@@ -442,3 +443,55 @@ def test_omni_thruster_reaches_goal_with_one_sided_thrust():
     assert (us <= 1e-6).mean() > 0.25, (us <= 1e-6).mean()
     # hover against gravity: the +z thruster (index 4) works hardest
     assert us[:, 4].mean() > us[:, 5].mean() + 1.0
+
+
+def test_free_flyer_thruster_mixing():
+    """m=8 model: opposing cube-corner thrusters cancel exactly; a single
+    thruster accelerates along its diagonal at u/(√3·mass); zero thrust in
+    microgravity leaves only drag."""
+    import math
+
+    from ilqr_tpu.models import free_flyer as ff
+
+    m = get_model("free_flyer")
+    p = ff.default_params()
+    x = jnp.zeros(6)
+    # all thrusters equal → forces cancel pairwise, craft stays at rest
+    dx = m.dynamics(p, x, jnp.full(8, 2.0))
+    np.testing.assert_allclose(dx, np.zeros(6), atol=1e-7)
+    # thruster 7 is corner (+1,+1,+1): accel = u/(√3·mass) on each axis
+    u = jnp.zeros(8).at[7].set(1.5)
+    dx = m.dynamics(p, x, u)
+    a = 1.5 / (math.sqrt(3.0) * float(p.mass))
+    np.testing.assert_allclose(dx[3:], [a, a, a], rtol=1e-6)
+    # moving with zero thrust: quadratic drag only (no gravity term)
+    xv = jnp.zeros(6).at[3].set(2.0)
+    dx = m.dynamics(p, xv, jnp.zeros(8))
+    np.testing.assert_allclose(
+        dx, [2.0, 0.0, 0.0, -float(p.drag) * 4.0, 0.0, 0.0], atol=1e-7)
+
+
+def test_free_flyer_reaches_goal_at_m8_cap():
+    """m=8 model: flies to the goal with every control in its one-sided
+    [0, f_max] box; in microgravity the linear fuel cost pins the large
+    majority of controls at exactly 0 (the redundancy-resolving workload
+    for the fused solver's m=8 projected-Newton boxQP)."""
+    from ilqr_tpu import SolverConfig, solve
+    from ilqr_tpu.models import free_flyer as ff
+
+    m = get_model("free_flyer")
+    assert m.m == 8  # the MAX_FUSED_M cap
+    p = ff.default_params()
+    T = 80
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=60)
+    sol = solve(m, p, cfg, 0.05, jnp.zeros(6), jnp.zeros((T, 8)))
+    xs = np.asarray(sol.xs)
+    np.testing.assert_allclose(xs[-1][:3], np.asarray(p.goal)[:3],
+                               atol=0.05)
+    us = np.asarray(sol.us)
+    assert us.min() >= -1e-6 and us.max() <= float(p.u_max[0]) + 1e-5
+    # microgravity + fuel cost: most thrusters idle at exactly 0
+    assert (us <= 1e-6).mean() > 0.6, (us <= 1e-6).mean()
+    # the upper bound binds during the initial burn
+    assert us.max() > float(p.u_max[0]) - 1e-3

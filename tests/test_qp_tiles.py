@@ -195,7 +195,9 @@ def _enum_oracle(Q, g, lo, hi):
 
 
 @pytest.mark.parametrize("m,seed,scale", [(5, 21, 1.0), (5, 22, 3.0),
-                                          (6, 23, 1.0), (6, 24, 3.0)])
+                                          (6, 23, 1.0), (6, 24, 3.0),
+                                          (7, 25, 1.0),
+                                          (8, 26, 1.0), (8, 27, 3.0)])
 def test_qp_pn_matches_enum_oracle(m, seed, scale):
     """The fixed-shape in-kernel projected Newton (m > 4) lands on the
     exact enumerated optimum: objective gap at f32 rounding level and
