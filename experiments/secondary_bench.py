@@ -28,6 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 MODE = os.environ.get("SB_MODE", "m2")
+# Batch override for the fused modes: B>=2048 overlaps the ~26 ms
+# dispatch+D2H floor across 1024-lane chunks (BENCH_NOTES B-sweep),
+# reporting the device-true rate instead of the RPC floor.
+BATCH = int(os.environ.get("SB_BATCH", "1024"))
 
 
 def main():
@@ -80,7 +84,7 @@ def main():
         from ilqr_tpu.models import quadrotor as qd
         model = get_model("quadrotor")
         params = qd.default_params()
-        B4, T = 1024, 80
+        B4, T = BATCH, 80
         cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                            max_iter=40)
         x0 = jnp.asarray(0.05 * rng.normal(size=(B4, 12)), jnp.float32)
@@ -109,7 +113,7 @@ def main():
         from ilqr_tpu.models import free_flyer as ff
         model = get_model("free_flyer")
         params = ff.default_params()
-        B8, T = 1024, 80
+        B8, T = BATCH, 80
         cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                            max_iter=40)
         x0 = jnp.asarray(0.3 * rng.normal(size=(B8, 6)), jnp.float32)
@@ -138,7 +142,7 @@ def main():
         from ilqr_tpu.models import omni_thruster as ot
         model = get_model("omni_thruster")
         params = ot.default_params()
-        B6, T = 1024, 80
+        B6, T = BATCH, 80
         cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                            max_iter=40)
         x0 = jnp.asarray(0.2 * rng.normal(size=(B6, 6)), jnp.float32)
