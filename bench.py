@@ -60,6 +60,16 @@ def _wait_tpu_healthy(budget_s: float) -> None:
         time.sleep(min(480.0, remaining))
 
 
+# Persistent compilation cache: the axon PJRT plugin stores/reuses compiled
+# programs across processes (experiments/compile_cache_probe.py — a hit cuts
+# the fused solve's compile+first from ~209 s to ~146 s; tracing and part of
+# the remote pipeline remain). Point it at a repo-local dir (gitignored) so a
+# pre-warmed bench program survives into the driver's round-end run. Must be
+# in the environment before jax initializes its config.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax
 
 if os.environ.get("BENCH_BACKEND"):
