@@ -25,6 +25,7 @@ from ilqr_tpu.solver import init_state, solve, solve_verbose, solve_warm
 from ilqr_tpu.batch import solve_batch
 from ilqr_tpu.fused import solve_batch_fused
 from ilqr_tpu.ops.boxqp import boxqp
+from ilqr_tpu.serve import SolverService
 
 __version__ = "0.1.0"
 
@@ -44,4 +45,5 @@ __all__ = [
     "solve_batch",
     "solve_batch_fused",
     "boxqp",
+    "SolverService",
 ]

@@ -1,0 +1,242 @@
+"""Microbatching solver service: the production-serving front end.
+
+The reference is a library wired into one process — `main.cpp` builds one
+problem, calls `iLQR::solve`, writes a CSV (ref: src/ilqr_main.cpp). A TPU
+deployment looks different: many concurrent clients (e.g. MPC controllers,
+planners, RL actors) each need one solve at a time, while the economics of
+the chip are dominated by two fixed costs:
+
+- the host dispatch + device→host round trip (~26 ms on the axon tunnel,
+  BENCH_NOTES.md cost model) — paid once per *dispatch*, not per problem;
+- the fused solver's single compiled 1024-lane block program (fused.py) —
+  a one-lane solve and a 1024-lane solve cost the same device time.
+
+So the way to serve individual requests at high throughput is to coalesce
+them: queue incoming (x0, u0) pairs, wait at most `max_wait_ms` after the
+first arrival, stack up to `max_batch` of them into ONE batched solve on
+the fused TPU path (or a fixed-shape jitted `vmap(solve)` off-TPU), and
+scatter the per-lane Solutions back to the callers' futures.
+
+Shape discipline (critical on the axon backend, where every new program is
+a 10-600 s remote compile): the service fixes (model, params, cfg, dt, T)
+at construction so exactly one program is ever compiled per path. On the
+fused path the batch size is free (fused.py pads to the 1024-lane block
+and host-loops chunks); on the vmap path the service pads every batch to
+`max_batch` so the jitted program's shapes never change.
+
+Usage::
+
+    svc = SolverService(model, params, cfg, dt=0.02, horizon=199)
+    fut = svc.submit(x0)              # concurrent.futures.Future
+    sol = fut.result()                # per-request Solution (no batch axis)
+    svc.close()
+
+or as a context manager. Thread-safe; any solver exception is propagated
+to every future in the failing batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu.config import SolverConfig
+from ilqr_tpu.models.base import Model
+from ilqr_tpu.types import Solution
+
+
+@dataclass
+class _Request:
+    x0: np.ndarray          # (n,)
+    u0: np.ndarray          # (T, m)
+    future: Future = field(default_factory=Future)
+
+
+_SHUTDOWN = object()
+
+
+class SolverService:
+    """Coalesce single-problem solve requests into batched device solves.
+
+    Args:
+      model, params, cfg, dt: as for ``ilqr_tpu.solver.solve`` — fixed for
+        the service's lifetime (one compiled program per path).
+      horizon: trajectory length T; every request's ``u0`` must be (T, m).
+      max_batch: coalescing cap per dispatch. On the vmap path this is
+        also the padded compile-time batch size.
+      max_wait_ms: how long the worker waits after the FIRST queued
+        request for more to coalesce. 0 disables waiting (each dispatch
+        takes whatever is queued at that instant).
+      path: 'auto' (fused on TPU, vmap elsewhere), 'fused', or 'vmap'.
+      autostart: start the worker thread (tests drive ``_run_once``
+        directly with ``autostart=False``).
+    """
+
+    def __init__(self, model: Model, params, cfg: SolverConfig, dt: float,
+                 horizon: int, *, max_batch: int = 1024,
+                 max_wait_ms: float = 2.0, path: str = "auto",
+                 autostart: bool = True):
+        if path not in ("auto", "fused", "vmap"):
+            raise ValueError(f"unknown path {path!r}")
+        if path == "auto":
+            path = "fused" if jax.default_backend() == "tpu" else "vmap"
+        self._model = model
+        self._params = params
+        self._cfg = cfg
+        self._dt = float(dt)
+        self._T = int(horizon)
+        self._max_batch = int(max_batch)
+        self._max_wait_s = float(max_wait_ms) / 1e3
+        self.path = path
+
+        if path == "fused":
+            from ilqr_tpu.fused import solve_batch_fused
+
+            def _solve(x0b, u0b):  # (B, n), (B, T, m) — any B, one program
+                return solve_batch_fused(model, params, cfg, dt, x0b, u0b)
+        else:
+            from ilqr_tpu.solver import solve
+
+            batched = jax.jit(jax.vmap(
+                lambda x, u: solve(model, params, cfg, dt, x, u)))
+
+            def _solve(x0b, u0b):  # pad to max_batch: one compiled shape
+                b = x0b.shape[0]
+                p = self._max_batch - b
+                if p:
+                    x0b = jnp.concatenate(
+                        [x0b, jnp.broadcast_to(x0b[:1], (p,) + x0b.shape[1:])])
+                    u0b = jnp.concatenate(
+                        [u0b, jnp.broadcast_to(u0b[:1], (p,) + u0b.shape[1:])])
+                sol = batched(x0b, u0b)
+                return jax.tree_util.tree_map(lambda a: a[:b], sol)
+
+        self._solve = _solve
+        self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._closed = False
+        self.stats = {"requests": 0, "batches": 0, "lanes": 0,
+                      "solve_s": 0.0}
+        self._worker: Optional[threading.Thread] = None
+        if autostart:
+            self._worker = threading.Thread(
+                target=self._run_loop, name="ilqr-serve", daemon=True)
+            self._worker.start()
+
+    # ---- client API ------------------------------------------------------
+
+    def submit(self, x0, u0=None) -> Future:
+        """Enqueue one problem; returns a Future of a per-request Solution
+        (batch axis already stripped: ``sol.cost`` is a scalar, ``sol.us``
+        is (T, m), ...)."""
+        x0 = np.asarray(x0, np.float32)
+        if x0.shape != (self._model.n,):
+            raise ValueError(f"x0 must be ({self._model.n},), got {x0.shape}")
+        if u0 is None:
+            u0 = np.zeros((self._T, self._model.m), np.float32)
+        else:
+            u0 = np.asarray(u0, np.float32)
+            if u0.shape != (self._T, self._model.m):
+                raise ValueError(
+                    f"u0 must be ({self._T}, {self._model.m}), got {u0.shape}")
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("SolverService is closed")
+            self.stats["requests"] += 1
+        req = _Request(x0, u0)
+        self._queue.put(req)
+        return req.future
+
+    def solve(self, x0, u0=None, timeout: Optional[float] = None) -> Solution:
+        """Synchronous convenience: ``submit(...).result(timeout)``."""
+        return self.submit(x0, u0).result(timeout)
+
+    def close(self, timeout: Optional[float] = 30.0) -> None:
+        """Stop accepting requests, drain the queue, join the worker."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._queue.put(_SHUTDOWN)
+        if self._worker is not None:
+            self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # ---- worker ----------------------------------------------------------
+
+    def _collect(self, block: bool = True):
+        """Pull one coalesced batch (or the shutdown sentinel) off the queue.
+
+        Blocks for the first request, then keeps taking whatever arrives
+        within ``max_wait_ms`` up to ``max_batch`` lanes.
+        """
+        try:
+            first = self._queue.get(block=block)
+        except queue.Empty:
+            return None
+        if first is _SHUTDOWN:
+            return _SHUTDOWN
+        batch = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = self._queue.get(
+                    block=remaining > 0, timeout=max(remaining, 0) or None)
+            except queue.Empty:
+                break
+            if nxt is _SHUTDOWN:
+                # put it back so the loop exits after this batch
+                self._queue.put(_SHUTDOWN)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _process(self, batch) -> None:
+        x0b = jnp.asarray(np.stack([r.x0 for r in batch]))
+        u0b = jnp.asarray(np.stack([r.u0 for r in batch]))
+        t0 = time.monotonic()
+        try:
+            sol = self._solve(x0b, u0b)
+            sol = jax.tree_util.tree_map(np.asarray, sol)  # D2H, realize
+        except Exception as e:  # noqa: BLE001 — propagate to ALL callers
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        dt = time.monotonic() - t0
+        with self._lock:
+            self.stats["batches"] += 1
+            self.stats["lanes"] += len(batch)
+            self.stats["solve_s"] += dt
+        for i, r in enumerate(batch):
+            r.future.set_result(jax.tree_util.tree_map(
+                lambda a, i=i: a[i], sol))
+
+    def _run_once(self, block: bool = True) -> bool:
+        """One worker step; returns False on shutdown/empty. Test hook."""
+        batch = self._collect(block=block)
+        if batch is None or batch is _SHUTDOWN:
+            return False
+        self._process(batch)
+        return True
+
+    def _run_loop(self) -> None:
+        while self._run_once(block=True):
+            pass
+        # drain any stragglers enqueued before close() flipped _closed
+        while self._run_once(block=False):
+            pass

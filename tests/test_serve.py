@@ -1,0 +1,137 @@
+"""SolverService: microbatching serving front end (ilqr_tpu/serve.py).
+
+CPU tests drive the vmap path (the fused path off-TPU is the Pallas
+interpreter — covered by test_fused_solver.py, far too slow to serve).
+Batching logic is tested deterministically via the autostart=False hooks;
+the threaded integration test asserts correctness only (never timing).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model
+from ilqr_tpu.models import double_integrator as di
+from ilqr_tpu.serve import SolverService
+from ilqr_tpu.solver import solve
+
+T = 40
+CFG = SolverConfig(deriv_mode="analytic", max_iter=20)
+
+
+def _service(**kw):
+    model = get_model("double_integrator")
+    return model, SolverService(
+        model, di.default_params(), CFG, dt=0.05, horizon=T,
+        max_batch=8, max_wait_ms=0.0, path="vmap", **kw)
+
+
+def test_single_request_matches_direct_solve():
+    model, svc = _service()
+    with svc:
+        x0 = np.array([1.0, -2.0, 0.3, 0.0], np.float32)
+        sol = svc.solve(x0, timeout=120)
+        ref = solve(model, di.default_params(), CFG, 0.05,
+                    x0, np.zeros((T, model.m), np.float32))
+        assert sol.us.shape == (T, model.m)          # batch axis stripped
+        assert sol.xs.shape == (T + 1, model.n)
+        np.testing.assert_allclose(
+            float(sol.cost), float(ref.cost), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sol.us), np.asarray(ref.us), rtol=1e-4, atol=1e-5)
+
+
+def test_coalescing_is_one_dispatch():
+    # autostart=False: enqueue N requests, then run exactly one worker
+    # step — all N must coalesce into a single batched solve.
+    model, svc = _service(autostart=False)
+    rng = np.random.default_rng(0)
+    futs = [svc.submit(rng.normal(size=4).astype(np.float32))
+            for _ in range(5)]
+    assert svc._run_once(block=False)
+    assert svc.stats["batches"] == 1
+    assert svc.stats["lanes"] == 5
+    assert svc.stats["requests"] == 5
+    costs = [float(f.result(timeout=0).cost) for f in futs]
+    assert np.all(np.isfinite(costs))
+
+
+def test_lane_scatter_order():
+    # distinct targets -> distinct costs; each future gets ITS lane back.
+    model, svc = _service(autostart=False)
+    x0s = [np.array([float(i + 1), 0.0, 0.0, 0.0], np.float32)
+           for i in range(4)]
+    futs = [svc.submit(x) for x in x0s]
+    svc._run_once(block=False)
+    for x0, f in zip(x0s, futs):
+        ref = solve(model, di.default_params(), CFG, 0.05,
+                    x0, np.zeros((T, model.m), np.float32))
+        np.testing.assert_allclose(
+            float(f.result(timeout=0).cost), float(ref.cost),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_max_batch_splits_dispatches():
+    model, svc = _service(autostart=False)
+    rng = np.random.default_rng(1)
+    futs = [svc.submit(rng.normal(size=4).astype(np.float32))
+            for _ in range(11)]          # max_batch=8 -> 8 + 3
+    svc._run_once(block=False)
+    svc._run_once(block=False)
+    assert svc.stats["batches"] == 2
+    assert svc.stats["lanes"] == 11
+    for f in futs:
+        assert np.isfinite(float(f.result(timeout=0).cost))
+
+
+def test_threaded_clients_all_get_answers():
+    model, svc = _service()
+    rng = np.random.default_rng(2)
+    x0s = rng.normal(size=(12, 4)).astype(np.float32)
+    results = [None] * len(x0s)
+
+    def client(i):
+        results[i] = svc.solve(x0s[i], timeout=300)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(x0s))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    svc.close()
+    assert svc.stats["requests"] == 12
+    assert svc.stats["lanes"] == 12
+    for i, sol in enumerate(results):
+        assert sol is not None
+        ref = solve(model, di.default_params(), CFG, 0.05,
+                    x0s[i], np.zeros((T, model.m), np.float32))
+        np.testing.assert_allclose(
+            float(sol.cost), float(ref.cost), rtol=1e-5, atol=1e-6)
+
+
+def test_bad_shapes_and_closed_service():
+    model, svc = _service(autostart=False)
+    with pytest.raises(ValueError):
+        svc.submit(np.zeros(3, np.float32))          # wrong n
+    with pytest.raises(ValueError):
+        svc.submit(np.zeros(4, np.float32),
+                   np.zeros((T + 1, 1), np.float32))  # wrong T
+    svc.close(timeout=1)
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros(4, np.float32))
+
+
+def test_solver_exception_propagates_to_all_futures():
+    model, svc = _service(autostart=False)
+
+    def boom(x0b, u0b):
+        raise RuntimeError("kernel exploded")
+
+    svc._solve = boom
+    futs = [svc.submit(np.zeros(4, np.float32)) for _ in range(3)]
+    svc._run_once(block=False)
+    for f in futs:
+        with pytest.raises(RuntimeError, match="kernel exploded"):
+            f.result(timeout=0)
