@@ -99,6 +99,19 @@ class SolverService:
 
         if path == "fused":
             from ilqr_tpu.fused import solve_batch_fused
+            from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+
+            # Fail fast: mirror solve_batch_fused's own guards here so a
+            # misconfigured service errors at construction, not per-batch
+            # via future exceptions on the first dispatch.
+            if model.m > MAX_FUSED_M:
+                raise ValueError(
+                    f"path='fused' requires model.m <= {MAX_FUSED_M}, "
+                    f"got m={model.m}; use path='vmap'")
+            if not model.has_soa:
+                raise ValueError(
+                    "path='fused' requires a model with SoA functions "
+                    "(models/base.py); use path='vmap'")
 
             def _solve(x0b, u0b):  # (B, n), (B, T, m) — any B, one program
                 return solve_batch_fused(model, params, cfg, dt, x0b, u0b)
@@ -147,27 +160,43 @@ class SolverService:
             if u0.shape != (self._T, self._model.m):
                 raise ValueError(
                     f"u0 must be ({self._T}, {self._model.m}), got {u0.shape}")
+        req = _Request(x0, u0)
+        # Enqueue under the same lock as the _closed check: close() commits
+        # shutdown (flips _closed + enqueues the sentinel) under this lock,
+        # so no request can slip into the queue after the worker's drain —
+        # a request enqueued post-shutdown would never resolve.
         with self._lock:
             if self._closed:
                 raise RuntimeError("SolverService is closed")
             self.stats["requests"] += 1
-        req = _Request(x0, u0)
-        self._queue.put(req)
+            self._queue.put(req)
         return req.future
 
     def solve(self, x0, u0=None, timeout: Optional[float] = None) -> Solution:
         """Synchronous convenience: ``submit(...).result(timeout)``."""
         return self.submit(x0, u0).result(timeout)
 
-    def close(self, timeout: Optional[float] = 30.0) -> None:
-        """Stop accepting requests, drain the queue, join the worker."""
+    def close(self, timeout: Optional[float] = None) -> bool:
+        """Stop accepting requests, drain the queue, join the worker.
+
+        With ``timeout=None`` (default) this blocks until the worker has
+        finished every in-flight batch — note a first TPU dispatch can sit
+        in a 10-600 s remote compile, so bounded shutdowns should pass a
+        ``timeout``. Returns True if the worker fully exited, False if the
+        timeout expired with the worker still running (its futures will
+        still resolve when the in-flight solve completes)."""
         with self._lock:
             if self._closed:
-                return
+                worker = self._worker
+                return worker is None or not worker.is_alive()
             self._closed = True
-        self._queue.put(_SHUTDOWN)
+            # Sentinel enqueued under the lock: pairs with submit()'s
+            # locked check+put so the queue is never appended to after it.
+            self._queue.put(_SHUTDOWN)
         if self._worker is not None:
             self._worker.join(timeout)
+            return not self._worker.is_alive()
+        return True
 
     def __enter__(self):
         return self
@@ -207,10 +236,18 @@ class SolverService:
         return batch
 
     def _process(self, batch) -> None:
-        x0b = jnp.asarray(np.stack([r.x0 for r in batch]))
-        u0b = jnp.asarray(np.stack([r.u0 for r in batch]))
+        # Claim each future before solving: set_running_or_notify_cancel()
+        # returns False for futures the client already cancelled (e.g. after
+        # a result(timeout) expiry followed by cancel()) — drop those lanes.
+        # Once claimed, a future can no longer be cancelled, so delivery
+        # below cannot raise InvalidStateError and kill the worker thread.
+        batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         t0 = time.monotonic()
         try:
+            x0b = jnp.asarray(np.stack([r.x0 for r in batch]))
+            u0b = jnp.asarray(np.stack([r.u0 for r in batch]))
             sol = self._solve(x0b, u0b)
             sol = jax.tree_util.tree_map(np.asarray, sol)  # D2H, realize
         except Exception as e:  # noqa: BLE001 — propagate to ALL callers
@@ -231,12 +268,37 @@ class SolverService:
         batch = self._collect(block=block)
         if batch is None or batch is _SHUTDOWN:
             return False
-        self._process(batch)
+        try:
+            self._process(batch)
+        except BaseException as e:  # noqa: BLE001 — _process handles solver
+            # errors itself; anything escaping it is a worker-level bug.
+            # Fail the in-flight batch so no caller hangs, then re-raise.
+            for r in batch:
+                try:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                except Exception:  # noqa: BLE001 — racing cancellation
+                    pass
+            raise
         return True
 
     def _run_loop(self) -> None:
-        while self._run_once(block=True):
-            pass
-        # drain any stragglers enqueued before close() flipped _closed
-        while self._run_once(block=False):
-            pass
+        try:
+            while self._run_once(block=True):
+                pass
+            # drain any stragglers enqueued before close() flipped _closed
+            while self._run_once(block=False):
+                pass
+        except BaseException as e:  # noqa: BLE001 — the worker must never
+            # die silently: fail every queued future so no caller hangs,
+            # then re-raise (visible via threading.excepthook).
+            while True:
+                try:
+                    item = self._queue.get(block=False)
+                except queue.Empty:
+                    break
+                if item is _SHUTDOWN:
+                    continue
+                if item.future.set_running_or_notify_cancel():
+                    item.future.set_exception(e)
+            raise

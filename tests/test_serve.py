@@ -123,6 +123,66 @@ def test_bad_shapes_and_closed_service():
         svc.submit(np.zeros(4, np.float32))
 
 
+def test_cancelled_future_does_not_kill_worker():
+    # A client that cancels its future (e.g. after a result(timeout)
+    # expiry) must not crash delivery for the rest of the batch — the
+    # worker claims futures before solving and skips cancelled ones.
+    model, svc = _service(autostart=False)
+    futs = [svc.submit(np.array([float(i), 0, 0, 0], np.float32))
+            for i in range(3)]
+    assert futs[1].cancel()
+    assert svc._run_once(block=False)
+    assert np.isfinite(float(futs[0].result(timeout=0).cost))
+    assert np.isfinite(float(futs[2].result(timeout=0).cost))
+    assert futs[1].cancelled()
+    assert svc.stats["lanes"] == 2  # the cancelled lane never dispatched
+    # an all-cancelled batch skips the solve entirely
+    f = svc.submit(np.zeros(4, np.float32))
+    assert f.cancel()
+    assert svc._run_once(block=False)
+    assert svc.stats["batches"] == 1
+
+
+def test_close_returns_join_status_and_blocks_post_close_submit():
+    model, svc = _service()
+    assert svc.close() is True              # default: full drain
+    assert svc.close() is True              # idempotent
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros(4, np.float32))
+
+
+def test_fused_path_fails_fast_on_unsupported_model():
+    import dataclasses
+
+    model = get_model("double_integrator")
+    big_m = dataclasses.replace(model, name="m9", m=9)
+    with pytest.raises(ValueError, match="m <= 8"):
+        SolverService(big_m, di.default_params(), CFG, dt=0.05, horizon=T,
+                      path="fused", autostart=False)
+    no_soa = dataclasses.replace(model, name="nosoa", dynamics_soa=None)
+    with pytest.raises(ValueError, match="SoA"):
+        SolverService(no_soa, di.default_params(), CFG, dt=0.05, horizon=T,
+                      path="fused", autostart=False)
+
+
+# the worker deliberately re-raises after failing the futures (visible via
+# threading.excepthook) — pytest reports that as an unhandled thread error
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_worker_crash_fails_queued_futures():
+    # An unexpected error OUTSIDE the solve (worker-loop level) must fail
+    # queued futures rather than leaving callers hanging forever.
+    model, svc = _service()
+
+    def boom(batch):
+        raise RuntimeError("collect exploded")
+
+    svc._process = boom
+    fut = svc.submit(np.zeros(4, np.float32))
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=60)
+
+
 def test_solver_exception_propagates_to_all_futures():
     model, svc = _service(autostart=False)
 
