@@ -165,13 +165,13 @@ def test_fused_path_fails_fast_on_unsupported_model():
                       path="fused", autostart=False)
 
 
-# the worker deliberately re-raises after failing the futures (visible via
-# threading.excepthook) — pytest reports that as an unhandled thread error
-@pytest.mark.filterwarnings(
-    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
-def test_worker_crash_fails_queued_futures():
+def test_worker_crash_fails_queued_futures(monkeypatch):
     # An unexpected error OUTSIDE the solve (worker-loop level) must fail
-    # queued futures rather than leaving callers hanging forever.
+    # queued futures rather than leaving callers hanging forever. The
+    # worker deliberately re-raises after failing the futures; swallow the
+    # excepthook here so pytest doesn't report the designed crash.
+    seen = []
+    monkeypatch.setattr(threading, "excepthook", lambda a: seen.append(a))
     model, svc = _service()
 
     def boom(batch):
@@ -181,6 +181,8 @@ def test_worker_crash_fails_queued_futures():
     fut = svc.submit(np.zeros(4, np.float32))
     with pytest.raises(RuntimeError):
         fut.result(timeout=60)
+    svc._worker.join(60)
+    assert seen and seen[0].exc_type is RuntimeError
 
 
 def test_solver_exception_propagates_to_all_futures():
