@@ -44,11 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "--deriv-mode analytic")
     p.add_argument("--integrator-scheme", choices=["euler", "rk4"],
                    default="euler")
-    p.add_argument("--boxqp-mode", choices=["auto", "iterative", "enum"],
+    p.add_argument("--boxqp-mode",
+                   choices=["auto", "iterative", "enum", "pn_fixed"],
                    default="auto",
                    help="inner QP: closed-form/enum exact solves (auto/"
-                        "enum) or the reference-semantics projected Newton "
-                        "(iterative, ref src/boxqp.cpp)")
+                        "enum), the reference-semantics projected Newton "
+                        "(iterative, ref src/boxqp.cpp), or the fixed-"
+                        "shape projected Newton for any m (pn_fixed — the "
+                        "TPU-fast vmap path; auto picks it on TPU for "
+                        "m >= 2)")
     p.add_argument("--sweep-kernel", choices=["merged", "split"],
                    default="merged",
                    help="fused solver: merged linearize+backward kernel or "

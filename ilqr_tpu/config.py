@@ -67,6 +67,13 @@ class SolverConfig:
         (ops/boxqp.boxqp_enum, 3^m candidates) — trace-light,
         TPU-friendly, finds the true QP optimum rather than the
         reference's tolerance-limited iterate.
+      - "pn_fixed": fixed-shape projected Newton for ANY m
+        (ops/boxqp.boxqp_pn — the in-kernel _qp_pn recipe on the XLA
+        path): m+6 unrolled Newton iterations, masked Cholesky,
+        5-candidate clamped backtracking, zero data-dependent control
+        flow. The fast ``vmap(solve)`` path on TPU for m ≥ 2 — "auto"
+        selects it automatically on the TPU backend in f32 (off-TPU
+        "auto" keeps the reference-semantics iterative solver).
     """
 
     max_iter: int = 100

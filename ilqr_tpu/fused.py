@@ -414,10 +414,12 @@ def solve_batch_fused(
     if not cfg.use_control_limits and cfg.sweep_kernel != "merged":
         raise ValueError("use_control_limits=False needs "
                          "sweep_kernel='merged' (in-kernel Newton)")
-    if cfg.use_control_limits and cfg.boxqp_mode not in ("auto", "enum"):
+    if cfg.use_control_limits and cfg.boxqp_mode not in (
+            "auto", "enum", "pn_fixed"):
         raise ValueError(
-            "solve_batch_fused requires boxqp_mode='auto'/'enum' "
-            "(exact small-m QP)")
+            "solve_batch_fused requires boxqp_mode='auto'/'enum'/"
+            "'pn_fixed' (the in-kernel QP is chosen by m: exact "
+            "enumeration for m <= 4, projected Newton above)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

@@ -12,7 +12,7 @@ from typing import Dict
 from ilqr_tpu.models.base import Model, euler_step, rk4_step, get_integrator
 from ilqr_tpu.models import (
     acrobot, bicycle, double_integrator, cartpole, free_flyer, omni_thruster,
-    pendulum, point_mass_3d, power_mass, quadrotor,
+    pendulum, point_mass_3d, power_mass, quadrotor, thruster_ring,
 )
 
 _REGISTRY: Dict[str, Model] = {}
@@ -48,6 +48,7 @@ register(omni_thruster.MODEL)
 register(point_mass_3d.MODEL)
 register(power_mass.MODEL)
 register(quadrotor.MODEL)
+register(thruster_ring.MODEL)
 
 __all__ = [
     "Model",

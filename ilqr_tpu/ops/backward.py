@@ -137,6 +137,25 @@ def backward_pass(
             k_mat = -jax.vmap(
                 lambda col: free_solve(res.chol_free, col, res.free)
             )(qux.T).T
+        elif cfg.use_control_limits and (
+            cfg.boxqp_mode == "pn_fixed"
+            or (cfg.boxqp_mode == "auto" and dtype == jnp.float32
+                and jax.default_backend() == "tpu")
+        ):
+            # Fixed-shape projected Newton (any m, no data-dependent
+            # while_loops — see ops/boxqp.boxqp_pn). "auto" picks this on
+            # the TPU backend for m >= 2: the while_loop boxqp below
+            # serializes the device under vmap (measured ~6 solves/s at
+            # m=4 vs thousands here — BENCH_NOTES.md); reference-semantics
+            # parity runs pin boxqp_mode="iterative" instead.
+            from ilqr_tpu.ops.boxqp import boxqp_pn
+
+            res = boxqp_pn(quuF, qu, u_min - u, u_max - u)
+            k_i = res.x
+            div_here = res.status < 1
+            k_mat = -jax.vmap(
+                lambda col: free_solve(res.chol_free, col, res.free)
+            )(qux.T).T
         elif cfg.use_control_limits:
             res = boxqp(quuF, qu, k_next, u_min - u, u_max - u, cfg.boxqp)
             k_i = res.x

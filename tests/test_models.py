@@ -26,6 +26,7 @@ def test_registry():
     assert "omni_thruster" in models
     assert "power_mass" in models
     assert "quadrotor" in models
+    assert "thruster_ring" in models
 
 
 def test_double_integrator_dynamics():
