@@ -1,13 +1,18 @@
 """Secondary-workload TPU benchmarks on the fused solver (round-2 kernels).
 
-SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter | m4_fused | m6_fused |
-m8_fused
+SB_MODE: m2 | m3 | mpc | mpc1 | m4_enum | m4_iter | m4_pn | m4_fused |
+m6_fused | m8_fused | m12_pn
   m2  — reference integrator workload: double integrator, T=99, ≤100 iters
   m3  — 3D point mass (27-candidate in-kernel QP), T=99, ≤100 iters
   mpc — fleet MPC: 1024 controllers, T=199, warm-started ≤20-iter replans
-  m4_enum / m4_iter — quadrotor (n=12, m=4) on the vmap path, exact 81-
-  candidate enumeration QP vs the reference-style iterative projected
-  Newton (one mode per process — two different programs, axon discipline)
+  m4_enum / m4_iter / m4_pn — quadrotor (n=12, m=4) on the vmap path:
+  exact 81-candidate enumeration QP, the reference-style iterative
+  projected Newton (explicitly pinned — 'auto' now selects pn_fixed on
+  TPU), and the fixed-shape projected Newton (one mode per process —
+  different programs, axon discipline)
+  m12_pn — thruster_ring (n=6, m=12 > MAX_FUSED_M) on the vmap path with
+  boxqp_mode='pn_fixed': the only TPU-viable route past the fused-m cap
+  (VERDICT r3 item 1; target >= 1000 solves/s)
   m4_fused — quadrotor on the FUSED solver (in-kernel 81-candidate QP,
   two-kernel iteration; auto caps the time block for the big body)
   m6_fused — omni_thruster (n=6, m=6) on the FUSED solver: the general-m
@@ -168,10 +173,43 @@ def main():
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
             "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
         }), flush=True)
-    elif MODE in ("m4_enum", "m4_iter"):
-        # m=4 exceeds the fused kernels — this is the vmap/XLA leg. The
-        # iterative variant's boxQP while_loops make tracing/remote compile
-        # slow; B is kept small and max_iter modest.
+    elif MODE == "m12_pn":
+        # m=12 > MAX_FUSED_M: the fixed-shape projected-Newton vmap path
+        # is the TPU route for arbitrary control dimension.
+        from ilqr_tpu.batch import solve_batch
+        from ilqr_tpu.models import thruster_ring as tr
+        model = get_model("thruster_ring")
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), tr.default_params())
+        B12, T = BATCH, 80
+        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=40, boxqp_mode="pn_fixed")
+        x0 = jnp.asarray(0.2 * rng.normal(size=(B12, 6)), jnp.float32)
+        u0 = jnp.zeros((T, 12), jnp.float32)
+        t0 = time.perf_counter()
+        sol = solve_batch(model, params, cfg, 0.05, x0, u0)
+        np.asarray(sol.cost)
+        first = time.perf_counter() - t0
+        reps = []
+        for _ in range(4):
+            x0r = jnp.asarray(0.2 * rng.normal(size=(B12, 6)), jnp.float32)
+            t0 = time.perf_counter()
+            sol = solve_batch(model, params, cfg, 0.05, x0r, u0)
+            np.asarray(sol.cost)
+            reps.append(time.perf_counter() - t0)
+        us = np.asarray(sol.us)
+        print(json.dumps({
+            "mode": MODE, "B": B12, "T": T,
+            "solves_per_s": round(B12 / min(reps), 1),
+            "best_s": round(min(reps), 4), "first_s": round(first, 1),
+            "mean_cost": round(float(jnp.mean(sol.cost)), 4),
+            "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
+            "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
+        }), flush=True)
+    elif MODE in ("m4_enum", "m4_iter", "m4_pn"):
+        # m=4 exceeds the round-2 fused kernels — this is the vmap/XLA
+        # leg. The iterative variant's boxQP while_loops make tracing/
+        # remote compile slow; B is kept small and max_iter modest.
         from ilqr_tpu.batch import solve_batch
         from ilqr_tpu.models import quadrotor as qd
         model = get_model("quadrotor")
@@ -179,7 +217,8 @@ def main():
         B4, T = 256, 80
         cfg = SolverConfig(
             deriv_mode="analytic", clamp_forward=True, max_iter=40,
-            boxqp_mode="enum" if MODE == "m4_enum" else "auto")
+            boxqp_mode={"m4_enum": "enum", "m4_iter": "iterative",
+                        "m4_pn": "pn_fixed"}[MODE])
         x0 = jnp.asarray(0.05 * rng.normal(size=(B4, 12)), jnp.float32)
         u0 = jnp.tile(qd.hover_control(params)[None].astype(jnp.float32),
                       (T, 1))
