@@ -160,7 +160,10 @@ def make_sharded_fused_solver(
     in interpret mode (off-TPU tests): interpret-mode ``pallas_call``
     evaluates the kernel body through an internal grid ``while_loop``
     whose carries cannot thread vma (jax 0.9 limitation — the body mixes
-    the invariant output-buffer init with varying operands). Replication
+    the invariant output-buffer init with varying operands; re-tested
+    2026-08-20 on jax 0.9.0: still fails with "Primitive dynamic_slice
+    requires varying manual axes to match" — re-test at each jax
+    upgrade and drop when fixed). Replication
     safety off-TPU is still covered by test_sharding.py::
     test_sharded_fused_solver_matches_local (bit-exact vs local fused)
     and the type-level threading by the trace-only check_vma test.

@@ -359,6 +359,10 @@ def test_m4_matches_xla_path():
     mega-fusion that executes ~10^4× slower than its flop count — run
     went from >900 s to 0.01 s with the pass off; measured 2026-08-18).
     TPU compiles through Mosaic, which never sees this pass.
+
+    Crutch re-test log (VERDICT r3 item 7 — re-run with the passes ON at
+    each jax upgrade, drop the workaround when it completes in seconds):
+      2026-08-20, jax 0.9.0: still >330 s with passes enabled — kept.
     """
     import os
     import subprocess
