@@ -22,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
         "problem",
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
                  "cartpole", "bicycle", "free_flyer", "omni_thruster",
-                 "point_mass_3d", "power_mass", "quadrotor"],
+                 "point_mass_3d", "power_mass", "quadrotor",
+                 "thruster_ring"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=None,
@@ -116,6 +117,11 @@ _PROBLEMS = {
     # m=8 cap; zero thrust is the natural initial control (no gravity)
     "free_flyer": dict(model="free_flyer", T=120, goal=None,
                        x0=(0.0,) * 6, dt=0.05),
+    # 12-thruster planar ring: m=12 > MAX_FUSED_M — exercises the
+    # fixed-shape projected-Newton vmap path (boxqp_mode auto→pn_fixed
+    # on TPU)
+    "thruster_ring": dict(model="thruster_ring", T=100, goal=None,
+                          x0=(0.0,) * 6, dt=0.05),
 }
 
 
