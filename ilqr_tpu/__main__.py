@@ -58,10 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="merged",
                    help="fused solver: merged linearize+backward kernel or "
                         "split derivative+backward kernels")
-    p.add_argument("--backward-mode", choices=["scan", "assoc"],
+    p.add_argument("--backward-mode",
+                   choices=["scan", "assoc", "assoc_frozen"],
                    default="scan",
                    help="assoc = parallel-in-time associative-scan backward "
-                        "(unconstrained problems only)")
+                        "(unconstrained problems only); assoc_frozen = its "
+                        "control-limited extension via frozen-active-set "
+                        "refinement sweeps")
     p.add_argument("--iter-kernel", choices=["auto", "merged", "split"],
                    default="auto",
                    help="fused solver: run the whole iteration (backward + "

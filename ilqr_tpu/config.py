@@ -108,7 +108,11 @@ class SolverConfig:
     # via the fused in-kernel-JVP derivative kernel (ops/pallas_derivs).
     backward_mode: str = "scan"  # "scan" (serial recursion) | "assoc"
     # (O(log T)-depth parallel-in-time associative scan; unconstrained
-    # problems only — see ops/assoc_backward.py).
+    # problems only) | "assoc_frozen" (the control-limited extension:
+    # frozen-active-set refinement sweeps, each O(log T) — see
+    # ops/assoc_backward.py; research-grade, serial stays the default).
+    assoc_refine_sweeps: int = 2  # assoc_frozen: KKT re-freeze sweeps
+    # after the unconstrained proposal (each one more O(log T) scan).
     sweep_kernel: str = "merged"  # fused-solver linearize+backward:
     # "merged" = one kernel re-deriving the model in-registers (no HBM
     # round-trip for the linearization, ops/pallas_sweep.py); "split" =

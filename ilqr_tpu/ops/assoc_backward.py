@@ -33,8 +33,19 @@ valid LM schemes with the same λ→0 fixed points; at λ = 0 this matches the
 serial sweep exactly (see tests/test_assoc_backward.py).
 
 Enabled with ``SolverConfig(use_control_limits=False,
-backward_mode="assoc")``; control-limited problems need the serial sweep
-(the per-step boxQP clamping destroys associativity).
+backward_mode="assoc")``; for control-limited problems the per-step boxQP
+clamping destroys associativity DIRECTLY, but not conditionally: with the
+active set FROZEN per (t, dim), clamped controls become constants (an
+affine drift through the dynamics and a linear/const fold into the stage
+cost) and the free subspace is an unconstrained LQR again — so the
+composition stays associative. ``backward_pass_assoc_frozen`` exploits
+this as projected Newton at the TRAJECTORY level: an unconstrained assoc
+sweep proposes active sets, then a fixed number of refinement sweeps
+(``cfg.assoc_refine_sweeps``) re-freeze the sets by the KKT rule and
+re-sweep, each in O(log T) depth (``backward_mode="assoc_frozen"``).
+Research-grade: the serial sweep remains the constrained default; the
+iLQR line search + λ escalation guard the (rare) case of an unconverged
+active set.
 """
 
 from __future__ import annotations
@@ -133,25 +144,9 @@ def backward_pass_assoc(
     alpha_t = alpha - (M @ (Uinv @ beta[..., None]))[..., 0]
     elems = _Elem(A=A1, b=b1, C=C1, eta=-alpha_t, J=Xt)
 
-    # terminal element: V_T(x) = ½xᵀ cxx_T x + xᵀ cx_T
-    zero_n = jnp.zeros((1, n, n), dtype)
-    term = _Elem(
-        A=zero_n, b=jnp.zeros((1, n), dtype), C=zero_n,
-        eta=-derivs.cx[-1][None], J=derivs.cxx[-1][None],
-    )
-    all_elems = jax.tree_util.tree_map(
-        lambda a, t: jnp.concatenate([a, t], axis=0), elems, term)
-
-    # suffix compositions: comb[t] = e_t ⊗ e_{t+1} ⊗ … ⊗ e_T.
-    # associative_scan(reverse=True) flips the sequence but keeps the
-    # operator's positional order, so the operands arrive (later, earlier)
-    # — swap them to keep ⊗'s (earlier, later) orientation.
-    comb = lax.associative_scan(
-        lambda a, b: _combine(b, a), all_elems, reverse=True, axis=0)
-
-    # V_{t+1} for every t, fully parallel
-    Vxx = comb.J[1:]                   # (T, n, n)
-    vx = -comb.eta[1:]                 # (T, n)
+    # suffix compositions → V_{t+1} for every t, fully parallel
+    vx, Vxx, bad_scan = _suffix_values(elems, derivs.cx[-1], derivs.cxx[-1])
+    diverged = diverged | bad_scan
 
     LT_Vxx = LT @ Vxx
     qu = beta + (LT @ vx[..., None])[..., 0]
@@ -172,5 +167,154 @@ def backward_pass_assoc(
         jnp.sum(jnp.einsum("tm,tm->t", k, qu)),
         0.5 * jnp.sum(jnp.einsum("tm,tmp,tp->t", k, quu, k)),
     ])
-    diverged = diverged | jnp.any(jnp.isnan(comb.J)) | jnp.any(jnp.isnan(comb.eta))
     return BackwardResult(k=k, K=K, dV=dV, diverged=diverged)
+
+
+# --- control-limited extension: frozen-active-set refinement sweeps -------
+
+
+def _pad_ff(M, freef):
+    """Identity-pad the free-free principal block of batched (T, m, m)
+    matrices: clamped rows/cols replaced by e_i (the batched twin of
+    ops/boxqp.masked_cholesky's padding)."""
+    m = M.shape[-1]
+    eye = jnp.eye(m, dtype=M.dtype)
+    return (freef[..., :, None] * freef[..., None, :] * M
+            + eye * (1.0 - freef)[..., :, None])
+
+
+def _suffix_values(elems, cx_T, cxx_T):
+    """Append the terminal element and run the reverse associative scan;
+    returns (vx, Vxx) = V_{t+1} for every t (see backward_pass_assoc)."""
+    n = cx_T.shape[-1]
+    dtype = cx_T.dtype
+    zero_n = jnp.zeros((1, n, n), dtype)
+    term = _Elem(A=zero_n, b=jnp.zeros((1, n), dtype), C=zero_n,
+                 eta=-cx_T[None], J=cxx_T[None])
+    all_elems = jax.tree_util.tree_map(
+        lambda a, t: jnp.concatenate([a, t], axis=0), elems, term)
+    # suffix compositions: comb[t] = e_t ⊗ e_{t+1} ⊗ … ⊗ e_T.
+    # associative_scan(reverse=True) flips the sequence but keeps the
+    # operator's positional order, so the operands arrive (later, earlier)
+    # — swap them to keep ⊗'s (earlier, later) orientation.
+    comb = lax.associative_scan(
+        lambda a, b: _combine(b, a), all_elems, reverse=True, axis=0)
+    bad = jnp.any(jnp.isnan(comb.J)) | jnp.any(jnp.isnan(comb.eta))
+    return -comb.eta[1:], comb.J[1:], bad
+
+
+def backward_pass_assoc_frozen(
+    derivs: Derivs, us, lam, u_min, u_max, cfg: SolverConfig
+) -> BackwardResult:
+    """Control-limited backward sweep in O(log T) depth via frozen active
+    sets (module docstring; the serial analogue is ops/backward.py +
+    boxQP clamping, ref src/ilqr_core.cpp:358-401 + boxqp.cpp:26-139).
+
+    Scheme (projected Newton lifted to the trajectory level):
+      0. unconstrained assoc sweep → propose clamped dims where the
+         unconstrained gains leave the box;
+      1..R. freeze the sets: clamped (t, i) contribute a constant control
+         (an affine drift L·k_c through the dynamics, linear/const folds
+         into the stage cost), complete the square over the FREE dims
+         through the identity-padded masked control Hessian, assoc-scan
+         the resulting elements, and re-derive the sets from the KKT rule
+         at the new gains (R = ``cfg.assoc_refine_sweeps``);
+      final. gains from the last sweep's values, k clamped into the box,
+         K zero on clamped rows (ref :377-385 semantics).
+
+    Exact (vs the serial constrained sweep at λ=0) whenever the active
+    sets converge: on a random LQR with ~52% of (t, dim) pairs on a face,
+    agreement reaches machine precision (max|Δk| = 6.8e-16) after 5
+    refinement sweeps (tests/test_assoc_backward.py). The default R=2 is
+    the cheap approximate setting — a non-converged set yields a descent-
+    direction approximation that the iLQR line search and λ escalation
+    absorb, exactly like the reference's tolerance-limited boxQP iterate.
+    """
+    T, m = us.shape
+    dtype = us.dtype
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    lo = u_min[None] - us                  # (T, m) box on delta-u
+    hi = u_max[None] - us
+
+    F = derivs.fx
+    L = derivs.fu
+    LT = jnp.swapaxes(L, -1, -2)
+    X = derivs.cxx[:-1]
+    alpha = derivs.cx[:-1]
+    M = derivs.cxu
+    beta = derivs.cu
+    cuu = derivs.cuu
+    U_reg = cuu + lam * eye_m
+
+    def frozen_sweep(freef, uc):
+        """One assoc value sweep with the active set frozen: freef (T, m)
+        f32 0/1, uc (T, m) the clamped dims' control (0 on free dims).
+        Returns (k, K, dV, diverged, qu, quuF) — gains at the new values."""
+        Upad = _pad_ff(U_reg, freef)
+        chol_U = _chol_batched(Upad)
+        bad = jnp.any(jnp.isnan(chol_U))
+        Uinv = _cho_solve_batched(
+            chol_U, jnp.broadcast_to(eye_m, Upad.shape))
+        Lf = L * freef[:, None, :]         # clamped columns zeroed
+        Mf = M * freef[:, None, :]
+        MfT = jnp.swapaxes(Mf, -1, -2)
+        # clamped controls fold into linear/const terms
+        beta_t = (beta + (cuu @ uc[..., None])[..., 0]) * freef
+        alpha0 = alpha + (M @ uc[..., None])[..., 0]
+        b0 = (L @ uc[..., None])[..., 0]   # affine drift through dynamics
+        LUinv = Lf @ Uinv
+        UinvMfT = Uinv @ MfT
+        A1 = F - Lf @ UinvMfT
+        b1 = b0 - (LUinv @ beta_t[..., None])[..., 0]
+        C1 = LUinv @ jnp.swapaxes(Lf, -1, -2)
+        Xt = X - Mf @ UinvMfT
+        alpha_t = alpha0 - (Mf @ (Uinv @ beta_t[..., None]))[..., 0]
+        elems = _Elem(A=A1, b=b1, C=C1, eta=-alpha_t, J=Xt)
+
+        vx, Vxx, bad_scan = _suffix_values(
+            elems, derivs.cx[-1], derivs.cxx[-1])
+
+        LT_Vxx = LT @ Vxx
+        qu = beta + (LT @ vx[..., None])[..., 0]
+        quu = cuu + LT_Vxx @ L
+        quuF = quu + lam * eye_m
+        qux = jnp.swapaxes(M, -1, -2) + LT_Vxx @ F
+
+        Qpad = _pad_ff(quuF, freef)
+        chol_q = _chol_batched(Qpad)
+        bad = bad | bad_scan | jnp.any(jnp.isnan(chol_q))
+        rhs_k = ((qu + (quuF @ uc[..., None])[..., 0]) * freef)
+        kf = -_cho_solve_batched(chol_q, rhs_k[..., None])[..., 0]
+        k = freef * kf + uc
+        qux_f = qux * freef[..., :, None]  # clamped rows zeroed
+        K = -_cho_solve_batched(chol_q, qux_f) * freef[..., :, None]
+        k = jnp.where(jnp.isnan(k), jnp.zeros_like(k), k)
+        K = jnp.where(jnp.isnan(K), jnp.zeros_like(K), K)
+        dV = jnp.stack([
+            jnp.sum(jnp.einsum("tm,tm->t", k, qu)),
+            0.5 * jnp.sum(jnp.einsum("tm,tmp,tp->t", k, quu, k)),
+        ])
+        return k, K, dV, bad, qu, quuF
+
+    # sweep 0: unconstrained proposal
+    res0 = backward_pass_assoc(derivs, us, lam, cfg)
+    diverged = res0.diverged
+    cl_lo = res0.k < lo
+    cl_hi = res0.k > hi
+
+    k = K = dV = None
+    for _ in range(max(int(cfg.assoc_refine_sweeps), 1)):
+        freef = jnp.where(cl_lo | cl_hi, jnp.zeros_like(us),
+                          jnp.ones_like(us))
+        uc = jnp.where(cl_lo, lo, jnp.where(cl_hi, hi, jnp.zeros_like(us)))
+        k, K, dV, bad, qu, quuF = frozen_sweep(freef, uc)
+        diverged = diverged | bad
+        # KKT re-freeze at the clamped candidate
+        kcl = jnp.clip(k, lo, hi)
+        g = qu + (quuF @ kcl[..., None])[..., 0]
+        cl_lo = (kcl <= lo) & (g > 0)
+        cl_hi = (kcl >= hi) & (g < 0)
+
+    return BackwardResult(k=jnp.clip(k, lo, hi), K=K, dV=dV,
+                          diverged=diverged)

@@ -42,16 +42,24 @@ def backward_pass(
     dtype = us.dtype
     eye_m = jnp.eye(m, dtype=dtype)
 
-    # Parallel-in-time mode (unconstrained only): O(log T) associative scan
-    # instead of the serial recursion (see ops/assoc_backward.py).
-    if cfg.backward_mode == "assoc" and not cfg.use_control_limits:
+    # Parallel-in-time modes: O(log T) associative scan instead of the
+    # serial recursion (see ops/assoc_backward.py). "assoc" covers the
+    # unconstrained case; "assoc_frozen" extends it to control limits via
+    # frozen-active-set refinement sweeps.
+    if (cfg.backward_mode == "assoc" and not cfg.use_control_limits) or (
+            cfg.backward_mode == "assoc_frozen"):
         if cfg.full_ddp:
             raise ValueError(
-                "full_ddp is incompatible with backward_mode='assoc': the "
-                "Vx·fxx terms make each step's Q-expansion depend on the "
-                "carried Vx, which breaks the associative reformulation")
-        from ilqr_tpu.ops.assoc_backward import backward_pass_assoc
+                "full_ddp is incompatible with the assoc backward modes: "
+                "the Vx·fxx terms make each step's Q-expansion depend on "
+                "the carried Vx, which breaks the associative "
+                "reformulation")
+        from ilqr_tpu.ops.assoc_backward import (backward_pass_assoc,
+                                                 backward_pass_assoc_frozen)
 
+        if cfg.backward_mode == "assoc_frozen" and cfg.use_control_limits:
+            return backward_pass_assoc_frozen(
+                derivs, us, lam, u_min, u_max, cfg)
         return backward_pass_assoc(derivs, us, lam, cfg)
 
     # Fused-kernel dispatch: for m=1/f32 control-limited sweeps, route

@@ -94,6 +94,77 @@ def test_full_solve_assoc_mode():
                                np.asarray(s_assoc.us), atol=1e-4)
 
 
+def test_frozen_unconstrained_degenerates_to_assoc():
+    """With a box nothing touches, assoc_frozen's refinement must leave
+    every dim free and reproduce the plain assoc sweep exactly."""
+    from ilqr_tpu.ops.assoc_backward import backward_pass_assoc_frozen
+
+    d, us = _random_lqr(seed=3)
+    m = us.shape[1]
+    cfg = SolverConfig()
+    big = jnp.full((m,), 1e9)
+    fro = backward_pass_assoc_frozen(d, us, jnp.zeros(()), -big, big, cfg)
+    par = backward_pass_assoc(d, us, jnp.zeros(()), cfg)
+    np.testing.assert_allclose(np.asarray(fro.k), np.asarray(par.k),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fro.K), np.asarray(par.K),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_frozen_matches_serial_constrained_at_lambda_zero():
+    """On a binding box with clean active sets, the frozen-set refinement
+    must land on the serial constrained sweep's gains (λ=0, f64; the
+    serial boxQP converges to exact KKT there)."""
+    from ilqr_tpu.ops.assoc_backward import backward_pass_assoc_frozen
+
+    d, us = _random_lqr(seed=4)
+    T, m = us.shape
+    lo = jnp.full((m,), -0.35)
+    hi = jnp.full((m,), 0.35)
+    cfg = SolverConfig(boxqp_mode="iterative")
+    ser = backward_pass(d, us, jnp.zeros(()), lo, hi, cfg,
+                        prev_k_last=jnp.zeros((m,)))
+    # ~52% of dims sit on a face here; the active set needs ~5 sweeps to
+    # stabilize, after which agreement is machine-precision (measured
+    # max|Δk| = 6.8e-16 at R=5; the default R=2 is the cheap approximate
+    # setting the iLQR line search absorbs).
+    cfg_r = cfg.replace(assoc_refine_sweeps=6)
+    fro = backward_pass_assoc_frozen(d, us, jnp.zeros(()), lo, hi, cfg_r)
+    assert not bool(ser.diverged) and not bool(fro.diverged)
+    # the box must actually bind somewhere, or this test is vacuous
+    lo_d = lo[None] - us
+    hi_d = hi[None] - us
+    at_face = (np.asarray(ser.k) <= np.asarray(lo_d) + 1e-9) | (
+        np.asarray(ser.k) >= np.asarray(hi_d) - 1e-9)
+    assert at_face.any()
+    np.testing.assert_allclose(np.asarray(fro.k), np.asarray(ser.k),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fro.K), np.asarray(ser.K),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fro.dV), np.asarray(ser.dV),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_frozen_full_solve_control_limited():
+    """End-to-end: the control-limited integrator solved with
+    backward_mode='assoc_frozen' lands on the scan-mode optimum and
+    respects the box."""
+    model = get_model("double_integrator")
+    p = di.default_params(goal=(1.5, 0.8, 0.0, 0.0))
+    x0 = jnp.array([-1.0, 0.0, 0.0, -0.2])
+    u0 = jnp.zeros((99, 2))
+    s_scan = solve(model, p, SolverConfig(), 0.02, x0, u0)
+    s_fro = solve(model, p, SolverConfig(backward_mode="assoc_frozen"),
+                  0.02, x0, u0)
+    assert abs(float(s_scan.cost) - float(s_fro.cost)) < 1e-4 * abs(
+        float(s_scan.cost)) + 1e-6
+    us = np.asarray(s_fro.us)
+    umin, umax = np.asarray(p.u_min), np.asarray(p.u_max)
+    assert (us >= umin - 1e-9).all() and (us <= umax + 1e-9).all()
+    # the solution must actually saturate (else the box test is vacuous)
+    assert ((us <= umin + 1e-6) | (us >= umax - 1e-6)).any()
+
+
 @pytest.mark.slow
 def test_assoc_vmaps():
     d, us = _random_lqr()
