@@ -173,9 +173,11 @@ def main():
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
             "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
         }), flush=True)
-    elif MODE == "m12_pn":
-        # m=12 > MAX_FUSED_M: the fixed-shape projected-Newton vmap path
-        # is the TPU route for arbitrary control dimension.
+    elif MODE in ("m12_pn", "m12_fused"):
+        # m=12 at the raised MAX_FUSED_M cap: the fused kernel path vs the
+        # fixed-shape projected-Newton vmap path (the route for ANY m).
+        # Both modes use the same first x0 draw, so the fused mode can
+        # cross-check per-lane costs against the pn mode's saved array.
         from ilqr_tpu.batch import solve_batch
         from ilqr_tpu.models import thruster_ring as tr
         model = get_model("thruster_ring")
@@ -183,29 +185,42 @@ def main():
             lambda a: jnp.asarray(a, jnp.float32), tr.default_params())
         B12, T = BATCH, 80
         cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                           max_iter=40, boxqp_mode="pn_fixed")
+                           max_iter=40,
+                           boxqp_mode=("pn_fixed" if MODE == "m12_pn"
+                                       else "auto"))
+        runner = solve_batch if MODE == "m12_pn" else solve_batch_fused
         x0 = jnp.asarray(0.2 * rng.normal(size=(B12, 6)), jnp.float32)
         u0 = jnp.zeros((T, 12), jnp.float32)
         t0 = time.perf_counter()
-        sol = solve_batch(model, params, cfg, 0.05, x0, u0)
-        np.asarray(sol.cost)
+        sol = runner(model, params, cfg, 0.05, x0, u0)
+        first_cost = np.asarray(sol.cost)
         first = time.perf_counter() - t0
         reps = []
         for _ in range(4):
             x0r = jnp.asarray(0.2 * rng.normal(size=(B12, 6)), jnp.float32)
             t0 = time.perf_counter()
-            sol = solve_batch(model, params, cfg, 0.05, x0r, u0)
+            sol = runner(model, params, cfg, 0.05, x0r, u0)
             np.asarray(sol.cost)
             reps.append(time.perf_counter() - t0)
         us = np.asarray(sol.us)
-        print(json.dumps({
+        out = {
             "mode": MODE, "B": B12, "T": T,
             "solves_per_s": round(B12 / min(reps), 1),
             "best_s": round(min(reps), 4), "first_s": round(first, 1),
             "mean_cost": round(float(jnp.mean(sol.cost)), 4),
             "mean_iters": round(float(jnp.mean(sol.iterations)), 1),
             "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
-        }), flush=True)
+        }
+        costs_path = os.path.join(os.path.dirname(__file__),
+                                  f"m12_costs_b{B12}.npy")
+        if MODE == "m12_pn":
+            np.save(costs_path, first_cost)
+        elif os.path.exists(costs_path):
+            ref = np.load(costs_path)
+            if ref.shape == first_cost.shape:
+                out["max_rel_dcost_vs_pn"] = round(float(np.max(
+                    np.abs(first_cost - ref) / (np.abs(ref) + 1e-9))), 6)
+        print(json.dumps(out), flush=True)
     elif MODE in ("m4_enum", "m4_iter", "m4_pn"):
         # m=4 exceeds the round-2 fused kernels — this is the vmap/XLA
         # leg. The iterative variant's boxQP while_loops make tracing/

@@ -20,13 +20,14 @@ interpretations the vmapped path already has:
 - the λ-escalation retry loop and the outer loop run until every live lane
   finishes, with converged/padded lanes frozen by masking.
 
-Requirements: m ≤ 8 with ``sweep_kernel="merged"`` (in-kernel QP: exact
+Requirements: m ≤ 12 with ``sweep_kernel="merged"`` (in-kernel QP: exact
 3^m active-set enumeration for m ≤ 4, fixed-shape projected Newton with
-masked unrolled Cholesky for 5 ≤ m ≤ 8, Newton when unconstrained; m == 1
+masked unrolled Cholesky for 5 ≤ m ≤ 12, Newton when unconstrained; m == 1
 also works with the split kernels), a model with SoA functions, f32. Both
 control-limited (``boxqp_mode`` auto/enum) and unconstrained
 (``use_control_limits=False``) problems are supported. Use
-``vmap(solve)`` for anything else (m > 8, f64 parity, iterative boxQP).
+``vmap(solve)`` for anything else (m > 12 via boxqp_mode="pn_fixed",
+f64 parity, iterative boxQP).
 """
 
 from __future__ import annotations
@@ -395,7 +396,7 @@ def solve_batch_fused(
     Args: x0 (B, n); u0 (T, m) shared or (B, T, m). With
     ``params_batched=True`` every params leaf carries a leading B axis
     (per-problem goals/masses/limits — each params scalar becomes one
-    per-problem row of the kernel's resident tile). Requires m ≤ 8 and a
+    per-problem row of the kernel's resident tile). Requires m ≤ MAX_FUSED_M and a
     model with SoA functions. Returns a Solution with leading batch axis B.
     """
     from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M

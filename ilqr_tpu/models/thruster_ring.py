@@ -13,13 +13,14 @@ directions and both torque signs are reachable with one-sided actuators.
 Body force rotates into the world frame through θ — the only nonlinearity,
 giving fx live sin/cos entries.
 
-Purpose: m = 12 exceeds the fused kernels' MAX_FUSED_M = 8
-(ops/pallas_sweep.py), so this model exercises the OTHER TPU path — a
-``vmap(solve)`` over the XLA scan backward with the fixed-shape
-projected-Newton boxQP (``boxqp_mode="pn_fixed"``, ops/boxqp.boxqp_pn).
-One-sided boxes + a linear fuel cost keep ~2/3 of the controls pinned at
-their lower bound, so the QP's active-set machinery does real work every
-timestep (like omni_thruster, but past the fused-m cap).
+Purpose: m = 12 sits AT the fused kernels' raised MAX_FUSED_M = 12 cap
+(ops/pallas_sweep.py — the largest in-kernel projected-Newton QP) and is
+also the workload for the fixed-shape projected-Newton boxQP on the
+``vmap(solve)`` path (``boxqp_mode="pn_fixed"``, ops/boxqp.boxqp_pn —
+the route for ANY m past the cap). One-sided boxes + a linear fuel cost
+keep ~2/3 of the controls pinned at their lower bound, so the QP's
+active-set machinery does real work every timestep (like omni_thruster,
+scaled up 2×).
 """
 
 from __future__ import annotations
@@ -50,6 +51,10 @@ for _i in range(_M):
         _DIRS[_i] = (-_s * math.sin(_phi), _s * math.cos(_phi))
         _TORQUE[_i] = _s * _RING_RADIUS
 del _i, _phi, _s
+# cos/sin of multiples of π/2 leave ~1e-16 residue — snap to exact zeros
+# so the SoA structural-zero folding (and the kernels' trace-time constant
+# elimination) actually fires on them.
+_DIRS[np.abs(_DIRS) < 1e-12] = 0.0
 
 
 class ThrusterRingParams(NamedTuple):
@@ -105,6 +110,110 @@ def final_cost(p: ThrusterRingParams, x):
     return jnp.dot(e * p.w_final, e)
 
 
+# --- SoA variants (elementwise only; (dims, *batch) layout) ---------------
+#
+# The ring geometry enters as Python-float coefficients (many exactly 0,
+# ±1, ±½, ±√3/2), so the sweep kernel's trace-time constant folding
+# (ops/pallas_sweep._fmul/_fadd) drops the structural zeros.
+
+def _d(i, a):
+    return float(_DIRS[i, a])
+
+
+def _fb(u):
+    """Body-frame force components Σᵢ dᵢ·uᵢ as elementwise sums, skipping
+    zero coefficients at trace time."""
+    fb0 = None
+    fb1 = None
+    for i in range(_M):
+        if _d(i, 0) != 0.0:
+            t = _d(i, 0) * u[i]
+            fb0 = t if fb0 is None else fb0 + t
+        if _d(i, 1) != 0.0:
+            t = _d(i, 1) * u[i]
+            fb1 = t if fb1 is None else fb1 + t
+    return fb0, fb1
+
+
+def dynamics_soa(p: ThrusterRingParams, x, u):
+    ct, st = jnp.cos(x[2]), jnp.sin(x[2])
+    fb0, fb1 = _fb(u)
+    inv_m = 1.0 / p.mass
+    ax = (ct * fb0 - st * fb1) * inv_m - p.drag * x[3]
+    ay = (st * fb0 + ct * fb1) * inv_m - p.drag * x[4]
+    aw = None
+    for i in range(_M):
+        if float(_TORQUE[i]) != 0.0:
+            t = float(_TORQUE[i]) * u[i]
+            aw = t if aw is None else aw + t
+    aw = aw / p.inertia - p.drag_w * x[5]
+    return jnp.stack([x[3], x[4], x[5], ax, ay, aw])
+
+
+def cost_soa(p: ThrusterRingParams, x, u):
+    acc = None
+    for i in range(6):
+        e = p.goal[i] - x[i]
+        t = e * p.w_state[i] * e
+        acc = t if acc is None else acc + t
+    for j in range(_M):
+        acc = acc + u[j] * (p.w_control[j] * u[j] + p.w_fuel)
+    return acc
+
+
+def final_cost_soa(p: ThrusterRingParams, x):
+    acc = None
+    for i in range(6):
+        e = p.goal[i] - x[i]
+        t = e * p.w_final[i] * e
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def jac_soa(p: ThrusterRingParams, x, u):
+    """Closed-form continuous-time Jacobians. Live entries: the θ column
+    of the accelerations (the rotation is the only nonlinearity), the
+    diagonal drags, and the rotated thrust-direction columns of B;
+    everything else is a structural Python-float constant."""
+    ct, st = jnp.cos(x[2]), jnp.sin(x[2])
+    fb0, fb1 = _fb(u)
+    inv_m = 1.0 / p.mass
+    A = [[0.0] * 6 for _ in range(6)]
+    for a in range(3):
+        A[a][3 + a] = 1.0
+    A[3][2] = (-st * fb0 - ct * fb1) * inv_m
+    A[4][2] = (ct * fb0 - st * fb1) * inv_m
+    A[3][3] = -1.0 * p.drag
+    A[4][4] = -1.0 * p.drag
+    A[5][5] = -1.0 * p.drag_w
+    B = [[0.0] * _M for _ in range(6)]
+    for i in range(_M):
+        d0, d1 = _d(i, 0), _d(i, 1)
+        B[3][i] = (ct * d0 - st * d1) * inv_m
+        B[4][i] = (st * d0 + ct * d1) * inv_m
+        if float(_TORQUE[i]) != 0.0:
+            B[5][i] = float(_TORQUE[i]) / p.inertia
+    return A, B
+
+
+def cost_derivs_soa(p: ThrusterRingParams, x, u):
+    cx = [-2.0 * p.w_state[i] * (p.goal[i] - x[i]) for i in range(6)]
+    cu = [2.0 * p.w_control[j] * u[j] + p.w_fuel for j in range(_M)]
+    cxx = [[2.0 * p.w_state[i] if i == j else 0.0
+            for j in range(6)] for i in range(6)]
+    cxu = [[0.0] * _M for _ in range(6)]
+    cuu = [[2.0 * p.w_control[i] if i == j else 0.0
+            for j in range(_M)] for i in range(_M)]
+    return cx, cu, cxx, cxu, cuu
+
+
+def final_cost_derivs_soa(p: ThrusterRingParams, x):
+    cx = [-2.0 * p.w_final[i] * (p.goal[i] - x[i]) for i in range(6)]
+    cxx = [[2.0 * p.w_final[i] if i == j else 0.0
+            for j in range(6)] for i in range(6)]
+    return cx, cxx
+
+
 MODEL = Model(
     name="thruster_ring",
     n=6,
@@ -113,4 +222,10 @@ MODEL = Model(
     cost=cost,
     final_cost=final_cost,
     default_params=default_params,
+    dynamics_soa=dynamics_soa,
+    cost_soa=cost_soa,
+    final_cost_soa=final_cost_soa,
+    jac_soa=jac_soa,
+    cost_derivs_soa=cost_derivs_soa,
+    final_cost_derivs_soa=final_cost_derivs_soa,
 )

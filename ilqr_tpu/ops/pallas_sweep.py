@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ 8).
+"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 12).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -21,7 +21,7 @@ The control-limited QP is solved exactly in-registers:
     adjugates are shared across the 81 candidates). Feedback rows come
     from the identity-padded free-subspace inverse, zeroed on clamped
     dims (ref :377-385).
-  - 5 ≤ m ≤ 8: fixed-shape projected Newton (the reference's own boxQP
+  - 5 ≤ m ≤ 12: fixed-shape projected Newton (the reference's own boxQP
     algorithm, src/boxqp.cpp:26-139) with the free-subspace solves
     through a masked unrolled Cholesky — 3^m enumeration explodes past
     m = 4 (see _qp_pn).
@@ -511,8 +511,14 @@ def _qp_newton(quuF, qu, m):
 # boolean VALUES), and the free-subspace solve through a fully-unrolled
 # Cholesky of the identity-padded masked matrix. Compile size is O(m³) per
 # Newton iteration, capped at MAX_FUSED_M.
+#
+# The cap is a Mosaic COMPILE-size wall, not an algorithmic one: the
+# in-kernel QP unrolls O(m³) Cholesky ops × (m+6) Newton iterations per
+# timestep (m=8: ~1.2k ops/step, measured 146-209 s remote compile;
+# m=12: ~5.2k ops/step — see BENCH_NOTES round-4 for the measured wall).
+# Past the cap use the vmap path with boxqp_mode="pn_fixed".
 
-MAX_FUSED_M = 8
+MAX_FUSED_M = 12
 
 
 def _chol_masked_tiles(q, free_f, m):
@@ -716,7 +722,8 @@ def _free_solve_rows(quuF, free, cols, m):
         # general m: one masked Cholesky of the identity-padded matrix
         # shared by all n columns (clamped rows pass through and are
         # zeroed on output)
-        assert m <= MAX_FUSED_M, "free-subspace rows support m <= 8"
+        assert m <= MAX_FUSED_M, (
+            f"free-subspace rows support m <= {MAX_FUSED_M}")
         zero = jnp.zeros_like(quuF[0][0])
         one = jnp.ones_like(quuF[0][0])
         free_f = [jnp.where(fb, one, zero) for fb in free]

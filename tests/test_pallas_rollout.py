@@ -24,7 +24,7 @@ def _f32_params(model):
 
 @pytest.mark.parametrize("name", ["acrobot", "double_integrator",
                                   "pendulum", "cartpole", "point_mass_3d",
-                                  "quadrotor"])
+                                  "quadrotor", "thruster_ring"])
 def test_soa_matches_aos(name):
     """SoA model functions agree with the per-problem versions on a tile."""
     mo = get_model(name)

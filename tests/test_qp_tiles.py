@@ -262,3 +262,65 @@ def test_free_solve_rows_m6_matches_padded_inverse():
     ref = -np.linalg.solve(P, cols_np)
     ref = np.where(free_np[:, :, None], ref, 0.0)
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+# --- m = 12 (the raised MAX_FUSED_M cap; round 4) -------------------------
+#
+# 3^12 exact enumeration is out of reach as a full-lane numpy oracle, so
+# m = 12 uses two oracles: ops/boxqp.boxqp_pn in f64 (itself verified
+# against scipy L-BFGS-B and exact enumeration in tests/test_boxqp_pn.py)
+# on every lane, and scipy L-BFGS-B directly on a lane subset.
+
+
+@pytest.mark.parametrize("seed,scale", [(41, 1.0), (42, 3.0)])
+def test_qp_pn_m12_matches_boxqp_pn_oracle(seed, scale):
+    from ilqr_tpu.ops.boxqp import boxqp_pn
+
+    m = 12
+    Q, g, lo, hi = _random_qps(seed, m=m, scale=scale)
+    k, free, bad = _qp_pn(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi), m)
+    assert not bool(jnp.any(bad))
+    x = np.stack([np.asarray(k[i]).reshape(B) for i in range(m)], -1)
+    # every lane inside the box
+    assert (x >= lo - 1e-6).all() and (x <= hi + 1e-6).all()
+    ref = jax.vmap(boxqp_pn)(
+        jnp.asarray(Q, jnp.float64), jnp.asarray(g, jnp.float64),
+        jnp.asarray(lo, jnp.float64), jnp.asarray(hi, jnp.float64))
+    xo = np.asarray(ref.x)
+    v = (0.5 * np.einsum("bi,bij,bj->b", x, Q.astype(np.float64), x)
+         + np.einsum("bi,bi->b", g, x))
+    vo = (0.5 * np.einsum("bi,bij,bj->b", xo, Q.astype(np.float64), xo)
+          + np.einsum("bi,bi->b", g, xo))
+    assert (v - vo).max() < 1e-4, (v - vo).max()
+    np.testing.assert_allclose(x, xo, atol=5e-3)
+    # scipy spot-check on a lane subset
+    from scipy.optimize import minimize
+    for b in range(0, B, 173):
+        Qb, gb = Q[b].astype(np.float64), g[b].astype(np.float64)
+        r = minimize(lambda z: 0.5 * z @ Qb @ z + z @ gb,
+                     np.clip(np.zeros(m), lo[b], hi[b]),
+                     jac=lambda z: Qb @ z + gb,
+                     bounds=list(zip(lo[b], hi[b])),
+                     method="L-BFGS-B", tol=1e-14)
+        np.testing.assert_allclose(x[b], r.x, atol=5e-3)
+
+
+def test_free_solve_rows_m12_matches_padded_inverse():
+    rng = np.random.default_rng(43)
+    m, n = 12, 6
+    Q, _g, _lo, _hi = _random_qps(43, m=m)
+    cols_np = rng.normal(size=(B, m, n)).astype(np.float32)
+    free_np = rng.uniform(size=(B, m)) > 0.4
+    free = [jnp.asarray(free_np[:, i].reshape(S, L)) for i in range(m)]
+    cols = [[jnp.asarray(cols_np[:, j, i].reshape(S, L)) for i in range(n)]
+            for j in range(m)]
+    out = _free_solve_rows(_tiles_mat(Q), free, cols, m)
+    got = np.stack([np.stack([np.asarray(out[j][i]).reshape(B)
+                              for i in range(n)], -1) for j in range(m)], -2)
+    eye = np.eye(m, dtype=np.float32)
+    mask = free_np[:, :, None] & free_np[:, None, :]
+    P = np.where(mask, Q, eye)
+    ref = -np.linalg.solve(P, cols_np)
+    ref = np.where(free_np[:, :, None], ref, 0.0)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
