@@ -19,10 +19,12 @@ scatter the per-lane Solutions back to the callers' futures.
 
 Shape discipline (critical on the axon backend, where every new program is
 a 10-600 s remote compile): the service fixes (model, params, cfg, dt, T)
-at construction so exactly one program is ever compiled per path. On the
-fused path the batch size is free (fused.py pads to the 1024-lane block
-and host-loops chunks); on the vmap path the service pads every batch to
-`max_batch` so the jitted program's shapes never change.
+at construction AND pads every dispatch to `max_batch` lanes, so exactly
+one shape ever reaches the device on either path. The fused block program
+is internally shape-fixed, but its host-side pad/pack glue is per-B eager
+jnp — measured on TPU, letting B vary cost 3.8 s/batch in fresh remote
+compiles of those tiny programs (p99 latency 97 s) vs the ~0.27 s fixed-
+shape block solve (BENCH_NOTES round 4).
 
 Usage::
 
@@ -37,6 +39,7 @@ to every future in the failing batch.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -113,24 +116,32 @@ class SolverService:
                     "path='fused' requires a model with SoA functions "
                     "(models/base.py); use path='vmap'")
 
-            def _solve(x0b, u0b):  # (B, n), (B, T, m) — any B, one program
-                return solve_batch_fused(model, params, cfg, dt, x0b, u0b)
+            inner = functools.partial(solve_batch_fused, model, params,
+                                      cfg, dt)
         else:
             from ilqr_tpu.solver import solve
 
-            batched = jax.jit(jax.vmap(
+            inner = jax.jit(jax.vmap(
                 lambda x, u: solve(model, params, cfg, dt, x, u)))
 
-            def _solve(x0b, u0b):  # pad to max_batch: one compiled shape
-                b = x0b.shape[0]
-                p = self._max_batch - b
-                if p:
-                    x0b = jnp.concatenate(
-                        [x0b, jnp.broadcast_to(x0b[:1], (p,) + x0b.shape[1:])])
-                    u0b = jnp.concatenate(
-                        [u0b, jnp.broadcast_to(u0b[:1], (p,) + u0b.shape[1:])])
-                sol = batched(x0b, u0b)
-                return jax.tree_util.tree_map(lambda a: a[:b], sol)
+        def _solve(x0b, u0b):
+            # Pad EVERY dispatch to max_batch so exactly one shape ever
+            # reaches the device on either path. The fused block program
+            # is itself shape-fixed, but its host-side pack/pad glue is
+            # per-B eager jnp — and on the axon backend each new B
+            # remote-compiles those tiny programs for seconds apiece.
+            # Measured (BENCH_NOTES round 4): variable-B serving ran at
+            # 3.8 s/batch with p99 97 s; fixed-shape padding restores the
+            # ~0.27 s block solve.
+            b = x0b.shape[0]
+            p = self._max_batch - b
+            if p:
+                x0b = jnp.concatenate(
+                    [x0b, jnp.broadcast_to(x0b[:1], (p,) + x0b.shape[1:])])
+                u0b = jnp.concatenate(
+                    [u0b, jnp.broadcast_to(u0b[:1], (p,) + u0b.shape[1:])])
+            sol = inner(x0b, u0b)
+            return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
         self._solve = _solve
         self._queue: "queue.Queue" = queue.Queue()

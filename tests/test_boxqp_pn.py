@@ -4,8 +4,8 @@
 (ops/pallas_sweep.py): no data-dependent control flow, any m. Oracles:
 exact enumeration (m ≤ 4), scipy L-BFGS-B and the reference-semantics
 iterative solver (all m), KKT conditions at the returned point. The e2e
-tests run the m=12 thruster_ring — past MAX_FUSED_M = 8, where pn_fixed
-is the only TPU-viable path (VERDICT r3 item 1)."""
+tests run the m=12 thruster_ring (VERDICT r3 item 1); pn_fixed keeps
+ANY m TPU-viable past the fused cap."""
 
 import jax
 import jax.numpy as jnp
@@ -138,7 +138,7 @@ def test_pn_chol_free_solves_k_rows():
 
 
 def test_pn_mode_solves_thruster_ring_m12():
-    """Full m=12 solve (past MAX_FUSED_M) with boxqp_mode='pn_fixed'
+    """Full m=12 solve on the vmap path with boxqp_mode='pn_fixed'
     converges to the iterative solver's optimum, respecting the one-sided
     thruster box."""
     from ilqr_tpu.models import thruster_ring as tr

@@ -998,7 +998,7 @@ print("M8_E2E_OK")
 @pytest.mark.slow
 def test_m8_matches_xla_path():
     """m=8 (free_flyer): the in-kernel projected-Newton boxQP at its
-    MAX_FUSED_M cap — full 8x8 masked unrolled Cholesky, 5-dim thrust
+    round-3 MAX_FUSED_M cap — full 8x8 masked unrolled Cholesky, 5-dim thrust
     null space resolved by the fuel cost — matches the XLA path
     (iterative boxQP) to f32 tolerance.
 
@@ -1038,9 +1038,9 @@ def test_fused_rejects_m_above_cap():
     from ilqr_tpu.fused import solve_batch_fused
     from ilqr_tpu.models import free_flyer as ff
 
-    m9 = dataclasses.replace(get_model("free_flyer"), m=9)
+    m13 = dataclasses.replace(get_model("free_flyer"), m=13)
     p = ff.default_params()
-    with pytest.raises(ValueError, match="m <= 8"):
-        solve_batch_fused(m9, p, SolverConfig(), 0.05,
+    with pytest.raises(ValueError, match="m <= 12"):
+        solve_batch_fused(m13, p, SolverConfig(), 0.05,
                           jnp.zeros((2, 6), jnp.float32),
-                          jnp.zeros((2, 4, 9), jnp.float32))
+                          jnp.zeros((2, 4, 13), jnp.float32))
