@@ -16,9 +16,12 @@ DEADLINE=${CHAIN_DEADLINE:-0}
 DEADLINE_FUSED=${CHAIN_DEADLINE_FUSED:-0}
 
 probe_retry() {
-  # up to 12 probes, 120 s apart — returns 0 on first healthy
+  # up to 12 probes, 120 s apart — returns 0 on first healthy. 150 s
+  # timeout: device init through the tunnel takes 45-60 s in its slow
+  # state, and a timeout-kill mid-init is exactly the pattern that wedges
+  # the pool — give init generous headroom.
   for i in $(seq 1 12); do
-    if timeout 45 python -c "
+    if timeout 150 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256,256)); y = np.asarray(x @ x)
 assert y[0,0] == 256.0

@@ -11,7 +11,7 @@ DEADLINE=${CHAIN_DEADLINE:-0}
 
 probe_retry() {
   for i in $(seq 1 12); do
-    if timeout 45 python -c "
+    if timeout 150 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256,256)); y = np.asarray(x @ x)
 assert y[0,0] == 256.0
