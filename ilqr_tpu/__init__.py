@@ -24,7 +24,7 @@ from ilqr_tpu.models import Model, get_model, list_models
 from ilqr_tpu.solver import init_state, solve, solve_verbose, solve_warm
 from ilqr_tpu.batch import solve_batch
 from ilqr_tpu.fused import solve_batch_fused
-from ilqr_tpu.ops.boxqp import boxqp
+from ilqr_tpu.ops.boxqp import boxqp, boxqp_pn
 from ilqr_tpu.serve import SolverService
 
 __version__ = "0.1.0"
@@ -45,5 +45,6 @@ __all__ = [
     "solve_batch",
     "solve_batch_fused",
     "boxqp",
+    "boxqp_pn",
     "SolverService",
 ]
