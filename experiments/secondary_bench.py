@@ -184,10 +184,19 @@ def main():
         params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.float32), tr.default_params())
         B12, T = BATCH, 80
-        cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                           max_iter=40,
-                           boxqp_mode=("pn_fixed" if MODE == "m12_pn"
-                                       else "auto"))
+        if MODE == "m12_pn":
+            # pure XLA scan path: pin the per-stage Pallas kernels OFF —
+            # this measures boxqp_pn's vmap route, and the auto-engaged
+            # rollout/derivs kernels at the never-compiled m=12 shapes
+            # crashed the TPU worker on first contact (round4_log
+            # 2026-08-20 11:53, "kernel fault").
+            cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                               max_iter=40, boxqp_mode="pn_fixed",
+                               backward_kernel="xla", rollout_kernel="xla",
+                               deriv_kernel="xla")
+        else:
+            cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                               max_iter=40, boxqp_mode="auto")
         runner = solve_batch if MODE == "m12_pn" else solve_batch_fused
         x0 = jnp.asarray(0.2 * rng.normal(size=(B12, 6)), jnp.float32)
         u0 = jnp.zeros((T, 12), jnp.float32)
