@@ -26,10 +26,14 @@ def _wait_tpu_healthy(budget_s: float) -> None:
     """Block until the axon tunnel answers a tiny matmul, or the budget runs
     out. The remote TPU pool sometimes wedges for hours (CLAUDE.md: every
     process then blocks in device init); probing from a SUBPROCESS with a
-    45 s timeout keeps this process clean — if we ran the probe in-process
+    150 s timeout keeps this process clean — if we ran the probe in-process
     and the tunnel was wedged, the main bench below would hang before its
-    first timed rep. Probes are spaced 8 min apart to avoid hammering the
-    pool. Controlled by BENCH_WAIT_HEALTHY=0 (skip) / BENCH_HEALTH_BUDGET_S.
+    first timed rep. 150 s (not 45): device init takes 45-60 s in the
+    tunnel's slow state (measured 2026-08-20), a 45 s probe then reads
+    permanently "wedged" — and the timeout-kill lands mid-device-init,
+    which is itself the pattern that wedges the pool. Probes are spaced
+    8 min apart to avoid hammering it. Controlled by BENCH_WAIT_HEALTHY=0
+    (skip) / BENCH_HEALTH_BUDGET_S.
     """
     probe = ("import jax, jax.numpy as jnp, numpy as np\n"
              "x = jnp.ones((256, 256))\n"
@@ -42,7 +46,7 @@ def _wait_tpu_healthy(budget_s: float) -> None:
         try:
             out = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=45)
+                text=True, timeout=150)
             if "HEALTHY" in out.stdout:
                 if attempt > 1:
                     print(f"[bench] tunnel healthy after {attempt} probes",
