@@ -217,8 +217,17 @@ def _use_fused_derivs(model: Model, cfg: SolverConfig, dtype) -> bool:
         and dtype == jnp.float32
         and cfg.deriv_kernel != "xla"
         and (cfg.deriv_kernel == "pallas"
-             or jax.default_backend() == "tpu")
+             or (jax.default_backend() == "tpu"
+                 and model.m <= _stage_kernel_cap()))
     )
+
+
+def _stage_kernel_cap() -> int:
+    # Shared auto-mode width cap with the rollout kernel — see
+    # ops/rollout.MAX_STAGE_KERNEL_M (m=12 kernel-fault writeup).
+    from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
+
+    return MAX_STAGE_KERNEL_M
 
 
 @functools.lru_cache(maxsize=None)

@@ -47,13 +47,23 @@ class LineSearchResult(NamedTuple):
     accepted: jnp.ndarray  # bool
 
 
+# TPU-proven envelope for the per-stage kernels on the vmap path: m ≤ 8
+# (auto-engaged in the m=4 bench modes and the m=6/m=8 equivalence legs,
+# all rc=0 on device). At m=12 the auto-engaged rollout/derivs kernels
+# crashed the TPU worker with a kernel fault on first contact
+# (experiments/round4_log.txt, 2026-08-20 11:53) — "auto" therefore caps
+# at the proven width; explicit "pallas" still forces engagement.
+MAX_STAGE_KERNEL_M = 8
+
+
 def _use_fused(model: Model, cfg: SolverConfig, dtype) -> bool:
     return (
         model.has_soa
         and dtype == jnp.float32
         and cfg.rollout_kernel != "xla"
         and (cfg.rollout_kernel == "pallas"
-             or jax.default_backend() == "tpu")
+             or (jax.default_backend() == "tpu"
+                 and model.m <= MAX_STAGE_KERNEL_M))
     )
 
 
