@@ -116,7 +116,8 @@ def main():
     svc.close(timeout=120)
     lats_ms = np.sort(np.asarray(lats)) * 1e3
     out = {
-        "mode": f"serve_{svc.path}", "model": "acrobot", "T": T,
+        "mode": os.environ.get("SERVE_TAG", f"serve_{svc.path}"),
+        "model": "acrobot", "T": T,
         "max_iter": MAX_ITER, "clients": CLIENTS, "reqs_per_client": REQS,
         "rate_hz_per_client": RATE_HZ, "max_wait_ms": WAIT_MS,
         "warm_s": round(warm_s, 1),

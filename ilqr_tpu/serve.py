@@ -125,22 +125,27 @@ class SolverService:
                 lambda x, u: solve(model, params, cfg, dt, x, u)))
 
         def _solve(x0b, u0b):
-            # Pad EVERY dispatch to max_batch so exactly one shape ever
-            # reaches the device on either path. The fused block program
-            # is itself shape-fixed, but its host-side pack/pad glue is
-            # per-B eager jnp — and on the axon backend each new B
-            # remote-compiles those tiny programs for seconds apiece.
-            # Measured (BENCH_NOTES round 4): variable-B serving ran at
-            # 3.8 s/batch with p99 97 s; fixed-shape padding restores the
-            # ~0.27 s block solve.
+            # Pad EVERY dispatch to max_batch — IN NUMPY — so exactly one
+            # program shape ever reaches the device: one (max_batch, ...)
+            # H2D transfer, one block solve, one full-shape D2H. Doing the
+            # pad/unpad with device ops is NOT equivalent: eager
+            # jnp.concatenate / broadcast_to at pad time and per-leaf
+            # ``a[:b]`` slices at unpad time each compile a distinct
+            # remote program per distinct lane count b, and the axon
+            # backend takes seconds per tiny program. Measured
+            # (BENCH_NOTES round 4): variable-B glue ran the service at
+            # ~3.4 s/batch with p99 15-97 s even though the block solve
+            # itself is ~0.25 s; host-side padding removes every
+            # variable-shape device op.
             b = x0b.shape[0]
-            p = self._max_batch - b
-            if p:
-                x0b = jnp.concatenate(
-                    [x0b, jnp.broadcast_to(x0b[:1], (p,) + x0b.shape[1:])])
-                u0b = jnp.concatenate(
-                    [u0b, jnp.broadcast_to(u0b[:1], (p,) + u0b.shape[1:])])
-            sol = inner(x0b, u0b)
+            n_pad = self._max_batch
+            px = np.empty((n_pad,) + x0b.shape[1:], np.float32)
+            pu = np.empty((n_pad,) + u0b.shape[1:], np.float32)
+            px[:b], pu[:b] = x0b, u0b
+            px[b:], pu[b:] = x0b[0], u0b[0]
+            sol = inner(jnp.asarray(px), jnp.asarray(pu))
+            # Full-shape D2H here (numpy leaves), then slice on host.
+            sol = jax.tree_util.tree_map(np.asarray, sol)
             return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
         self._solve = _solve
@@ -257,10 +262,10 @@ class SolverService:
             return
         t0 = time.monotonic()
         try:
-            x0b = jnp.asarray(np.stack([r.x0 for r in batch]))
-            u0b = jnp.asarray(np.stack([r.u0 for r in batch]))
-            sol = self._solve(x0b, u0b)
-            sol = jax.tree_util.tree_map(np.asarray, sol)  # D2H, realize
+            # numpy in, numpy out — _solve owns the (single, fixed-shape)
+            # H2D/D2H pair; everything here stays on host.
+            sol = self._solve(np.stack([r.x0 for r in batch]),
+                              np.stack([r.u0 for r in batch]))
         except Exception as e:  # noqa: BLE001 — propagate to ALL callers
             for r in batch:
                 r.future.set_exception(e)
