@@ -26,6 +26,7 @@ from ilqr_tpu.batch import solve_batch
 from ilqr_tpu.fused import solve_batch_fused
 from ilqr_tpu.ops.boxqp import boxqp, boxqp_pn
 from ilqr_tpu.serve import SolverService
+from ilqr_tpu.aot import AotSolver, compile_solver as aot_compile, load as aot_load
 
 __version__ = "0.1.0"
 
@@ -47,4 +48,7 @@ __all__ = [
     "boxqp",
     "boxqp_pn",
     "SolverService",
+    "AotSolver",
+    "aot_compile",
+    "aot_load",
 ]

@@ -1,0 +1,169 @@
+"""Ahead-of-time compiled batch solves: save/load serialized executables.
+
+Why this exists: on the TPU backend a fresh process pays host tracing +
+lowering + (remote) compile for the fused program before the first solve
+— measured at lower 293.9 s + compile 6.3 s for the B=1024 acrobot
+serving shape (BENCH_NOTES round 4, experiments/aot_probe.py), and
+the persistent *compilation* cache cannot recover the lowering part.
+``jax.experimental.serialize_executable`` can: AOT-compile once,
+serialize the PJRT executable (~50 MB for that program), and later
+processes ``load()`` + run with no tracing and no compile at all.
+
+The reference has no analogue — its C++ binary is itself the "compiled
+artifact" (a ~1 s build, src/run_ilqr.cpp); this module gives the TPU
+deployment the same cold-start economics.
+
+Contract: an AOT executable is pinned to exact input shapes, dtypes,
+backend, and jax version. ``AotSolver`` records that metadata alongside
+the payload and refuses a mismatched load with a clear error instead of
+letting PJRT fail obscurely (or SIGILL, for CPU blobs compiled on a
+different host).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilqr_tpu.config import SolverConfig
+from ilqr_tpu.models.base import Model
+from ilqr_tpu.types import Solution
+
+_MAGIC = "ilqr_tpu-aot-v1"
+
+
+@dataclass
+class AotSolver:
+    """A shape-pinned, pre-compiled batch solve.
+
+    Call it like ``solve_batch``: ``sol = aot(x0, u0)`` with x0 of
+    exactly ``(B, n)`` and u0 of exactly ``(B, T, m)`` float32. Build
+    with :func:`compile_solver`, persist with :meth:`save`, restore in a
+    fresh process with :func:`load`.
+    """
+
+    compiled: Any  # jax.stages.Compiled (or deserialized executable)
+    meta: dict
+
+    def __call__(self, x0, u0) -> Solution:
+        x0 = jnp.asarray(x0)
+        u0 = jnp.asarray(u0)
+        exp_x = tuple(self.meta["x0_shape"])
+        exp_u = tuple(self.meta["u0_shape"])
+        if tuple(x0.shape) != exp_x or tuple(u0.shape) != exp_u:
+            raise ValueError(
+                f"AOT executable is shape-pinned: expected x0 {exp_x} / "
+                f"u0 {exp_u}, got {tuple(x0.shape)} / {tuple(u0.shape)}. "
+                "Re-run compile_solver for other shapes.")
+        if x0.dtype != jnp.float32 or u0.dtype != jnp.float32:
+            raise ValueError("AOT solves are float32 (pass f32 inputs)")
+        return self.compiled(x0, u0)
+
+    # ---- persistence -----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Serialize the executable + metadata to ``path``."""
+        from jax.experimental.serialize_executable import serialize
+
+        payload, in_tree, out_tree = serialize(self.compiled)
+        blob = {"magic": _MAGIC, "meta": self.meta, "payload": payload,
+                "in_tree": in_tree, "out_tree": out_tree}
+        with open(path, "wb") as f:
+            f.write(pickle.dumps(blob))
+
+
+def _env_meta() -> dict:
+    return {"backend": jax.default_backend(),
+            "jax_version": jax.__version__,
+            "device_kind": jax.devices()[0].device_kind}
+
+
+def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
+                   batch: int, horizon: int, *,
+                   path: str = "auto") -> AotSolver:
+    """AOT-compile a batch solve at a fixed ``(batch, horizon)`` shape.
+
+    path: 'fused' (kernel-layout solver, TPU deployment shape; one
+      single-block program — keep ``batch`` <= the 1024-lane block, the
+      jit wrapper would otherwise inline the host chunk loop), 'vmap'
+      (``jax.vmap(solve)`` — any model/dtype-compatible config), or
+      'auto' (fused on TPU when the model qualifies, else vmap).
+    """
+    if path not in ("auto", "fused", "vmap"):
+        raise ValueError(f"unknown path {path!r}")
+    if path == "auto":
+        path = ("fused" if jax.default_backend() == "tpu"
+                and model.has_soa else "vmap")
+
+    if path == "fused":
+        from ilqr_tpu.fused import solve_batch_fused
+        from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+
+        if model.m > MAX_FUSED_M:
+            raise ValueError(
+                f"path='fused' requires model.m <= {MAX_FUSED_M}")
+        if not model.has_soa:
+            raise ValueError("path='fused' requires model SoA functions")
+        if batch > 1024:
+            raise ValueError(
+                "AOT fused solves compile ONE block program; use "
+                "batch <= 1024 and loop blocks on the host")
+
+        def fn(x0, u0):
+            return solve_batch_fused(model, params, cfg, dt, x0, u0)
+    else:
+        from ilqr_tpu.solver import solve
+
+        def fn(x0, u0):
+            return jax.vmap(
+                lambda x, u: solve(model, params, cfg, dt, x, u))(x0, u0)
+
+    x0_shape = (batch, model.n)
+    u0_shape = (batch, horizon, model.m)
+    args = (jnp.zeros(x0_shape, jnp.float32),
+            jnp.zeros(u0_shape, jnp.float32))
+    compiled = jax.jit(fn).lower(*args).compile()
+    meta = {"model": getattr(model, "name", repr(model)), "path": path,
+            "x0_shape": x0_shape, "u0_shape": u0_shape,
+            "dt": float(dt), "max_iter": int(cfg.max_iter),
+            # the unsharded jit compiles a 1-device program; load() must
+            # bind the executable to exactly this many devices (the
+            # deserializer otherwise spans ALL local devices and then
+            # demands per-device input shards — found by tests/test_aot
+            # under the 8-virtual-device CPU mesh)
+            "num_devices": 1,
+            **_env_meta()}
+    return AotSolver(compiled, meta)
+
+
+def load(path: str) -> AotSolver:
+    """Restore an :class:`AotSolver` saved by :meth:`AotSolver.save`.
+
+    Validates backend / device kind / jax version before handing the
+    payload to PJRT, so a blob compiled for another target fails with an
+    actionable message.
+    """
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        blob = pickle.loads(f.read())
+    if not isinstance(blob, dict) or blob.get("magic") != _MAGIC:
+        raise ValueError(f"{path} is not an ilqr_tpu AOT executable")
+    meta = blob["meta"]
+    env = _env_meta()
+    for key in ("backend", "device_kind", "jax_version"):
+        if meta.get(key) != env[key]:
+            raise RuntimeError(
+                f"AOT executable was compiled for {key}={meta.get(key)!r} "
+                f"but this process has {key}={env[key]!r}; recompile with "
+                "compile_solver on this target")
+    ndev = int(meta.get("num_devices", 1))
+    compiled = deserialize_and_load(
+        blob["payload"], blob["in_tree"], blob["out_tree"],
+        execution_devices=jax.devices()[:ndev])
+    return AotSolver(compiled, meta)

@@ -1,0 +1,92 @@
+"""AOT executable save/load (ilqr_tpu/aot.py).
+
+CPU tests use the vmap path at tiny shapes; the TPU evidence for the
+fused path (lower 293.9 s + compile 6.3 s once, then ~0.5 s cold start
+from the 49.5 MB blob) lives in experiments/aot_probe.py rows in
+experiments/secondary_results.jsonl.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ilqr_tpu import SolverConfig, get_model, solve
+from ilqr_tpu.aot import AotSolver, compile_solver, load
+from ilqr_tpu.models import double_integrator as di
+
+B, T = 3, 30
+
+
+@pytest.fixture(scope="module")
+def aot_pair(tmp_path_factory):
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=15)
+    aot = compile_solver(model, params, cfg, 0.05, B, T, path="vmap")
+    path = str(tmp_path_factory.mktemp("aot") / "di.aotexec")
+    aot.save(path)
+    return aot, path, (model, params, cfg)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+    u0 = jnp.zeros((B, T, 2), jnp.float32)
+    return x0, u0
+
+
+def test_aot_matches_direct_solve(aot_pair):
+    aot, _, (model, params, cfg) = aot_pair
+    x0, u0 = _inputs()
+    sol = aot(x0, u0)
+    for i in range(B):
+        ref = solve(model, params, cfg, 0.05, x0[i], u0[i])
+        np.testing.assert_allclose(np.asarray(sol.cost)[i],
+                                   np.asarray(ref.cost), rtol=1e-5)
+
+
+def test_roundtrip_same_process(aot_pair):
+    aot, path, _ = aot_pair
+    restored = load(path)
+    x0, u0 = _inputs(seed=1)
+    np.testing.assert_array_equal(np.asarray(aot(x0, u0).cost),
+                                  np.asarray(restored(x0, u0).cost))
+    assert restored.meta["path"] == "vmap"
+    assert tuple(restored.meta["x0_shape"]) == (B, 4)
+
+
+def test_shape_pinning(aot_pair):
+    aot, _, _ = aot_pair
+    with pytest.raises(ValueError, match="shape-pinned"):
+        aot(jnp.zeros((B + 1, 4), jnp.float32),
+            jnp.zeros((B + 1, T, 2), jnp.float32))
+    with pytest.raises(ValueError, match="float32"):
+        aot(jnp.zeros((B, 4), jnp.float64), jnp.zeros((B, T, 2), jnp.float32))
+
+
+def test_env_mismatch_refused(aot_pair, tmp_path, monkeypatch):
+    aot, path, _ = aot_pair
+    import pickle
+
+    blob = pickle.loads(open(path, "rb").read())
+    blob["meta"]["backend"] = "tpu"
+    blob["meta"]["device_kind"] = "TPU v5 lite"
+    bad = tmp_path / "wrong_backend.aotexec"
+    bad.write_bytes(pickle.dumps(blob))
+    with pytest.raises(RuntimeError, match="backend"):
+        load(str(bad))
+
+
+def test_not_an_aot_file(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"\x80\x04N.")  # pickle of None
+    with pytest.raises(ValueError, match="not an ilqr_tpu AOT"):
+        load(str(p))
+
+
+def test_fused_path_guards():
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig()
+    with pytest.raises(ValueError, match="batch <= 1024"):
+        compile_solver(model, params, cfg, 0.05, 2048, T, path="fused")
