@@ -79,6 +79,14 @@ class SolverService:
         request for more to coalesce. 0 disables waiting (each dispatch
         takes whatever is queued at that instant).
       path: 'auto' (fused on TPU, vmap elsewhere), 'fused', or 'vmap'.
+      aot: an ``ilqr_tpu.aot.AotSolver`` (or a path to one saved with
+        ``AotSolver.save``) compiled at exactly ``(max_batch, horizon)``
+        — the service then dispatches through the pre-compiled
+        executable and NEVER traces/compiles, so it serves its first
+        request ~3.5 s after construction instead of paying the
+        200-300 s lowering tax on the TPU tunnel (BENCH_NOTES round 4,
+        aot_save/aot_load). The padded dispatch shape matches the AOT
+        shape pin by construction.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -86,7 +94,7 @@ class SolverService:
     def __init__(self, model: Model, params, cfg: SolverConfig, dt: float,
                  horizon: int, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, path: str = "auto",
-                 autostart: bool = True):
+                 aot=None, autostart: bool = True):
         if path not in ("auto", "fused", "vmap"):
             raise ValueError(f"unknown path {path!r}")
         if path == "auto":
@@ -100,7 +108,30 @@ class SolverService:
         self._max_wait_s = float(max_wait_ms) / 1e3
         self.path = path
 
-        if path == "fused":
+        if aot is not None:
+            from ilqr_tpu.aot import AotSolver
+            from ilqr_tpu.aot import load as aot_load
+
+            if isinstance(aot, str):
+                aot = aot_load(aot)
+            if not isinstance(aot, AotSolver):
+                raise TypeError(
+                    "aot must be an AotSolver or a saved-executable path")
+            exp = (self._max_batch, model.n)
+            got = tuple(aot.meta["x0_shape"])
+            if got != exp:
+                raise ValueError(
+                    f"AOT executable is pinned to x0 {got} but the service "
+                    f"dispatches {exp} — recompile with aot.compile_solver("
+                    f"..., batch={self._max_batch}, horizon={self._T})")
+            if tuple(aot.meta["u0_shape"]) != (self._max_batch, self._T,
+                                               model.m):
+                raise ValueError(
+                    f"AOT executable u0 shape {tuple(aot.meta['u0_shape'])} "
+                    f"does not match (max_batch={self._max_batch}, "
+                    f"T={self._T}, m={model.m})")
+            inner = aot
+        elif path == "fused":
             from ilqr_tpu.fused import solve_batch_fused
             from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
 

@@ -90,3 +90,32 @@ def test_fused_path_guards():
     cfg = SolverConfig()
     with pytest.raises(ValueError, match="batch <= 1024"):
         compile_solver(model, params, cfg, 0.05, 2048, T, path="fused")
+
+
+def test_service_with_aot(aot_pair):
+    """SolverService dispatching through a pre-compiled executable."""
+    from ilqr_tpu.serve import SolverService
+
+    aot, path, (model, params, cfg) = aot_pair
+    svc = SolverService(model, params, cfg, 0.05, T, max_batch=B,
+                        path="vmap", aot=path, autostart=False)
+    rng = np.random.default_rng(3)
+    futs = [svc.submit(rng.normal(size=4).astype(np.float32))
+            for _ in range(2)]
+    assert svc._run_once(block=True)
+    for f in futs:
+        s = f.result(timeout=0)
+        ref = solve(model, params, cfg, 0.05,
+                    jnp.asarray(f_x0 := s.xs[0], jnp.float32),
+                    jnp.zeros((T, 2), jnp.float32))
+        np.testing.assert_allclose(s.cost, np.asarray(ref.cost), rtol=1e-5)
+    svc.close()
+
+
+def test_service_aot_shape_mismatch(aot_pair):
+    from ilqr_tpu.serve import SolverService
+
+    aot, path, (model, params, cfg) = aot_pair
+    with pytest.raises(ValueError, match="pinned to x0"):
+        SolverService(model, params, cfg, 0.05, T, max_batch=B + 1,
+                      path="vmap", aot=path, autostart=False)
