@@ -29,51 +29,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def summarize_xspace(trace_dir, top=40):
-    """Aggregate event durations by (plane, event name) from the xplane
-    protobuf dump jax.profiler writes."""
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    """Now lives in the package: ilqr_tpu.utils.timing.summarize_trace."""
+    from ilqr_tpu.utils.timing import summarize_trace
 
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                      recursive=True)
-    if not paths:
-        return {"error": f"no xplane.pb under {trace_dir}"}, None
-    path = max(paths, key=os.path.getsize)
-    xspace = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xspace.ParseFromString(f.read())
-
-    planes = {}
-    for plane in xspace.planes:
-        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
-        agg = {}
-        n_events = 0
-        span_lo, span_hi = None, 0
-        for line in plane.lines:
-            for ev in line.events:
-                n_events += 1
-                name = meta.get(ev.metadata_id, f"id{ev.metadata_id}")
-                dur_us = ev.duration_ps / 1e6
-                a = agg.setdefault(name, [0.0, 0])
-                a[0] += dur_us
-                a[1] += 1
-                t0 = line.timestamp_ns * 1e3 + ev.offset_ps / 1.0
-                if span_lo is None or t0 < span_lo:
-                    span_lo = t0
-                if t0 + ev.duration_ps > span_hi:
-                    span_hi = t0 + ev.duration_ps
-        top_events = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]
-        planes[plane.name] = {
-            "n_events": n_events,
-            "n_lines": len(plane.lines),
-            "span_ms": (round((span_hi - span_lo) / 1e9, 3)
-                        if span_lo is not None else 0.0),
-            "top_events": [
-                {"name": k[:120], "total_us": round(v[0], 1),
-                 "count": v[1],
-                 "mean_us": round(v[0] / max(v[1], 1), 2)}
-                for k, v in top_events],
-        }
-    return planes, path
+    try:
+        return summarize_trace(trace_dir, top=top)
+    except FileNotFoundError as e:
+        return {"error": str(e)}, None
 
 
 def main():

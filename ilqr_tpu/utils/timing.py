@@ -44,6 +44,67 @@ def profile(logdir: str = "/tmp/ilqr_tpu_profile"):
         yield
 
 
+def summarize_trace(logdir: str, top: int = 40):
+    """Aggregate a ``profile()``/``jax.profiler.trace`` capture by
+    (plane, event name) without tensorboard: parses the xplane protobuf
+    dump directly and returns ``(planes, xplane_path)`` where planes maps
+    plane name (e.g. ``/device:TPU:0``, ``/host:CPU``) to
+    ``{n_events, n_lines, span_ms, top_events: [{name, total_us, count,
+    mean_us}, ...]}`` sorted by total time.
+
+    This is how the committed fused-iteration trace was reduced to the
+    per-phase device table in BENCH_NOTES round 4 (per-iteration while
+    body 259.7 µs etc.); see experiments/trace_probe.py for the capture
+    recipe.
+    """
+    import glob
+    import os
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    path = max(paths, key=os.path.getsize)
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    planes = {}
+    for plane in xspace.planes:
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        agg = {}
+        n_events = 0
+        span_lo, span_hi = None, 0
+        for line in plane.lines:
+            for ev in line.events:
+                n_events += 1
+                name = meta.get(ev.metadata_id, f"id{ev.metadata_id}")
+                dur_us = ev.duration_ps / 1e6
+                a = agg.setdefault(name, [0.0, 0])
+                a[0] += dur_us
+                a[1] += 1
+                t0 = line.timestamp_ns * 1e3 + ev.offset_ps / 1.0
+                if span_lo is None or t0 < span_lo:
+                    span_lo = t0
+                if t0 + ev.duration_ps > span_hi:
+                    span_hi = t0 + ev.duration_ps
+        top_events = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]
+        planes[plane.name] = {
+            "n_events": n_events,
+            "n_lines": len(plane.lines),
+            "span_ms": (round((span_hi - span_lo) / 1e9, 3)
+                        if span_lo is not None else 0.0),
+            "top_events": [
+                {"name": k[:120], "total_us": round(v[0], 1),
+                 "count": v[1],
+                 "mean_us": round(v[0] / max(v[1], 1), 2)}
+                for k, v in top_events],
+        }
+    return planes, path
+
+
 def profile_phases(model, params, cfg, dt, x0, u0, n_iters: int = 5,
                    batch: int = 0):
     """Per-phase breakdown of one solve — the reference's TIMESTUFF report

@@ -62,3 +62,36 @@ def test_plot_csv_roundtrip(tmp_path):
                          rng.normal(size=(10, 2)))
     plot_csv(csv, 4, 2, dt=0.02, save_path=png)
     assert os.path.exists(png)
+
+
+def test_summarize_trace_roundtrip(tmp_path):
+    """Capture a tiny CPU trace with profile() and reduce it with
+    summarize_trace — the same pipeline that produced the committed
+    fused-iteration device table (BENCH_NOTES round 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ilqr_tpu.utils.timing import profile, summarize_trace
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    f(x).block_until_ready()  # compile outside the trace
+    logdir = str(tmp_path / "trace")
+    with profile(logdir):
+        f(x).block_until_ready()
+    planes, path = summarize_trace(logdir, top=5)
+    assert path.endswith(".xplane.pb")
+    host = planes.get("/host:CPU")
+    assert host is not None and host["n_events"] > 0
+    ev = host["top_events"][0]
+    assert ev["total_us"] > 0 and ev["count"] >= 1
+    assert len(host["top_events"]) <= 5
+
+
+def test_summarize_trace_missing_dir(tmp_path):
+    import pytest as _pytest
+
+    from ilqr_tpu.utils.timing import summarize_trace
+
+    with _pytest.raises(FileNotFoundError):
+        summarize_trace(str(tmp_path / "nope"))
