@@ -53,3 +53,13 @@ def test_custom_model_script_runs():
     # this runs its __main__ demo path)
     out = _run("custom_model.py")
     assert out.strip()
+
+
+def test_aot_serving_smoke(tmp_path):
+    out = _run("aot_serving.py", "--precompile", "--serve", "--cpu",
+               "--blob", str(tmp_path / "s.aotexec"),
+               "--max-batch", "4", "--horizon", "10", "--max-iter", "3",
+               "--requests", "3", "--path", "vmap")
+    assert "precompiled [vmap]" in out
+    assert "service cold-start" in out
+    assert "served 3 requests" in out
