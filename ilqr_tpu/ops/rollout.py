@@ -49,10 +49,13 @@ class LineSearchResult(NamedTuple):
 
 # TPU-proven envelope for the per-stage kernels on the vmap path: m ≤ 8
 # (auto-engaged in the m=4 bench modes and the m=6/m=8 equivalence legs,
-# all rc=0 on device). At m=12 the auto-engaged rollout/derivs kernels
-# crashed the TPU worker with a kernel fault on first contact
-# (experiments/round4_log.txt, 2026-08-20 11:53) — "auto" therefore caps
-# at the proven width; explicit "pallas" still forces engagement.
+# all rc=0 on device). At m=12 the vmap-path solve crashed the TPU
+# worker ("kernel fault") BOTH with the kernels auto-engaged and with
+# them pinned off (experiments/round4_log.txt, 2026-08-20 11:53 and
+# 12:41; the same program runs fine on CPU), so the fault is in the
+# XLA:TPU backend at that shape, not necessarily these kernels — but
+# "auto" still caps at the proven width as defense in depth; explicit
+# "pallas" forces engagement (e.g. to re-probe after a backend fix).
 MAX_STAGE_KERNEL_M = 8
 
 
