@@ -18,6 +18,15 @@ backend, and jax version. ``AotSolver`` records that metadata alongside
 the payload and refuses a mismatched load with a clear error instead of
 letting PJRT fail obscurely (or SIGILL, for CPU blobs compiled on a
 different host).
+
+Backend support: TPU is the deployment target and is verified
+cross-process on hardware (BENCH_NOTES round 4: load 1.5 s, first exec
+1.9 s, bit-identical results). The CPU backend can save/load within ONE
+process (covered by tests/test_aot.py), but executing a CPU blob in a
+*different* process SIGILLs in this jax build — XLA:CPU's AOT loader
+itself warns that its recorded machine features don't match the host
+("Compile machine features ... vs host machine features ...",
+cpu_aot_loader.cc). Treat CPU AOT as test-only.
 """
 
 from __future__ import annotations
