@@ -120,9 +120,9 @@ _PROBLEMS = {
     # m=8 cap; zero thrust is the natural initial control (no gravity)
     "free_flyer": dict(model="free_flyer", T=120, goal=None,
                        x0=(0.0,) * 6, dt=0.05),
-    # 12-thruster planar ring: m=12 > MAX_FUSED_M — exercises the
-    # fixed-shape projected-Newton vmap path (boxqp_mode auto→pn_fixed
-    # on TPU)
+    # 12-thruster planar ring: AT the raised MAX_FUSED_M = 12 cap (the
+    # widest in-kernel projected-Newton QP); the vmap path exercises
+    # the fixed-shape pn boxQP (boxqp_mode auto→pn_fixed on TPU)
     "thruster_ring": dict(model="thruster_ring", T=100, goal=None,
                           x0=(0.0,) * 6, dt=0.05),
 }
@@ -191,13 +191,11 @@ def main(argv=None) -> int:
             rng.normal(size=(args.batch, model.n))
         ).astype(x0.dtype)
         t0 = time.perf_counter()
-        use_fused = (model.has_soa and model.m <= 3
-                     and not cfg.full_ddp
-                     and (cfg.sweep_kernel == "merged" or model.m == 1)
-                     and (cfg.boxqp_mode in ("auto", "enum")
-                          if cfg.use_control_limits
-                          else cfg.sweep_kernel == "merged")
+        from ilqr_tpu.fused import fused_applicable
+
+        use_fused = (fused_applicable(model, cfg)
                      and cfg.backward_mode == "scan"
+                     and not args.x64  # fused kernels are f32-only
                      and jax.default_backend() == "tpu")
         if use_fused:
             from ilqr_tpu.fused import solve_batch_fused

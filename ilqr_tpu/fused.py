@@ -387,6 +387,25 @@ def _finish_iteration(cfg, state, frozen, lam, dlam, gnorm, grad_term,
     )
 
 
+def fused_applicable(model: Model, cfg: SolverConfig) -> bool:
+    """True iff ``solve_batch_fused``'s own guards would accept
+    (model, cfg) — the single source of truth for callers (CLI, serve,
+    bench) choosing between the fused and vmap paths. Mirrors the
+    ValueError guards below; keep in sync."""
+    from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+
+    if model.m > MAX_FUSED_M or cfg.full_ddp or not model.has_soa:
+        return False
+    if model.m >= 2 and cfg.sweep_kernel != "merged":
+        return False
+    if not cfg.use_control_limits and cfg.sweep_kernel != "merged":
+        return False
+    if cfg.use_control_limits and cfg.boxqp_mode not in (
+            "auto", "enum", "pn_fixed"):
+        return False
+    return True
+
+
 def solve_batch_fused(
     model: Model, params, cfg: SolverConfig, dt, x0, u0,
     params_batched: bool = False, interpret=None,

@@ -1044,3 +1044,22 @@ def test_fused_rejects_m_above_cap():
         solve_batch_fused(m13, p, SolverConfig(), 0.05,
                           jnp.zeros((2, 6), jnp.float32),
                           jnp.zeros((2, 4, 13), jnp.float32))
+
+
+def test_fused_applicable_mirrors_guards():
+    """fused_applicable must agree with solve_batch_fused's ValueError
+    guards (it is the path-selection source of truth for the CLI/serve)."""
+    from ilqr_tpu.config import SolverConfig
+    from ilqr_tpu.fused import fused_applicable
+    from ilqr_tpu.models import get_model
+
+    ok = SolverConfig()
+    assert fused_applicable(get_model("acrobot"), ok)
+    assert fused_applicable(get_model("thruster_ring"), ok)  # m = 12 cap
+    assert not fused_applicable(get_model("acrobot"),
+                                SolverConfig(full_ddp=True,
+                                             deriv_mode="analytic"))
+    assert not fused_applicable(get_model("quadrotor"),
+                                SolverConfig(sweep_kernel="split"))
+    assert not fused_applicable(get_model("acrobot"),
+                                SolverConfig(boxqp_mode="iterative"))
