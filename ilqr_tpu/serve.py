@@ -155,6 +155,50 @@ class SolverService:
             inner = jax.jit(jax.vmap(
                 lambda x, u: solve(model, params, cfg, dt, x, u)))
 
+        # --- single-transfer D2H packing -------------------------------
+        # The axon tunnel charges ~26 ms PER D2H transfer regardless of
+        # size (the dispatch-floor cost model, BENCH_NOTES), and a
+        # Solution has 10 leaves — fetching the tree costs ~260 ms of
+        # round trips on top of the ~250 ms solve (measured: unloaded
+        # serve latency 533 ms, chain E). So when every output leaf is
+        # 32-bit, the dispatch program itself concatenates the raveled
+        # leaves (i32 leaves bitcast to f32, width-preserving) into ONE
+        # flat array — one transfer — and the host views/reshapes them
+        # back. Skipped for AOT executables (their program is fixed) and
+        # for 64-bit leaves (CPU x64 runs; bitcast would change widths).
+        self._pack = None
+        if aot is None and (path != "fused" or self._max_batch <= 1024):
+            x0_s = jax.ShapeDtypeStruct((self._max_batch, model.n),
+                                        jnp.float32)
+            u0_s = jax.ShapeDtypeStruct(
+                (self._max_batch, self._T, model.m), jnp.float32)
+            out_s = jax.eval_shape(inner, x0_s, u0_s)
+            leaves_s, treedef = jax.tree_util.tree_flatten(out_s)
+            if all(l.dtype.itemsize == 4 for l in leaves_s):
+                sizes = [int(np.prod(l.shape)) for l in leaves_s]
+                raw = inner
+
+                def packed(x, u):
+                    sol = raw(x, u)
+                    flat = [
+                        (jax.lax.bitcast_convert_type(l, jnp.float32)
+                         if l.dtype != jnp.float32 else l).ravel()
+                        for l in jax.tree_util.tree_leaves(sol)]
+                    return jnp.concatenate(flat)
+
+                inner = jax.jit(packed)
+                splits = np.cumsum(sizes)[:-1]
+
+                def unpack(flat_np):
+                    parts = np.split(flat_np, splits)
+                    arrs = [
+                        (p.view(np.dtype(l.dtype)) if l.dtype
+                         != np.float32 else p).reshape(l.shape)
+                        for p, l in zip(parts, leaves_s)]
+                    return jax.tree_util.tree_unflatten(treedef, arrs)
+
+                self._pack = unpack
+
         def _solve(x0b, u0b):
             # Pad EVERY dispatch to max_batch — IN NUMPY — so exactly one
             # program shape ever reaches the device: one (max_batch, ...)
@@ -174,9 +218,13 @@ class SolverService:
             pu = np.empty((n_pad,) + u0b.shape[1:], np.float32)
             px[:b], pu[:b] = x0b, u0b
             px[b:], pu[b:] = x0b[0], u0b[0]
-            sol = inner(jnp.asarray(px), jnp.asarray(pu))
-            # Full-shape D2H here (numpy leaves), then slice on host.
-            sol = jax.tree_util.tree_map(np.asarray, sol)
+            out = inner(jnp.asarray(px), jnp.asarray(pu))
+            if self._pack is not None:
+                # ONE flat D2H transfer, then host-side view/reshape.
+                sol = self._pack(np.asarray(out))
+            else:
+                # Full-shape D2H per leaf (numpy), then slice on host.
+                sol = jax.tree_util.tree_map(np.asarray, out)
             return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
         self._solve = _solve

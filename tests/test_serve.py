@@ -197,3 +197,29 @@ def test_solver_exception_propagates_to_all_futures():
     for f in futs:
         with pytest.raises(RuntimeError, match="kernel exploded"):
             f.result(timeout=0)
+
+
+def test_packed_d2h_roundtrip_dtypes():
+    """The single-transfer D2H pack bitcasts i32 leaves through f32;
+    integer fields must come back bit-exact, and the packed path must
+    actually be engaged (all solver output leaves are 32-bit)."""
+    import numpy as np
+
+    from ilqr_tpu import SolverConfig, get_model
+    from ilqr_tpu.models import double_integrator as di
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=6)
+    svc = SolverService(model, di.default_params(), cfg, 0.05, 12,
+                        max_batch=4, path="vmap", autostart=False)
+    assert svc._pack is not None, "packing should engage (32-bit leaves)"
+    fut = svc.submit(np.array([0.5, -0.2, 0.0, 0.1], np.float32))
+    assert svc._run_once(block=True)
+    sol = fut.result(timeout=0)
+    assert sol.iterations.dtype == np.int32
+    assert 1 <= int(sol.iterations) <= 6
+    assert sol.reason.dtype == np.int32
+    assert int(sol.reason) in (1, 2, 3, 4)
+    assert sol.xs.dtype == np.float32 and sol.xs.shape == (13, 4)
+    svc.close()
