@@ -50,5 +50,7 @@ grep -q "DONE_ROUND4G_CHAIN" "$LOG" || {
 
 run_step serve_packed 3600 env SERVE_TAG=serve_packed \
   python experiments/serve_tpu.py
+run_step serve_packed_open 3600 env SERVE_TAG=serve_packed_open SERVE_OPEN=1 \
+  python experiments/serve_tpu.py
 
 echo DONE_ROUND4H_CHAIN >> "$LOG"

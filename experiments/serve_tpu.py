@@ -27,6 +27,10 @@ CLIENTS = int(os.environ.get("SERVE_CLIENTS", "64"))
 REQS = int(os.environ.get("SERVE_REQS", "40"))       # per client
 RATE_HZ = float(os.environ.get("SERVE_RATE_HZ", "8"))  # per client
 WAIT_MS = float(os.environ.get("SERVE_WAIT_MS", "5"))
+OPEN_LOOP = os.environ.get("SERVE_OPEN", "0") == "1"  # fire-and-collect:
+# clients submit on their Poisson schedule WITHOUT waiting for results,
+# so coalescing can fill batches toward the offered rate (the closed-
+# loop default caps in-flight at CLIENTS and lanes/batch at ~CLIENTS/2)
 T = int(os.environ.get("SERVE_T", "199"))
 MAX_ITER = int(os.environ.get("SERVE_MAX_ITER", "10"))
 PATH = os.environ.get("SERVE_PATH", "fused")  # 'vmap' for CPU dry runs
@@ -82,24 +86,38 @@ def main():
     lats = []
     errors = []
 
+    def _record(t1, fut, timeout=0):
+        # timeout=0 on the open-loop callback path (the future is already
+        # resolved when add_done_callback fires); closed loop blocks.
+        try:
+            s = fut.result(timeout=timeout)
+            dt_req = time.perf_counter() - t1
+            ok = np.isfinite(float(s.cost))
+        except Exception as e:  # noqa: BLE001 — recorded, not raised
+            with lat_lock:
+                errors.append(repr(e))
+            return
+        with lat_lock:
+            lats.append(dt_req)
+            if not ok:
+                errors.append("non-finite cost")
+
+    open_futs = []
+
     def client(i):
         crng = np.random.default_rng(1000 + i)
         for _ in range(REQS):
             time.sleep(float(crng.exponential(1.0 / RATE_HZ)))
             x0 = 0.05 * crng.normal(size=4).astype(np.float32)
             t1 = time.perf_counter()
-            try:
-                s = svc.solve(x0, timeout=600)
-                dt_req = time.perf_counter() - t1
-                ok = np.isfinite(float(s.cost))
-            except Exception as e:  # noqa: BLE001 — recorded, not raised
+            if OPEN_LOOP:
+                fut = svc.submit(x0)
+                fut.add_done_callback(
+                    lambda f, t1=t1: _record(t1, f))
                 with lat_lock:
-                    errors.append(repr(e))
-                continue
-            with lat_lock:
-                lats.append(dt_req)
-                if not ok:
-                    errors.append("non-finite cost")
+                    open_futs.append(fut)
+            else:
+                _record(t1, svc.submit(x0), timeout=600)
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(CLIENTS)]
@@ -108,6 +126,12 @@ def main():
         th.start()
     for th in threads:
         th.join()
+    if OPEN_LOOP:
+        for f in open_futs:
+            try:
+                f.result(timeout=600)
+            except Exception:  # noqa: BLE001 — already recorded
+                pass
     load_s = time.perf_counter() - t_load
     stats = {k: svc.stats[k] - base.get(k, 0) for k in
              ("requests", "batches", "lanes", "solve_s")}
