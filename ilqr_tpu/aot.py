@@ -71,7 +71,23 @@ class AotSolver:
                 "Re-run compile_solver for other shapes.")
         if x0.dtype != jnp.float32 or u0.dtype != jnp.float32:
             raise ValueError("AOT solves are float32 (pass f32 inputs)")
-        return self.compiled(x0, u0)
+        out = self.compiled(x0, u0)
+        specs = self.meta.get("packed_leaves")
+        if specs is None:
+            return out
+        # Packed executable: the program returned ONE flat f32 array (all
+        # Solution leaves raveled, i32 bitcast through f32) so the fetch
+        # is a single D2H transfer (~26 ms/transfer on the TPU tunnel ×
+        # 10 leaves otherwise — BENCH_NOTES round 4). Unpack on host;
+        # the returned Solution holds numpy arrays.
+        flat = np.asarray(out)
+        sizes = [int(np.prod(sh)) for sh, _ in specs]
+        parts = np.split(flat, np.cumsum(sizes)[:-1])
+        arrs = [
+            (p.view(np.dtype(dt_)) if np.dtype(dt_) != np.float32
+             else p).reshape(sh)
+            for p, (sh, dt_) in zip(parts, specs)]
+        return Solution(*arrs)
 
     # ---- persistence -----------------------------------------------------
 
@@ -136,9 +152,31 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
     u0_shape = (batch, horizon, model.m)
     args = (jnp.zeros(x0_shape, jnp.float32),
             jnp.zeros(u0_shape, jnp.float32))
+
+    # Single-transfer D2H: when every output leaf is 32-bit (always, for
+    # this solver), the compiled program returns ONE flat f32 array (i32
+    # leaves bitcast, width-preserving) instead of the 10-leaf Solution
+    # tree — one D2H round trip instead of ten (~26 ms each on the TPU
+    # tunnel). __call__ unpacks on host using meta["packed_leaves"].
+    out_s = jax.eval_shape(fn, *args)
+    leaves_s = jax.tree_util.tree_leaves(out_s)
+    packed_leaves = None
+    if all(l.dtype.itemsize == 4 for l in leaves_s):
+        packed_leaves = [(tuple(int(d) for d in l.shape), str(l.dtype))
+                         for l in leaves_s]
+        raw_fn = fn
+
+        def fn(x0, u0):  # noqa: F811 — packed wrapper replaces fn
+            sol = raw_fn(x0, u0)
+            return jnp.concatenate([
+                (jax.lax.bitcast_convert_type(l, jnp.float32)
+                 if l.dtype != jnp.float32 else l).ravel()
+                for l in jax.tree_util.tree_leaves(sol)])
+
     compiled = jax.jit(fn).lower(*args).compile()
     meta = {"model": getattr(model, "name", repr(model)), "path": path,
             "x0_shape": x0_shape, "u0_shape": u0_shape,
+            "packed_leaves": packed_leaves,
             "dt": float(dt), "max_iter": int(cfg.max_iter),
             # the unsharded jit compiles a 1-device program; load() must
             # bind the executable to exactly this many devices (the
