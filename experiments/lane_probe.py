@@ -77,5 +77,53 @@ def main():
     print(json.dumps(out), flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("LANE_SVC") != "1":
     main()
+
+
+def service_variant():
+    """Chain-J follow-up: chain G's serve phase (via SolverService)
+    measured lane-0 cost = saved[0] +/- 2.6e-3 while the direct-call
+    probe above is bit-exact. Reproduce the service path precisely and
+    print the exact bits + the padded input checksums."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    a = jnp.ones((256, 256), jnp.float32)
+    (a @ a).block_until_ready()
+    print(f"[lane-svc] health {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    from ilqr_tpu import SolverConfig, get_model
+    from ilqr_tpu.models import acrobot as ac
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("acrobot")
+    params = ac.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=10)
+    svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
+                        max_batch=B, max_wait_ms=2.0, path="fused",
+                        aot=BLOB)
+    rng = np.random.default_rng(7)
+    x0_all = 0.05 * rng.normal(size=(B, 4)).astype(np.float32)
+    first = svc.solve(x0_all[0], timeout=600)
+    second = svc.solve(x0_all[0], timeout=600)  # repeat for determinism
+    svc.close(timeout=60)
+    saved = np.load(COSTS) if os.path.exists(COSTS) else None
+    out = {
+        "mode": "lane_probe_service", "B": B, "T": T,
+        "first_cost_hex": float(first.cost).hex(),
+        "first_cost": float(first.cost),
+        "second_delta": abs(float(first.cost) - float(second.cost)),
+        "saved0": None if saved is None else float(saved[0]),
+        "d_vs_saved0": None if saved is None else
+        abs(float(first.cost) - float(saved[0])),
+        "x0_checksum": float(np.float64(x0_all[0]).sum()),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("LANE_SVC") == "1":
+    service_variant()

@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-4 chain I: lane-coupling probe — localize the 2.6e-3 lane-0
+# cost delta between the distinct and padded-replicated batches seen by
+# serve_aot_serve. Uses the chain-G AOT blob, so NO compile: one cheap
+# process, three solves + a determinism control.
+# REQUIRED env: CHAIN_DEADLINE (epoch).
+cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH}"
+OUT=experiments/secondary_results.jsonl
+LOG=experiments/round4_log.txt
+DEADLINE=${CHAIN_DEADLINE:-0}
+
+probe_retry() {
+  for i in $(seq 1 12); do
+    if timeout 150 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((256,256)); y = np.asarray(x @ x)
+assert y[0,0] == 256.0
+print('HEALTHY')
+" 2>/dev/null | grep -q HEALTHY; then return 0; fi
+    echo "r4j: probe $i unhealthy $(date)" >> "$LOG"
+    sleep 120
+  done
+  return 1
+}
+
+run_step() {
+  name=$1; tmo=$2; shift 2
+  now=$(date +%s)
+  if [ "$now" -ge "$DEADLINE" ]; then
+    echo "r4j: SKIP $name (past deadline) $(date)" >> "$LOG"; return 1
+  fi
+  if ! probe_retry; then
+    echo "r4j: SKIP $name (tunnel never healthy) $(date)" >> "$LOG"; return 1
+  fi
+  echo "=== r4j step $name $(date) ===" >> "$LOG"
+  timeout "$tmo" "$@" >> "$OUT" 2>> "$LOG"
+  rc=$?
+  echo "r4j: $name rc=$rc $(date)" >> "$LOG"
+  sleep 30
+  return $rc
+}
+
+for i in $(seq 1 480); do
+  if grep -q "DONE_ROUND4I_CHAIN" "$LOG" 2>/dev/null; then break; fi
+  sleep 60
+done
+grep -q "DONE_ROUND4I_CHAIN" "$LOG" || {
+  echo "r4j: chain I never finished, exiting $(date)" >> "$LOG"; exit 1; }
+
+run_step lane_probe_svc 1200 env LANE_SVC=1 python experiments/lane_probe.py
+
+echo DONE_ROUND4J_CHAIN >> "$LOG"
