@@ -23,6 +23,7 @@ import numpy as np
 
 BLOB = os.environ.get("SA_BLOB", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "serve_aot.aotexec"))
+COSTS = BLOB + ".costs.npy"
 B, T = 1024, 199
 
 
@@ -107,7 +108,7 @@ def service_variant():
                         max_batch=B, max_wait_ms=2.0, path="fused",
                         aot=BLOB)
     rng = np.random.default_rng(7)
-    x0_all = 0.05 * rng.normal(size=(B, 4)).astype(np.float32)
+    x0_all = (0.05 * rng.normal(size=(B, 4))).astype(np.float32)
     first = svc.solve(x0_all[0], timeout=600)
     second = svc.solve(x0_all[0], timeout=600)  # repeat for determinism
     svc.close(timeout=60)

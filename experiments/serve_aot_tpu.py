@@ -87,7 +87,7 @@ def main():
                             aot=BLOB)
         out["svc_construct_s"] = round(time.perf_counter() - t0, 2)
         # first request: same x0[0] draw as the save phase's lane 0
-        x0_all = 0.05 * rng.normal(size=(B, 4)).astype(np.float32)
+        x0_all = (0.05 * rng.normal(size=(B, 4))).astype(np.float32)
         t0 = time.perf_counter()
         first = svc.solve(x0_all[0], timeout=600)
         out["first_solution_s"] = round(time.perf_counter() - t0, 2)
