@@ -86,6 +86,16 @@ class SolverService:
         request for more to coalesce. 0 disables waiting (each dispatch
         takes whatever is queued at that instant).
       path: 'auto' (fused on TPU, vmap elsewhere), 'fused', or 'vmap'.
+      mesh: a ``jax.sharding.Mesh`` — the service then dispatches every
+        padded batch through the SHARDED solver (``parallel.mesh.
+        make_sharded_fused_solver`` / ``make_sharded_solver``), splitting
+        ``max_batch`` lanes across the mesh devices (data parallel, zero
+        cross-device collectives in the hot loop). ``max_batch`` must be
+        divisible by the mesh size; on the fused path each device's shard
+        (``max_batch / mesh.size``) must be ≤ 1024. Mutually exclusive
+        with ``aot`` (executables are currently single-device). The
+        single-transfer D2H packing is skipped under a mesh (the gather
+        happens at fetch).
       aot: an ``ilqr_tpu.aot.AotSolver`` (or a path to one saved with
         ``AotSolver.save``) compiled at exactly ``(max_batch, horizon)``
         — the service then dispatches through the pre-compiled
@@ -101,11 +111,24 @@ class SolverService:
     def __init__(self, model: Model, params, cfg: SolverConfig, dt: float,
                  horizon: int, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, path: str = "auto",
-                 aot=None, autostart: bool = True):
+                 mesh=None, aot=None, autostart: bool = True):
         if path not in ("auto", "fused", "vmap"):
             raise ValueError(f"unknown path {path!r}")
         if path == "auto":
             path = "fused" if jax.default_backend() == "tpu" else "vmap"
+        if mesh is not None and aot is not None:
+            raise ValueError("mesh and aot are mutually exclusive (AOT "
+                             "executables are single-device)")
+        if mesh is not None:
+            if max_batch % mesh.size:
+                raise ValueError(
+                    f"max_batch={max_batch} must be divisible by the mesh "
+                    f"size {mesh.size}")
+            if path == "fused" and max_batch // mesh.size > 1024:
+                raise ValueError(
+                    f"per-device shard {max_batch // mesh.size} exceeds "
+                    "the 1024-lane fused block; lower max_batch or use "
+                    "more devices")
         self._model = model
         self._params = params
         self._cfg = cfg
@@ -138,6 +161,23 @@ class SolverService:
                     f"does not match (max_batch={self._max_batch}, "
                     f"T={self._T}, m={model.m})")
             inner = aot
+        elif mesh is not None:
+            if path == "fused":
+                from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+                from ilqr_tpu.parallel.mesh import make_sharded_fused_solver
+
+                if model.m > MAX_FUSED_M:
+                    raise ValueError(
+                        f"path='fused' requires model.m <= {MAX_FUSED_M}")
+                if not model.has_soa:
+                    raise ValueError(
+                        "path='fused' requires model SoA functions")
+                run = make_sharded_fused_solver(model, cfg, mesh)
+            else:
+                from ilqr_tpu.parallel.mesh import make_sharded_solver
+
+                run = make_sharded_solver(model, cfg, mesh)
+            inner = lambda x, u: run(params, dt, x, u)  # noqa: E731
         elif path == "fused":
             from ilqr_tpu.fused import solve_batch_fused
             from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
@@ -174,7 +214,8 @@ class SolverService:
         # back. Skipped for AOT executables (their program is fixed) and
         # for 64-bit leaves (CPU x64 runs; bitcast would change widths).
         self._pack = None
-        if aot is None and (path != "fused" or self._max_batch <= 1024):
+        if (aot is None and mesh is None
+                and (path != "fused" or self._max_batch <= 1024)):
             x0_s = jax.ShapeDtypeStruct((self._max_batch, model.n),
                                         jnp.float32)
             u0_s = jax.ShapeDtypeStruct(

@@ -223,3 +223,49 @@ def test_packed_d2h_roundtrip_dtypes():
     assert int(sol.reason) in (1, 2, 3, 4)
     assert sol.xs.dtype == np.float32 and sol.xs.shape == (13, 4)
     svc.close()
+
+
+def test_service_over_mesh():
+    """Multi-device serving: the service dispatches each padded batch
+    through the sharded solver over the 8-virtual-device CPU mesh; the
+    per-request results must match the direct single-device solve."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ilqr_tpu import SolverConfig, get_model, solve
+    from ilqr_tpu.models import double_integrator as di
+    from ilqr_tpu.parallel.mesh import make_mesh
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+    mesh = make_mesh()
+    svc = SolverService(model, params, cfg, 0.05, 15, max_batch=8,
+                        path="vmap", mesh=mesh, autostart=False)
+    rng = np.random.default_rng(5)
+    x0s = [rng.normal(size=4).astype(np.float32) for _ in range(3)]
+    futs = [svc.submit(x) for x in x0s]
+    assert svc._run_once(block=True)
+    p32 = __import__("jax").tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    for x, f in zip(x0s, futs):
+        s = f.result(timeout=0)
+        ref = solve(model, p32, cfg, 0.05, jnp.asarray(x),
+                    jnp.zeros((15, 2), jnp.float32))
+        np.testing.assert_allclose(s.cost, np.asarray(ref.cost), rtol=1e-5)
+    svc.close()
+
+
+def test_service_mesh_validation():
+    from ilqr_tpu import SolverConfig, get_model
+    from ilqr_tpu.models import double_integrator as di
+    from ilqr_tpu.parallel.mesh import make_mesh
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    cfg = SolverConfig(deriv_mode="analytic")
+    with pytest.raises(ValueError, match="divisible by the mesh"):
+        SolverService(model, di.default_params(), cfg, 0.05, 10,
+                      max_batch=9, path="vmap", mesh=make_mesh(),
+                      autostart=False)
