@@ -1,8 +1,8 @@
 #!/bin/bash
-# Round-4 chain I: lane-coupling probe — localize the 2.6e-3 lane-0
-# cost delta between the distinct and padded-replicated batches seen by
-# serve_aot_serve. Uses the chain-G AOT blob, so NO compile: one cheap
-# process, three solves + a determinism control.
+# Round-4 chain J: SolverService-path bit-exactness check — reproduce
+# chain G's serve phase precisely (LANE_SVC=1 lane_probe.service_variant,
+# pad + packed D2H + unpack on the deserialized chain-G blob) and print
+# the exact lane-0 cost bits vs the save phase. No compile.
 # REQUIRED env: CHAIN_DEADLINE (epoch).
 cd /root/repo
 export PYTHONPATH="/root/repo:${PYTHONPATH}"

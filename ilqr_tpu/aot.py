@@ -27,6 +27,16 @@ process (covered by tests/test_aot.py), but executing a CPU blob in a
 itself warns that its recorded machine features don't match the host
 ("Compile machine features ... vs host machine features ...",
 cpu_aot_loader.cc). Treat CPU AOT as test-only.
+
+Persistent-compilation-cache interaction: ``compile_solver`` bypasses
+the cache for its own compile (an executable rehydrated from the cache
+does not survive serialize()), and on XLA:CPU a process that EXECUTES a
+deserialized executable while also rehydrating its eager programs from
+a persistent cache dies with "NOT_FOUND: Buffer Definition Event:
+Function wrapped_broadcast.N not found" — unset
+JAX_COMPILATION_CACHE_DIR in CPU serving processes that load blobs
+(tests/test_examples.py does). The TPU backend has no such issue
+(chain-G/I/J runs all loaded + executed blobs with normal env).
 """
 
 from __future__ import annotations
@@ -44,6 +54,40 @@ from ilqr_tpu.models.base import Model
 from ilqr_tpu.types import Solution
 
 _MAGIC = "ilqr_tpu-aot-v1"
+
+
+
+def pack_specs(out_shapes):
+    """(shape, dtype-str) per leaf of an eval_shape'd output tree when
+    every leaf is 32-bit (packable), else None."""
+    leaves = jax.tree_util.tree_leaves(out_shapes)
+    if not all(l.dtype.itemsize == 4 for l in leaves):
+        return None
+    return [(tuple(int(d) for d in l.shape), str(l.dtype)) for l in leaves]
+
+
+def pack_leaves(tree):
+    """Device-side: ravel every leaf (i32 bitcast through f32,
+    width-preserving) and concatenate into ONE flat f32 array — one D2H
+    transfer instead of one per leaf (~26 ms each on the TPU tunnel,
+    BENCH_NOTES round 4)."""
+    return jnp.concatenate([
+        (jax.lax.bitcast_convert_type(l, jnp.float32)
+         if l.dtype != jnp.float32 else l).ravel()
+        for l in jax.tree_util.tree_leaves(tree)])
+
+
+def unpack_flat(flat_np, specs):
+    """Host-side inverse of :func:`pack_leaves`: split the fetched flat
+    array by the recorded specs and view/reshape each leaf back. The
+    returned arrays are VIEWS into one buffer — callers handing slices
+    to long-lived consumers should copy them (serve.py does)."""
+    sizes = [int(np.prod(sh)) for sh, _ in specs]
+    parts = np.split(np.asarray(flat_np), np.cumsum(sizes)[:-1])
+    return [
+        (p.view(np.dtype(dt_)) if np.dtype(dt_) != np.float32
+         else p).reshape(sh)
+        for p, (sh, dt_) in zip(parts, specs)]
 
 
 @dataclass
@@ -75,19 +119,10 @@ class AotSolver:
         specs = self.meta.get("packed_leaves")
         if specs is None:
             return out
-        # Packed executable: the program returned ONE flat f32 array (all
-        # Solution leaves raveled, i32 bitcast through f32) so the fetch
-        # is a single D2H transfer (~26 ms/transfer on the TPU tunnel ×
-        # 10 leaves otherwise — BENCH_NOTES round 4). Unpack on host;
-        # the returned Solution holds numpy arrays.
-        flat = np.asarray(out)
-        sizes = [int(np.prod(sh)) for sh, _ in specs]
-        parts = np.split(flat, np.cumsum(sizes)[:-1])
-        arrs = [
-            (p.view(np.dtype(dt_)) if np.dtype(dt_) != np.float32
-             else p).reshape(sh)
-            for p, (sh, dt_) in zip(parts, specs)]
-        return Solution(*arrs)
+        # Packed executable: the program returned ONE flat f32 array so
+        # the fetch is a single D2H transfer; unpack on host (the
+        # returned Solution holds numpy views into one buffer).
+        return Solution(*unpack_flat(out, specs))
 
     # ---- persistence -----------------------------------------------------
 
@@ -122,8 +157,11 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
     if path not in ("auto", "fused", "vmap"):
         raise ValueError(f"unknown path {path!r}")
     if path == "auto":
+        from ilqr_tpu.fused import fused_applicable
+
         path = ("fused" if jax.default_backend() == "tpu"
-                and model.has_soa else "vmap")
+                and fused_applicable(model, cfg) and batch <= 1024
+                else "vmap")
 
     if path == "fused":
         from ilqr_tpu.fused import solve_batch_fused
@@ -158,22 +196,34 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
     # leaves bitcast, width-preserving) instead of the 10-leaf Solution
     # tree — one D2H round trip instead of ten (~26 ms each on the TPU
     # tunnel). __call__ unpacks on host using meta["packed_leaves"].
-    out_s = jax.eval_shape(fn, *args)
-    leaves_s = jax.tree_util.tree_leaves(out_s)
+    # Pack only on TPU: the single-transfer win is the TPU tunnel's ~26
+    # ms/transfer floor, and XLA:CPU's AOT deserializer cannot load the
+    # packed program under a multi-device host ("Buffer Definition
+    # Event: Function wrapped_broadcast not found" — another CPU-AOT
+    # defect alongside the cross-process SIGILL documented above). The
+    # pack/unpack helpers themselves are CPU-tested directly.
     packed_leaves = None
-    if all(l.dtype.itemsize == 4 for l in leaves_s):
-        packed_leaves = [(tuple(int(d) for d in l.shape), str(l.dtype))
-                         for l in leaves_s]
+    if jax.default_backend() == "tpu":
+        packed_leaves = pack_specs(jax.eval_shape(fn, *args))
+    if packed_leaves is not None:
         raw_fn = fn
 
         def fn(x0, u0):  # noqa: F811 — packed wrapper replaces fn
-            sol = raw_fn(x0, u0)
-            return jnp.concatenate([
-                (jax.lax.bitcast_convert_type(l, jnp.float32)
-                 if l.dtype != jnp.float32 else l).ravel()
-                for l in jax.tree_util.tree_leaves(sol)])
+            return pack_leaves(raw_fn(x0, u0))
 
-    compiled = jax.jit(fn).lower(*args).compile()
+    # Bypass the persistent compilation cache for this compile: an
+    # executable REHYDRATED from the cache loses runtime metadata that
+    # serialize()/deserialize_and_load needs (observed on XLA:CPU as
+    # "NOT_FOUND: Buffer Definition Event: Function wrapped_broadcast.N
+    # not found" at the first D2H). AOT is a pay-the-tax-once operation
+    # and we persist the executable ourselves, so the cache adds nothing
+    # here anyway.
+    cache_was = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", cache_was)
     meta = {"model": getattr(model, "name", repr(model)), "path": path,
             "x0_shape": x0_shape, "u0_shape": u0_shape,
             "packed_leaves": packed_leaves,

@@ -160,6 +160,19 @@ class SolverService:
                     f"AOT executable u0 shape {tuple(aot.meta['u0_shape'])} "
                     f"does not match (max_batch={self._max_batch}, "
                     f"T={self._T}, m={model.m})")
+            # The blob bakes in model dynamics, dt, and the solver config
+            # — shape checks alone would let a mismatched executable
+            # silently serve wrong solutions. Validate what meta records.
+            for key, want in (("model", getattr(model, "name", None)),
+                              ("dt", float(dt)),
+                              ("max_iter", int(cfg.max_iter))):
+                got_m = aot.meta.get(key)
+                if got_m is not None and got_m != want:
+                    raise ValueError(
+                        f"AOT executable was compiled with {key}={got_m!r} "
+                        f"but the service was constructed with {want!r}; "
+                        "recompile with aot.compile_solver for this "
+                        "configuration")
             inner = aot
         elif mesh is not None:
             if path == "fused":
@@ -179,20 +192,25 @@ class SolverService:
                 run = make_sharded_solver(model, cfg, mesh)
             inner = lambda x, u: run(params, dt, x, u)  # noqa: E731
         elif path == "fused":
-            from ilqr_tpu.fused import solve_batch_fused
+            from ilqr_tpu.fused import fused_applicable, solve_batch_fused
             from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
 
-            # Fail fast: mirror solve_batch_fused's own guards here so a
-            # misconfigured service errors at construction, not per-batch
-            # via future exceptions on the first dispatch.
-            if model.m > MAX_FUSED_M:
+            # Fail fast: consult solve_batch_fused's own applicability
+            # check so a misconfigured service errors at construction,
+            # not per-batch via future exceptions on the first dispatch.
+            if not fused_applicable(model, cfg):
+                if model.m > MAX_FUSED_M:
+                    raise ValueError(
+                        f"path='fused' requires model.m <= {MAX_FUSED_M}, "
+                        f"got m={model.m}; use path='vmap'")
+                if not model.has_soa:
+                    raise ValueError(
+                        "path='fused' requires a model with SoA functions "
+                        "(models/base.py); use path='vmap'")
                 raise ValueError(
-                    f"path='fused' requires model.m <= {MAX_FUSED_M}, "
-                    f"got m={model.m}; use path='vmap'")
-            if not model.has_soa:
-                raise ValueError(
-                    "path='fused' requires a model with SoA functions "
-                    "(models/base.py); use path='vmap'")
+                    "this SolverConfig is not fused-compatible "
+                    "(full_ddp, sweep_kernel, or boxqp_mode — see "
+                    "fused.fused_applicable); use path='vmap'")
 
             inner = functools.partial(solve_batch_fused, model, params,
                                       cfg, dt)
@@ -216,36 +234,20 @@ class SolverService:
         self._pack = None
         if (aot is None and mesh is None
                 and (path != "fused" or self._max_batch <= 1024)):
+            from ilqr_tpu.aot import pack_leaves, pack_specs, unpack_flat
+
             x0_s = jax.ShapeDtypeStruct((self._max_batch, model.n),
                                         jnp.float32)
             u0_s = jax.ShapeDtypeStruct(
                 (self._max_batch, self._T, model.m), jnp.float32)
             out_s = jax.eval_shape(inner, x0_s, u0_s)
-            leaves_s, treedef = jax.tree_util.tree_flatten(out_s)
-            if all(l.dtype.itemsize == 4 for l in leaves_s):
-                sizes = [int(np.prod(l.shape)) for l in leaves_s]
+            specs = pack_specs(out_s)
+            if specs is not None:
+                treedef = jax.tree_util.tree_structure(out_s)
                 raw = inner
-
-                def packed(x, u):
-                    sol = raw(x, u)
-                    flat = [
-                        (jax.lax.bitcast_convert_type(l, jnp.float32)
-                         if l.dtype != jnp.float32 else l).ravel()
-                        for l in jax.tree_util.tree_leaves(sol)]
-                    return jnp.concatenate(flat)
-
-                inner = jax.jit(packed)
-                splits = np.cumsum(sizes)[:-1]
-
-                def unpack(flat_np):
-                    parts = np.split(flat_np, splits)
-                    arrs = [
-                        (p.view(np.dtype(l.dtype)) if l.dtype
-                         != np.float32 else p).reshape(l.shape)
-                        for p, l in zip(parts, leaves_s)]
-                    return jax.tree_util.tree_unflatten(treedef, arrs)
-
-                self._pack = unpack
+                inner = jax.jit(lambda x, u: pack_leaves(raw(x, u)))
+                self._pack = lambda flat_np: jax.tree_util.tree_unflatten(
+                    treedef, unpack_flat(flat_np, specs))
 
         def _solve(x0b, u0b):
             # Pad EVERY dispatch to max_batch — IN NUMPY — so exactly one
@@ -266,7 +268,14 @@ class SolverService:
             pu = np.empty((n_pad,) + u0b.shape[1:], np.float32)
             px[:b], pu[:b] = x0b, u0b
             px[b:], pu[b:] = x0b[0], u0b[0]
-            out = inner(jnp.asarray(px), jnp.asarray(pu))
+            if mesh is not None:
+                # hand numpy straight to the sharded runner: its
+                # device_put shards host->devices directly; jnp.asarray
+                # here would first commit the full batch to device 0 and
+                # pay an extra transfer + reshard per dispatch
+                out = inner(px, pu)
+            else:
+                out = inner(jnp.asarray(px), jnp.asarray(pu))
             if self._pack is not None:
                 # ONE flat D2H transfer, then host-side view/reshape.
                 sol = self._pack(np.asarray(out))
@@ -404,7 +413,11 @@ class SolverService:
             self.stats["solve_s"] += dt
         for i, r in enumerate(batch):
             r.future.set_result(jax.tree_util.tree_map(
-                lambda a, i=i: a[i], sol))
+                lambda a, i=i: np.array(a[i]), sol))
+            # np.array COPIES each per-lane slice (preserving 0-d
+            # scalars): without it the packed path's views would pin the
+            # whole batch's flat D2H buffer (~tens of MB) for as long as
+            # ANY caller keeps its (small) Solution alive.
 
     def _run_once(self, block: bool = True) -> bool:
         """One worker step; returns False on shutdown/empty. Test hook."""

@@ -119,3 +119,37 @@ def test_service_aot_shape_mismatch(aot_pair):
     with pytest.raises(ValueError, match="pinned to x0"):
         SolverService(model, params, cfg, 0.05, T, max_batch=B + 1,
                       path="vmap", aot=path, autostart=False)
+
+
+def test_pack_unpack_roundtrip_helpers():
+    """pack_leaves/unpack_flat (the single-transfer D2H layout used by
+    the TPU AOT executables and SolverService) round-trip a Solution-like
+    tree bit-exactly, including i32 leaves bitcast through f32."""
+    import jax
+
+    from ilqr_tpu.aot import pack_leaves, pack_specs, unpack_flat
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "xs": jnp.asarray(rng.normal(size=(3, 5, 4)), jnp.float32),
+        "iters": jnp.asarray([[7, -1, 2**30]], jnp.int32),
+        "cost": jnp.asarray(rng.normal(size=(3,)), jnp.float32),
+    }
+    specs = pack_specs(jax.eval_shape(lambda: tree))
+    flat = jax.jit(pack_leaves)(tree)
+    assert flat.ndim == 1 and flat.dtype == jnp.float32
+    arrs = unpack_flat(np.asarray(flat), specs)
+    leaves = jax.tree_util.tree_leaves(tree)
+    for got, want in zip(arrs, leaves):
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_pack_specs_refuses_64bit():
+    import jax
+
+    from ilqr_tpu.aot import pack_specs
+
+    tree = {"a": jnp.zeros((2,), jnp.float32),
+            "b": jnp.zeros((2,), jnp.float64)}
+    assert pack_specs(jax.eval_shape(lambda: tree)) is None

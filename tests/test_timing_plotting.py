@@ -71,6 +71,8 @@ def test_summarize_trace_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
 
+    pytest.importorskip("tensorflow", reason="summarize_trace parses the "
+                        "xplane protobuf via tensorflow's bundled proto")
     from ilqr_tpu.utils.timing import profile, summarize_trace
 
     f = jax.jit(lambda x: (x @ x).sum())
@@ -91,6 +93,7 @@ def test_summarize_trace_roundtrip(tmp_path):
 def test_summarize_trace_missing_dir(tmp_path):
     import pytest as _pytest
 
+    _pytest.importorskip("tensorflow")
     from ilqr_tpu.utils.timing import summarize_trace
 
     with _pytest.raises(FileNotFoundError):
