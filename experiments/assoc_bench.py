@@ -3,7 +3,10 @@ serial lax.scan sweep (VERDICT r1 item 4 — first TPU numbers for the
 assoc path). Unconstrained double integrator, vmapped over B problems.
 
 Env: AB_B (batch, default 256), AB_T (horizon, default 499),
-AB_MODE (assoc | scan | both)
+AB_MODE (assoc | scan | both | frozen_pair). frozen_pair benches the
+round-4 control-LIMITED extension: backward_mode="assoc_frozen" (frozen
+active-set refinement sweeps in O(log T) depth, R=2) vs the serial scan
+with the iterative boxQP, both with limits ON.
 """
 
 import json
@@ -42,9 +45,19 @@ def main():
     u0 = jnp.zeros((B, T, 2), jnp.float32)
 
     results = {}
-    for mode in (["assoc", "scan"] if MODE == "both" else [MODE]):
-        cfg = SolverConfig(deriv_mode="analytic", use_control_limits=False,
-                           backward_mode=mode, backward_kernel="xla",
+    if MODE == "both":
+        modes = ["assoc", "scan"]
+    elif MODE == "frozen_pair":
+        modes = ["assoc_frozen", "scan_lim"]
+    else:
+        modes = [MODE]
+    for mode in modes:
+        limited = mode in ("assoc_frozen", "scan_lim")
+        cfg = SolverConfig(deriv_mode="analytic",
+                           use_control_limits=limited,
+                           backward_mode=("scan" if mode == "scan_lim"
+                                          else mode),
+                           backward_kernel="xla",
                            rollout_kernel="xla", deriv_kernel="xla")
 
         def one(x0b, u0b):
