@@ -81,7 +81,14 @@ class SolverService:
         the service's lifetime (one compiled program per path).
       horizon: trajectory length T; every request's ``u0`` must be (T, m).
       max_batch: coalescing cap per dispatch. On the vmap path this is
-        also the padded compile-time batch size.
+        also the padded compile-time batch size. Sizing note: every
+        dispatch pads to — and fetches — exactly ``max_batch`` lanes,
+        so the per-dispatch D2H payload scales with it while the fused
+        device time does not (the kernel always runs a 1024-lane
+        block). Size it to your expected coalesced burst: a service
+        seeing ≤100 concurrent requests is lower-latency at
+        ``max_batch=256`` than at the default 1024 (~4× less D2H),
+        with capacity capped at 256 lanes/dispatch.
       max_wait_ms: how long the worker waits after the FIRST queued
         request for more to coalesce. 0 disables waiting (each dispatch
         takes whatever is queued at that instant).
