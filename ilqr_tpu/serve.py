@@ -111,6 +111,14 @@ class SolverService:
         200-300 s lowering tax on the TPU tunnel (BENCH_NOTES round 4,
         aot_save/aot_load). The padded dispatch shape matches the AOT
         shape pin by construction.
+      fields: optional tuple of Solution field names (e.g. ``("us",
+        "cost", "iterations")``) — the dispatch program then computes
+        its packed D2H transfer from ONLY those leaves, shrinking the
+        per-dispatch payload (an MPC client that only consumes ``us``
+        cuts the fetch ~5×); unrequested fields come back as ``None``
+        in each per-request Solution. Bandwidth savings apply on the
+        packed path (no mesh/aot/64-bit leaves); elsewhere the filter
+        is applied host-side for API consistency.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -118,7 +126,15 @@ class SolverService:
     def __init__(self, model: Model, params, cfg: SolverConfig, dt: float,
                  horizon: int, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, path: str = "auto",
-                 mesh=None, aot=None, autostart: bool = True):
+                 mesh=None, aot=None, fields=None,
+                 autostart: bool = True):
+        if fields is not None:
+            bad = set(fields) - set(Solution._fields)
+            if bad:
+                raise ValueError(
+                    f"unknown Solution fields {sorted(bad)}; valid: "
+                    f"{Solution._fields}")
+            fields = tuple(fields)
         if path not in ("auto", "fused", "vmap"):
             raise ValueError(f"unknown path {path!r}")
         if path == "auto":
@@ -248,11 +264,21 @@ class SolverService:
             u0_s = jax.ShapeDtypeStruct(
                 (self._max_batch, self._T, model.m), jnp.float32)
             out_s = jax.eval_shape(inner, x0_s, u0_s)
-            specs = pack_specs(out_s)
+
+            def select(sol):
+                if fields is None:
+                    return sol
+                return Solution(*[
+                    (getattr(sol, f) if f in fields else None)
+                    for f in Solution._fields])
+
+            sel_s = select(out_s)
+            specs = pack_specs(sel_s)
             if specs is not None:
-                treedef = jax.tree_util.tree_structure(out_s)
+                treedef = jax.tree_util.tree_structure(sel_s)
                 raw = inner
-                inner = jax.jit(lambda x, u: pack_leaves(raw(x, u)))
+                inner = jax.jit(
+                    lambda x, u: pack_leaves(select(raw(x, u))))
                 self._pack = lambda flat_np: jax.tree_util.tree_unflatten(
                     treedef, unpack_flat(flat_np, specs))
 
@@ -289,6 +315,12 @@ class SolverService:
             else:
                 # Full-shape D2H per leaf (numpy), then slice on host.
                 sol = jax.tree_util.tree_map(np.asarray, out)
+                if fields is not None:
+                    # host-side filter (no bandwidth win on this path,
+                    # but the same per-request Solution shape)
+                    sol = Solution(*[
+                        (getattr(sol, f) if f in fields else None)
+                        for f in Solution._fields])
             return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
         self._solve = _solve

@@ -269,3 +269,40 @@ def test_service_mesh_validation():
         SolverService(model, di.default_params(), cfg, 0.05, 10,
                       max_batch=9, path="vmap", mesh=make_mesh(),
                       autostart=False)
+
+
+def test_fields_selective_payload():
+    """fields=: the dispatch packs only the requested Solution leaves;
+    unrequested fields come back None, requested ones match the full
+    solve bit-for-bit."""
+    import numpy as np
+
+    from ilqr_tpu import SolverConfig, get_model
+    from ilqr_tpu.models import double_integrator as di
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=6)
+    x0 = np.array([0.4, -0.1, 0.2, 0.0], np.float32)
+
+    full = SolverService(model, params, cfg, 0.05, 12, max_batch=4,
+                         path="vmap", autostart=False)
+    sel = SolverService(model, params, cfg, 0.05, 12, max_batch=4,
+                        path="vmap",
+                        fields=("us", "cost", "iterations"),
+                        autostart=False)
+    assert sel._pack is not None  # packed path engaged with selection
+
+    f_full, f_sel = full.submit(x0), sel.submit(x0)
+    assert full._run_once(block=True) and sel._run_once(block=True)
+    a, b = f_full.result(timeout=0), f_sel.result(timeout=0)
+    np.testing.assert_array_equal(a.us, b.us)
+    np.testing.assert_array_equal(a.cost, b.cost)
+    assert int(a.iterations) == int(b.iterations)
+    assert b.xs is None and b.K is None and b.k is None
+    full.close(); sel.close()
+
+    with pytest.raises(ValueError, match="unknown Solution fields"):
+        SolverService(model, params, cfg, 0.05, 12, max_batch=4,
+                      path="vmap", fields=("nope",), autostart=False)
