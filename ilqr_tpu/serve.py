@@ -27,11 +27,12 @@ compiles of those tiny programs (p99 latency 97 s) vs the ~0.27 s fixed-
 shape block solve (BENCH_NOTES round 4).
 
 Measured end state on one v5e chip (BENCH_NOTES round 4, rows
-serve_packed / serve_packed_open / lane_probe*): single request 219 ms;
-open-loop load absorbed at 356 req/s with p50 471 ms / p99 882 ms and
-zero errors; per-batch time equals the pure block-solve device time.
-Per-request results are bitwise independent of whatever they are
-co-batched with, across processes and AOT executable reloads.
+serve_packed* / lane_probe*): with max_batch sized to the burst (256), a
+single request is 83 ms and open-loop load is absorbed at 358 req/s
+with p50 141 ms / p99 272 ms and zero errors; per-batch time equals the
+pure block-solve device time. Per-request results are bitwise
+independent of whatever they are co-batched with, across processes and
+AOT executable reloads.
 
 Usage::
 
