@@ -35,6 +35,8 @@ T = int(os.environ.get("SERVE_T", "199"))
 MAX_ITER = int(os.environ.get("SERVE_MAX_ITER", "10"))
 PATH = os.environ.get("SERVE_PATH", "fused")  # 'vmap' for CPU dry runs
 MAX_BATCH = int(os.environ.get("SERVE_MAX_BATCH", "1024"))
+FIELDS = tuple(f for f in os.environ.get("SERVE_FIELDS", "").split(",")
+               if f) or None  # e.g. "us,cost,iterations"
 
 
 def main():
@@ -57,7 +59,8 @@ def main():
                        max_iter=MAX_ITER)
 
     svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
-                        max_batch=MAX_BATCH, max_wait_ms=WAIT_MS, path=PATH)
+                        max_batch=MAX_BATCH, max_wait_ms=WAIT_MS, path=PATH,
+                        fields=FIELDS)
     rng = np.random.default_rng(0)
 
     # ---- warm: one request pays the compile --------------------------
@@ -145,7 +148,7 @@ def main():
         "model": "acrobot", "T": T,
         "max_iter": MAX_ITER, "clients": CLIENTS, "reqs_per_client": REQS,
         "rate_hz_per_client": RATE_HZ, "max_wait_ms": WAIT_MS,
-        "max_batch": MAX_BATCH,
+        "max_batch": MAX_BATCH, "fields": list(FIELDS) if FIELDS else None,
         "warm_s": round(warm_s, 1),
         "requests": int(stats["requests"]),
         "errors": len(errors),
