@@ -68,6 +68,9 @@ from ilqr_tpu.types import Solution
 class _Request:
     x0: np.ndarray          # (n,)
     u0: np.ndarray          # (T, m)
+    # warm-start payload (warm services): (us, xs, K, lam, dlam) numpy
+    # leaves of the client's previous Solution, or None for a cold lane
+    prev: Optional[tuple] = None
     future: Future = field(default_factory=Future)
 
 
@@ -120,6 +123,13 @@ class SolverService:
         in each per-request Solution. Bandwidth savings apply on the
         packed path (no mesh/aot/64-bit leaves); elsewhere the filter
         is applied host-side for API consistency.
+      warm: compile the WARM-start program instead (ref MPC overload,
+        ilqr_core.cpp:65-76): every dispatch takes per-lane
+        (us, xs, K, lam, dlam) from each request's ``prev`` Solution
+        (``submit(x0, prev=last_solution)``), and lanes without a prev
+        solve cold via a synthesized K=0/λ_init payload that is
+        bit-identical to the cold path. One program either way. Not yet
+        combinable with mesh=/aot=.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -127,7 +137,7 @@ class SolverService:
     def __init__(self, model: Model, params, cfg: SolverConfig, dt: float,
                  horizon: int, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, path: str = "auto",
-                 mesh=None, aot=None, fields=None,
+                 mesh=None, aot=None, fields=None, warm: bool = False,
                  autostart: bool = True):
         if fields is not None:
             bad = set(fields) - set(Solution._fields)
@@ -143,6 +153,10 @@ class SolverService:
         if mesh is not None and aot is not None:
             raise ValueError("mesh and aot are mutually exclusive (AOT "
                              "executables are single-device)")
+        if warm and (mesh is not None or aot is not None):
+            raise ValueError("warm=True is not yet supported with mesh= "
+                             "or aot= (one warm program per service)")
+        self.warm = bool(warm)
         if mesh is not None:
             if max_batch % mesh.size:
                 raise ValueError(
@@ -215,6 +229,31 @@ class SolverService:
 
                 run = make_sharded_solver(model, cfg, mesh)
             inner = lambda x, u: run(params, dt, x, u)  # noqa: E731
+        elif warm and path == "fused":
+            from ilqr_tpu.fused import (fused_applicable,
+                                        solve_batch_fused_warm)
+
+            if not fused_applicable(model, cfg):
+                raise ValueError(
+                    "path='fused' warm service: model/config not "
+                    "fused-compatible (see fused.fused_applicable)")
+
+            def inner(x0b, usb, xsb, Kb, lamb, dlamb):
+                prev = Solution(
+                    xs=xsb, us=usb, k=None, K=Kb, cost=None, lam=lamb,
+                    dlam=dlamb, iterations=None, reason=None, gnorm=None)
+                return solve_batch_fused_warm(model, params, cfg, dt,
+                                              x0b, prev)
+        elif warm:
+            from ilqr_tpu.solver import solve_warm
+
+            def _one_warm(x, us, xs, K, lam, dlam):
+                prev = Solution(xs=xs, us=us, k=None, K=K, cost=None,
+                                lam=lam, dlam=dlam, iterations=None,
+                                reason=None, gnorm=None)
+                return solve_warm(model, params, cfg, dt, x, prev)
+
+            inner = jax.jit(jax.vmap(_one_warm))
         elif path == "fused":
             from ilqr_tpu.fused import fused_applicable, solve_batch_fused
             from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
@@ -260,11 +299,19 @@ class SolverService:
                 and (path != "fused" or self._max_batch <= 1024)):
             from ilqr_tpu.aot import pack_leaves, pack_specs, unpack_flat
 
-            x0_s = jax.ShapeDtypeStruct((self._max_batch, model.n),
-                                        jnp.float32)
-            u0_s = jax.ShapeDtypeStruct(
-                (self._max_batch, self._T, model.m), jnp.float32)
-            out_s = jax.eval_shape(inner, x0_s, u0_s)
+            mb, T_, n_, m_ = (self._max_batch, self._T, model.n,
+                              model.m)
+
+            def sds(*shape):
+                return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+            if warm:
+                in_s = (sds(mb, n_), sds(mb, T_, m_),
+                        sds(mb, T_ + 1, n_), sds(mb, T_, m_, n_),
+                        sds(mb), sds(mb))
+            else:
+                in_s = (sds(mb, n_), sds(mb, T_, m_))
+            out_s = jax.eval_shape(inner, *in_s)
 
             def select(sol):
                 if fields is None:
@@ -279,37 +326,38 @@ class SolverService:
                 treedef = jax.tree_util.tree_structure(sel_s)
                 raw = inner
                 inner = jax.jit(
-                    lambda x, u: pack_leaves(select(raw(x, u))))
+                    lambda *a: pack_leaves(select(raw(*a))))
                 self._pack = lambda flat_np: jax.tree_util.tree_unflatten(
                     treedef, unpack_flat(flat_np, specs))
 
-        def _solve(x0b, u0b):
+        def _solve(*inputs):
             # Pad EVERY dispatch to max_batch — IN NUMPY — so exactly one
-            # program shape ever reaches the device: one (max_batch, ...)
-            # H2D transfer, one block solve, one full-shape D2H. Doing the
-            # pad/unpad with device ops is NOT equivalent: eager
+            # program shape ever reaches the device: one fixed-shape H2D
+            # transfer per input, one block solve, one packed D2H. Doing
+            # the pad/unpad with device ops is NOT equivalent: eager
             # jnp.concatenate / broadcast_to at pad time and per-leaf
             # ``a[:b]`` slices at unpad time each compile a distinct
             # remote program per distinct lane count b, and the axon
-            # backend takes seconds per tiny program. Measured
-            # (BENCH_NOTES round 4): variable-B glue ran the service at
-            # ~3.4 s/batch with p99 15-97 s even though the block solve
-            # itself is ~0.25 s; host-side padding removes every
-            # variable-shape device op.
-            b = x0b.shape[0]
+            # backend takes seconds per tiny program (BENCH_NOTES round
+            # 4: variable-B glue ran at ~3.4 s/batch with p99 15-97 s).
+            # ``inputs`` are numpy, each with leading batch axis b:
+            # (x0, u0) cold, (x0, us, xs, K, lam, dlam) warm.
+            b = inputs[0].shape[0]
             n_pad = self._max_batch
-            px = np.empty((n_pad,) + x0b.shape[1:], np.float32)
-            pu = np.empty((n_pad,) + u0b.shape[1:], np.float32)
-            px[:b], pu[:b] = x0b, u0b
-            px[b:], pu[b:] = x0b[0], u0b[0]
+            padded = []
+            for a in inputs:
+                p = np.empty((n_pad,) + a.shape[1:], np.float32)
+                p[:b] = a
+                p[b:] = a[0]
+                padded.append(p)
             if mesh is not None:
                 # hand numpy straight to the sharded runner: its
                 # device_put shards host->devices directly; jnp.asarray
                 # here would first commit the full batch to device 0 and
                 # pay an extra transfer + reshard per dispatch
-                out = inner(px, pu)
+                out = inner(*padded)
             else:
-                out = inner(jnp.asarray(px), jnp.asarray(pu))
+                out = inner(*[jnp.asarray(p) for p in padded])
             if self._pack is not None:
                 # ONE flat D2H transfer, then host-side view/reshape.
                 sol = self._pack(np.asarray(out))
@@ -338,10 +386,17 @@ class SolverService:
 
     # ---- client API ------------------------------------------------------
 
-    def submit(self, x0, u0=None) -> Future:
+    def submit(self, x0, u0=None, prev=None) -> Future:
         """Enqueue one problem; returns a Future of a per-request Solution
         (batch axis already stripped: ``sol.cost`` is a scalar, ``sol.us``
-        is (T, m), ...)."""
+        is (T, m), ...).
+
+        On a ``warm=True`` service, ``prev`` may be the Solution this
+        service previously returned for the same controller — the lane
+        then warm-starts MPC-style (re-rollout prev.us with prev.K, λ/dλ
+        carried; ref ilqr_core.cpp:65-76). ``prev=None`` lanes solve
+        cold (a synthesized K=0, λ=λ_init warm payload — verified
+        bit-identical to the cold path)."""
         x0 = np.asarray(x0, np.float32)
         if x0.shape != (self._model.n,):
             raise ValueError(f"x0 must be ({self._model.n},), got {x0.shape}")
@@ -352,7 +407,30 @@ class SolverService:
             if u0.shape != (self._T, self._model.m):
                 raise ValueError(
                     f"u0 must be ({self._T}, {self._model.m}), got {u0.shape}")
-        req = _Request(x0, u0)
+        warm_payload = None
+        if prev is not None:
+            if not self.warm:
+                raise ValueError(
+                    "prev= requires a warm=True service (one compiled "
+                    "program per service; this one is cold)")
+            T, m, n = self._T, self._model.m, self._model.n
+            need = {"us": (T, m), "xs": (T + 1, n), "K": (T, m, n),
+                    "lam": (), "dlam": ()}
+            leaves = []
+            for name in ("us", "xs", "K", "lam", "dlam"):
+                leaf = getattr(prev, name)
+                if leaf is None:
+                    raise ValueError(
+                        f"prev.{name} is None — warm starts need us/xs/K/"
+                        "lam/dlam (don't filter them out with fields=)")
+                leaf = np.asarray(leaf, np.float32)
+                if leaf.shape != need[name]:
+                    raise ValueError(
+                        f"prev.{name} must have shape {need[name]}, got "
+                        f"{leaf.shape}")
+                leaves.append(leaf)
+            warm_payload = tuple(leaves)
+        req = _Request(x0, u0, prev=warm_payload)
         # Enqueue under the same lock as the _closed check: close() commits
         # shutdown (flips _closed + enqueues the sentinel) under this lock,
         # so no request can slip into the queue after the worker's drain —
@@ -440,8 +518,27 @@ class SolverService:
         try:
             # numpy in, numpy out — _solve owns the (single, fixed-shape)
             # H2D/D2H pair; everything here stays on host.
-            sol = self._solve(np.stack([r.x0 for r in batch]),
-                              np.stack([r.u0 for r in batch]))
+            x0b = np.stack([r.x0 for r in batch])
+            if self.warm:
+                # synthesize the cold-equivalent payload for prev=None
+                # lanes: us=u0, K=0 (feedback term vanishes -> open-loop
+                # rollout), xs irrelevant, lam/dlam at their cold inits —
+                # verified bit-identical to the cold solve.
+                T, m, n = self._T, self._model.m, self._model.n
+                cfg_ = self._cfg
+
+                def payload(r):
+                    if r.prev is not None:
+                        return r.prev
+                    return (r.u0, np.zeros((T + 1, n), np.float32),
+                            np.zeros((T, m, n), np.float32),
+                            np.float32(cfg_.lambda_init),
+                            np.float32(cfg_.dlambda_init))
+
+                cols = list(zip(*[payload(r) for r in batch]))
+                sol = self._solve(x0b, *[np.stack(c) for c in cols])
+            else:
+                sol = self._solve(x0b, np.stack([r.u0 for r in batch]))
         except Exception as e:  # noqa: BLE001 — propagate to ALL callers
             for r in batch:
                 r.future.set_exception(e)

@@ -306,3 +306,64 @@ def test_fields_selective_payload():
     with pytest.raises(ValueError, match="unknown Solution fields"):
         SolverService(model, params, cfg, 0.05, 12, max_batch=4,
                       path="vmap", fields=("nope",), autostart=False)
+
+
+class TestWarmService:
+    def _mk(self, **kw):
+        from ilqr_tpu.models import double_integrator as _di
+
+        model = get_model("double_integrator")
+        cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+        return model, _di.default_params(), cfg, SolverService(
+            model, _di.default_params(), cfg, 0.05, 14, max_batch=4,
+            path="vmap", autostart=False, **kw)
+
+    def test_cold_lane_matches_cold_service(self):
+        import numpy as np
+
+        _, _, _, warm_svc = self._mk(warm=True)
+        _, _, _, cold_svc = self._mk()
+        x0 = np.array([0.6, -0.2, 0.1, 0.0], np.float32)
+        fw, fc = warm_svc.submit(x0), cold_svc.submit(x0)
+        assert warm_svc._run_once(block=True)
+        assert cold_svc._run_once(block=True)
+        a, b = fw.result(timeout=0), fc.result(timeout=0)
+        np.testing.assert_array_equal(a.cost, b.cost)
+        np.testing.assert_array_equal(a.us, b.us)
+        warm_svc.close(); cold_svc.close()
+
+    def test_warm_start_from_prev(self):
+        import numpy as np
+
+        _, _, _, svc = self._mk(warm=True)
+        x0 = np.array([0.6, -0.2, 0.1, 0.0], np.float32)
+        f1 = svc.submit(x0)
+        assert svc._run_once(block=True)
+        first = f1.result(timeout=0)
+        # re-plan from a nearby state, warm-started from the solution
+        f2 = svc.submit(x0 + np.float32(0.01), prev=first)
+        assert svc._run_once(block=True)
+        second = f2.result(timeout=0)
+        assert np.isfinite(second.cost)
+        # the warm replan should converge at least as fast as cold
+        f3 = svc.submit(x0 + np.float32(0.01))
+        assert svc._run_once(block=True)
+        cold2 = f3.result(timeout=0)
+        assert int(second.iterations) <= int(cold2.iterations)
+        svc.close()
+
+    def test_prev_validation(self):
+        import numpy as np
+
+        _, _, _, cold_svc = self._mk()
+        _, _, _, warm_svc = self._mk(warm=True)
+        x0 = np.zeros(4, np.float32)
+        dummy = warm_svc.submit(x0)
+        assert warm_svc._run_once(block=True)
+        sol = dummy.result(timeout=0)
+        with pytest.raises(ValueError, match="warm=True"):
+            cold_svc.submit(x0, prev=sol)
+        bad = sol._replace(K=None)
+        with pytest.raises(ValueError, match="prev.K is None"):
+            warm_svc.submit(x0, prev=bad)
+        cold_svc.close(); warm_svc.close()
