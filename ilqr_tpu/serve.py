@@ -442,9 +442,10 @@ class SolverService:
             self._queue.put(req)
         return req.future
 
-    def solve(self, x0, u0=None, timeout: Optional[float] = None) -> Solution:
+    def solve(self, x0, u0=None, prev=None,
+              timeout: Optional[float] = None) -> Solution:
         """Synchronous convenience: ``submit(...).result(timeout)``."""
-        return self.submit(x0, u0).result(timeout)
+        return self.submit(x0, u0, prev=prev).result(timeout)
 
     def close(self, timeout: Optional[float] = None) -> bool:
         """Stop accepting requests, drain the queue, join the worker.
