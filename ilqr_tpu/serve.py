@@ -295,6 +295,7 @@ class SolverService:
         # back. Skipped for AOT executables (their program is fixed) and
         # for 64-bit leaves (CPU x64 runs; bitcast would change widths).
         self._pack = None
+        self._pack_inputs = False
         if (aot is None and mesh is None
                 and (path != "fused" or self._max_batch <= 1024)):
             from ilqr_tpu.aot import pack_leaves, pack_specs, unpack_flat
@@ -325,8 +326,23 @@ class SolverService:
             if specs is not None:
                 treedef = jax.tree_util.tree_structure(sel_s)
                 raw = inner
-                inner = jax.jit(
-                    lambda *a: pack_leaves(select(raw(*a))))
+                # INPUT packing too: each H2D transfer pays the same
+                # ~26 ms floor as D2H, and the warm program takes SIX
+                # input arrays (measured: warm replans ~209 ms p50 vs
+                # the cold path's 56 ms, dominated by per-array H2D
+                # floors). Ship ONE flat f32 array and split/reshape on
+                # device inside the jit (free — XLA fuses it).
+                in_sizes = [int(np.prod(t.shape)) for t in in_s]
+                in_splits = list(np.cumsum(in_sizes)[:-1])
+
+                def run_flat(flat):
+                    parts = jnp.split(flat, in_splits)
+                    args = [p.reshape(t.shape)
+                            for p, t in zip(parts, in_s)]
+                    return pack_leaves(select(raw(*args)))
+
+                inner = jax.jit(run_flat)
+                self._pack_inputs = True
                 self._pack = lambda flat_np: jax.tree_util.tree_unflatten(
                     treedef, unpack_flat(flat_np, specs))
 
@@ -356,6 +372,10 @@ class SolverService:
                 # here would first commit the full batch to device 0 and
                 # pay an extra transfer + reshard per dispatch
                 out = inner(*padded)
+            elif self._pack_inputs:
+                # ONE flat H2D transfer; device-side split/reshape.
+                flat_in = np.concatenate([p.ravel() for p in padded])
+                out = inner(jnp.asarray(flat_in))
             else:
                 out = inner(*[jnp.asarray(p) for p in padded])
             if self._pack is not None:
