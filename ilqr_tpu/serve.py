@@ -77,6 +77,136 @@ class _Request:
 _SHUTDOWN = object()
 
 
+def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
+                   path, warm=False, fields=None):
+    """Construct the fixed-shape serving dispatch program shared by
+    :class:`SolverService` and ``ilqr_tpu.aot.compile_solver``.
+
+    Returns ``(fn, dmeta)``:
+      - when the program is *packable* (all 32-bit leaves, fused block
+        fits), ``fn(flat)->flat`` maps ONE flat f32 input array (every
+        dispatch input raveled+concatenated) to ONE flat f32 output
+        array (the selected Solution leaves, i32 bitcast through f32) —
+        one H2D and one D2H transfer per dispatch (~26 ms per transfer
+        on the TPU tunnel otherwise), and ``dmeta`` carries the
+        serializable layout: ``in_specs``/``out_specs`` as
+        (shape, dtype-str) lists plus ``fields``/``warm``;
+      - otherwise ``fn(*arrays)->Solution`` with ``dmeta['packed']=False``.
+
+    Input order: ``(x0, u0)`` cold; ``(x0, us, xs, K, lam, dlam)`` warm.
+    Use :func:`unpack_dispatch_output` to rebuild the Solution tree.
+    """
+    import numpy as _np
+
+    T, n, m, mb = int(horizon), model.n, model.m, int(max_batch)
+
+    if warm and path == "fused":
+        from ilqr_tpu.fused import fused_applicable, solve_batch_fused_warm
+
+        if not fused_applicable(model, cfg):
+            raise ValueError(
+                "path='fused' warm dispatch: model/config not "
+                "fused-compatible (see fused.fused_applicable)")
+
+        def raw(x0b, usb, xsb, Kb, lamb, dlamb):
+            prev = Solution(
+                xs=xsb, us=usb, k=None, K=Kb, cost=None, lam=lamb,
+                dlam=dlamb, iterations=None, reason=None, gnorm=None)
+            return solve_batch_fused_warm(model, params, cfg, dt,
+                                          x0b, prev)
+    elif warm:
+        from ilqr_tpu.solver import solve_warm
+
+        def _one_warm(x, us, xs, K, lam, dlam):
+            prev = Solution(xs=xs, us=us, k=None, K=K, cost=None,
+                            lam=lam, dlam=dlam, iterations=None,
+                            reason=None, gnorm=None)
+            return solve_warm(model, params, cfg, dt, x, prev)
+
+        def raw(*a):
+            return jax.vmap(_one_warm)(*a)
+    elif path == "fused":
+        from ilqr_tpu.fused import fused_applicable, solve_batch_fused
+        from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+
+        # Fail fast: consult solve_batch_fused's own applicability check
+        # so misconfiguration errors at construction, not per-batch.
+        if not fused_applicable(model, cfg):
+            if model.m > MAX_FUSED_M:
+                raise ValueError(
+                    f"path='fused' requires model.m <= {MAX_FUSED_M}, "
+                    f"got m={model.m}; use path='vmap'")
+            if not model.has_soa:
+                raise ValueError(
+                    "path='fused' requires a model with SoA functions "
+                    "(models/base.py); use path='vmap'")
+            raise ValueError(
+                "this SolverConfig is not fused-compatible (full_ddp, "
+                "sweep_kernel, or boxqp_mode — see "
+                "fused.fused_applicable); use path='vmap'")
+
+        raw = functools.partial(solve_batch_fused, model, params, cfg, dt)
+    else:
+        from ilqr_tpu.solver import solve
+
+        def raw(x, u):
+            return jax.vmap(
+                lambda a, b: solve(model, params, cfg, dt, a, b))(x, u)
+
+    if warm:
+        in_shapes = [(mb, n), (mb, T, m), (mb, T + 1, n), (mb, T, m, n),
+                     (mb,), (mb,)]
+    else:
+        in_shapes = [(mb, n), (mb, T, m)]
+    in_s = [jax.ShapeDtypeStruct(sh, jnp.float32) for sh in in_shapes]
+
+    def select(sol):
+        if fields is None:
+            return sol
+        return Solution(*[
+            (getattr(sol, f) if f in fields else None)
+            for f in Solution._fields])
+
+    dmeta = {"packed": False, "warm": bool(warm),
+             "fields": None if fields is None else tuple(fields),
+             "in_specs": [(sh, "float32") for sh in in_shapes]}
+    if path == "fused" and mb > 1024:
+        return raw, dmeta  # host chunk loop — not jittable as one program
+
+    from ilqr_tpu.aot import pack_leaves, pack_specs
+
+    out_s = jax.eval_shape(raw, *in_s)
+    specs = pack_specs(select(out_s))
+    if specs is None:
+        return raw, dmeta  # 64-bit leaves (x64 runs) — unpackable
+
+    in_sizes = [int(_np.prod(sh)) for sh in in_shapes]
+    in_splits = list(_np.cumsum(in_sizes)[:-1])
+
+    def fn(flat):
+        parts = jnp.split(flat, in_splits)
+        args = [p.reshape(sh) for p, sh in zip(parts, in_shapes)]
+        return pack_leaves(select(raw(*args)))
+
+    dmeta.update(packed=True, out_specs=specs,
+                 flat_in_size=int(sum(in_sizes)))
+    return fn, dmeta
+
+
+def unpack_dispatch_output(flat_np, dmeta):
+    """Rebuild the (fields-selected) Solution from a packed dispatch
+    output, per the layout recorded by :func:`build_dispatch`."""
+    from ilqr_tpu.aot import unpack_flat
+
+    fields = dmeta.get("fields")
+    arrs = iter(unpack_flat(flat_np, dmeta["out_specs"]))
+    return Solution(*[
+        (next(arrs) if fields is None or f in fields else None)
+        for f in Solution._fields])
+
+
+
+
 class SolverService:
     """Coalesce single-problem solve requests into batched device solves.
 
@@ -175,6 +305,8 @@ class SolverService:
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
         self.path = path
+        self._pack = None
+        self._pack_inputs = False
 
         if aot is not None:
             from ilqr_tpu.aot import AotSolver
@@ -229,122 +361,19 @@ class SolverService:
 
                 run = make_sharded_solver(model, cfg, mesh)
             inner = lambda x, u: run(params, dt, x, u)  # noqa: E731
-        elif warm and path == "fused":
-            from ilqr_tpu.fused import (fused_applicable,
-                                        solve_batch_fused_warm)
-
-            if not fused_applicable(model, cfg):
-                raise ValueError(
-                    "path='fused' warm service: model/config not "
-                    "fused-compatible (see fused.fused_applicable)")
-
-            def inner(x0b, usb, xsb, Kb, lamb, dlamb):
-                prev = Solution(
-                    xs=xsb, us=usb, k=None, K=Kb, cost=None, lam=lamb,
-                    dlam=dlamb, iterations=None, reason=None, gnorm=None)
-                return solve_batch_fused_warm(model, params, cfg, dt,
-                                              x0b, prev)
-        elif warm:
-            from ilqr_tpu.solver import solve_warm
-
-            def _one_warm(x, us, xs, K, lam, dlam):
-                prev = Solution(xs=xs, us=us, k=None, K=K, cost=None,
-                                lam=lam, dlam=dlam, iterations=None,
-                                reason=None, gnorm=None)
-                return solve_warm(model, params, cfg, dt, x, prev)
-
-            inner = jax.jit(jax.vmap(_one_warm))
-        elif path == "fused":
-            from ilqr_tpu.fused import fused_applicable, solve_batch_fused
-            from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
-
-            # Fail fast: consult solve_batch_fused's own applicability
-            # check so a misconfigured service errors at construction,
-            # not per-batch via future exceptions on the first dispatch.
-            if not fused_applicable(model, cfg):
-                if model.m > MAX_FUSED_M:
-                    raise ValueError(
-                        f"path='fused' requires model.m <= {MAX_FUSED_M}, "
-                        f"got m={model.m}; use path='vmap'")
-                if not model.has_soa:
-                    raise ValueError(
-                        "path='fused' requires a model with SoA functions "
-                        "(models/base.py); use path='vmap'")
-                raise ValueError(
-                    "this SolverConfig is not fused-compatible "
-                    "(full_ddp, sweep_kernel, or boxqp_mode — see "
-                    "fused.fused_applicable); use path='vmap'")
-
-            inner = functools.partial(solve_batch_fused, model, params,
-                                      cfg, dt)
         else:
-            from ilqr_tpu.solver import solve
-
-            inner = jax.jit(jax.vmap(
-                lambda x, u: solve(model, params, cfg, dt, x, u)))
-
-        # --- single-transfer D2H packing -------------------------------
-        # The axon tunnel charges ~26 ms PER D2H transfer regardless of
-        # size (the dispatch-floor cost model, BENCH_NOTES), and a
-        # Solution has 10 leaves — fetching the tree costs ~260 ms of
-        # round trips on top of the ~250 ms solve (measured: unloaded
-        # serve latency 533 ms, chain E). So when every output leaf is
-        # 32-bit, the dispatch program itself concatenates the raveled
-        # leaves (i32 leaves bitcast to f32, width-preserving) into ONE
-        # flat array — one transfer — and the host views/reshapes them
-        # back. Skipped for AOT executables (their program is fixed) and
-        # for 64-bit leaves (CPU x64 runs; bitcast would change widths).
-        self._pack = None
-        self._pack_inputs = False
-        if (aot is None and mesh is None
-                and (path != "fused" or self._max_batch <= 1024)):
-            from ilqr_tpu.aot import pack_leaves, pack_specs, unpack_flat
-
-            mb, T_, n_, m_ = (self._max_batch, self._T, model.n,
-                              model.m)
-
-            def sds(*shape):
-                return jax.ShapeDtypeStruct(shape, jnp.float32)
-
-            if warm:
-                in_s = (sds(mb, n_), sds(mb, T_, m_),
-                        sds(mb, T_ + 1, n_), sds(mb, T_, m_, n_),
-                        sds(mb), sds(mb))
-            else:
-                in_s = (sds(mb, n_), sds(mb, T_, m_))
-            out_s = jax.eval_shape(inner, *in_s)
-
-            def select(sol):
-                if fields is None:
-                    return sol
-                return Solution(*[
-                    (getattr(sol, f) if f in fields else None)
-                    for f in Solution._fields])
-
-            sel_s = select(out_s)
-            specs = pack_specs(sel_s)
-            if specs is not None:
-                treedef = jax.tree_util.tree_structure(sel_s)
-                raw = inner
-                # INPUT packing too: each H2D transfer pays the same
-                # ~26 ms floor as D2H, and the warm program takes SIX
-                # input arrays (measured: warm replans ~209 ms p50 vs
-                # the cold path's 56 ms, dominated by per-array H2D
-                # floors). Ship ONE flat f32 array and split/reshape on
-                # device inside the jit (free — XLA fuses it).
-                in_sizes = [int(np.prod(t.shape)) for t in in_s]
-                in_splits = list(np.cumsum(in_sizes)[:-1])
-
-                def run_flat(flat):
-                    parts = jnp.split(flat, in_splits)
-                    args = [p.reshape(t.shape)
-                            for p, t in zip(parts, in_s)]
-                    return pack_leaves(select(raw(*args)))
-
-                inner = jax.jit(run_flat)
+            fn, dmeta = build_dispatch(
+                model, params, cfg, dt, self._T, self._max_batch,
+                path=path, warm=warm, fields=fields)
+            if dmeta["packed"]:
+                inner = jax.jit(fn)
+                self._pack = functools.partial(
+                    unpack_dispatch_output, dmeta=dmeta)
                 self._pack_inputs = True
-                self._pack = lambda flat_np: jax.tree_util.tree_unflatten(
-                    treedef, unpack_flat(flat_np, specs))
+            elif path == "fused" and self._max_batch > 1024:
+                inner = fn  # eager host chunk loop — must NOT be jitted
+            else:
+                inner = jax.jit(fn)
 
         def _solve(*inputs):
             # Pad EVERY dispatch to max_batch — IN NUMPY — so exactly one
