@@ -103,26 +103,58 @@ class AotSolver:
     compiled: Any  # jax.stages.Compiled (or deserialized executable)
     meta: dict
 
-    def __call__(self, x0, u0) -> Solution:
-        x0 = jnp.asarray(x0)
-        u0 = jnp.asarray(u0)
-        exp_x = tuple(self.meta["x0_shape"])
-        exp_u = tuple(self.meta["u0_shape"])
-        if tuple(x0.shape) != exp_x or tuple(u0.shape) != exp_u:
+    def __call__(self, *arrays) -> Solution:
+        """Run the pre-compiled solve.
+
+        Cold programs take ``(x0, u0)``; warm programs (compiled with
+        ``warm=True``) take ``(x0, us, xs, K, lam, dlam)``. Shapes are
+        validated against the recorded pins. Packed (TPU) programs do
+        their single-transfer pack/unpack here — inputs may be numpy;
+        the returned Solution holds numpy arrays (views — copy what you
+        keep). Unpacked programs return device arrays.
+        """
+        dmeta = self.meta.get("dispatch")
+        if dmeta is None:
+            # legacy blob layout (pre-build_dispatch): (x0, u0) only
+            x0, u0 = (jnp.asarray(a) for a in arrays)
+            exp_x = tuple(self.meta["x0_shape"])
+            exp_u = tuple(self.meta["u0_shape"])
+            if tuple(x0.shape) != exp_x or tuple(u0.shape) != exp_u:
+                raise ValueError(
+                    f"AOT executable is shape-pinned: expected x0 {exp_x} "
+                    f"/ u0 {exp_u}, got {tuple(x0.shape)} / "
+                    f"{tuple(u0.shape)}. Re-run compile_solver.")
+            if x0.dtype != jnp.float32 or u0.dtype != jnp.float32:
+                raise ValueError("AOT solves are float32 (pass f32 inputs)")
+            out = self.compiled(x0, u0)
+            specs = self.meta.get("packed_leaves")
+            if specs is None:
+                return out
+            return Solution(*unpack_flat(out, specs))
+
+        in_specs = dmeta["in_specs"]
+        if len(arrays) != len(in_specs):
+            kind = "warm (x0, us, xs, K, lam, dlam)" if dmeta["warm"] \
+                else "cold (x0, u0)"
             raise ValueError(
-                f"AOT executable is shape-pinned: expected x0 {exp_x} / "
-                f"u0 {exp_u}, got {tuple(x0.shape)} / {tuple(u0.shape)}. "
-                "Re-run compile_solver for other shapes.")
-        if x0.dtype != jnp.float32 or u0.dtype != jnp.float32:
+                f"this AOT program is {kind}: expected {len(in_specs)} "
+                f"arrays, got {len(arrays)}")
+        arrays = [np.asarray(a) for a in arrays]
+        if any(a.dtype != np.float32 for a in arrays):
             raise ValueError("AOT solves are float32 (pass f32 inputs)")
-        out = self.compiled(x0, u0)
-        specs = self.meta.get("packed_leaves")
-        if specs is None:
-            return out
-        # Packed executable: the program returned ONE flat f32 array so
-        # the fetch is a single D2H transfer; unpack on host (the
-        # returned Solution holds numpy views into one buffer).
-        return Solution(*unpack_flat(out, specs))
+        for a, (sh, _) in zip(arrays, in_specs):
+            if a.shape != tuple(sh):
+                raise ValueError(
+                    f"AOT executable is shape-pinned: expected "
+                    f"{[tuple(sh) for sh, _ in in_specs]}, got "
+                    f"{[x.shape for x in arrays]}")
+        if not dmeta["packed"]:
+            return self.compiled(*[jnp.asarray(a) for a in arrays])
+        flat = np.concatenate([a.ravel() for a in arrays])
+        out = self.compiled(jnp.asarray(flat))
+        from ilqr_tpu.serve import unpack_dispatch_output
+
+        return unpack_dispatch_output(np.asarray(out), dmeta)
 
     # ---- persistence -----------------------------------------------------
 
@@ -144,15 +176,22 @@ def _env_meta() -> dict:
 
 
 def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
-                   batch: int, horizon: int, *,
-                   path: str = "auto") -> AotSolver:
+                   batch: int, horizon: int, *, path: str = "auto",
+                   warm: bool = False, fields=None) -> AotSolver:
     """AOT-compile a batch solve at a fixed ``(batch, horizon)`` shape.
 
-    path: 'fused' (kernel-layout solver, TPU deployment shape; one
-      single-block program — keep ``batch`` <= the 1024-lane block, the
-      jit wrapper would otherwise inline the host chunk loop), 'vmap'
-      (``jax.vmap(solve)`` — any model/dtype-compatible config), or
-      'auto' (fused on TPU when the model qualifies, else vmap).
+    Compiles the same dispatch program ``SolverService`` builds
+    (serve.build_dispatch), so a blob can drop straight into
+    ``SolverService(aot=...)`` — including ``warm=True`` (MPC warm-start
+    program; inputs (x0, us, xs, K, lam, dlam)) and ``fields=``
+    (selected Solution leaves only). On TPU the program takes ONE flat
+    f32 input array and returns ONE flat f32 output array (single H2D +
+    D2H transfer per dispatch); ``AotSolver.__call__`` does the
+    pack/unpack, so callers still pass/receive ordinary arrays.
+
+    path: 'fused' (kernel-layout solver; batch <= the 1024-lane block),
+      'vmap' (``jax.vmap(solve)``), or 'auto' (fused on TPU when
+      ``fused.fused_applicable`` accepts the model/config, else vmap).
     """
     if path not in ("auto", "fused", "vmap"):
         raise ValueError(f"unknown path {path!r}")
@@ -162,54 +201,26 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
         path = ("fused" if jax.default_backend() == "tpu"
                 and fused_applicable(model, cfg) and batch <= 1024
                 else "vmap")
+    if path == "fused" and batch > 1024:
+        raise ValueError(
+            "AOT fused solves compile ONE block program; use "
+            "batch <= 1024 and loop blocks on the host")
 
-    if path == "fused":
-        from ilqr_tpu.fused import solve_batch_fused
-        from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
+    from ilqr_tpu.serve import build_dispatch
 
-        if model.m > MAX_FUSED_M:
-            raise ValueError(
-                f"path='fused' requires model.m <= {MAX_FUSED_M}")
-        if not model.has_soa:
-            raise ValueError("path='fused' requires model SoA functions")
-        if batch > 1024:
-            raise ValueError(
-                "AOT fused solves compile ONE block program; use "
-                "batch <= 1024 and loop blocks on the host")
-
-        def fn(x0, u0):
-            return solve_batch_fused(model, params, cfg, dt, x0, u0)
-    else:
-        from ilqr_tpu.solver import solve
-
-        def fn(x0, u0):
-            return jax.vmap(
-                lambda x, u: solve(model, params, cfg, dt, x, u))(x0, u0)
-
-    x0_shape = (batch, model.n)
-    u0_shape = (batch, horizon, model.m)
-    args = (jnp.zeros(x0_shape, jnp.float32),
-            jnp.zeros(u0_shape, jnp.float32))
-
-    # Single-transfer D2H: when every output leaf is 32-bit (always, for
-    # this solver), the compiled program returns ONE flat f32 array (i32
-    # leaves bitcast, width-preserving) instead of the 10-leaf Solution
-    # tree — one D2H round trip instead of ten (~26 ms each on the TPU
-    # tunnel). __call__ unpacks on host using meta["packed_leaves"].
-    # Pack only on TPU: the single-transfer win is the TPU tunnel's ~26
-    # ms/transfer floor, and XLA:CPU's AOT deserializer cannot load the
+    # Pack only on TPU: XLA:CPU's AOT deserializer cannot load the
     # packed program under a multi-device host ("Buffer Definition
-    # Event: Function wrapped_broadcast not found" — another CPU-AOT
-    # defect alongside the cross-process SIGILL documented above). The
-    # pack/unpack helpers themselves are CPU-tested directly.
-    packed_leaves = None
-    if jax.default_backend() == "tpu":
-        packed_leaves = pack_specs(jax.eval_shape(fn, *args))
-    if packed_leaves is not None:
-        raw_fn = fn
+    # Event: Function wrapped_broadcast not found" — a CPU-AOT defect
+    # alongside the cross-process SIGILL documented above).
+    fn, dmeta = build_dispatch(
+        model, params, cfg, dt, horizon, batch, path=path, warm=warm,
+        fields=fields, pack=(jax.default_backend() == "tpu"))
 
-        def fn(x0, u0):  # noqa: F811 — packed wrapper replaces fn
-            return pack_leaves(raw_fn(x0, u0))
+    if dmeta["packed"]:
+        args = (jnp.zeros((dmeta["flat_in_size"],), jnp.float32),)
+    else:
+        args = tuple(jnp.zeros(sh, jnp.float32)
+                     for sh, _ in dmeta["in_specs"])
 
     # Bypass the persistent compilation cache for this compile: an
     # executable REHYDRATED from the cache loses runtime metadata that
@@ -224,9 +235,11 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
         compiled = jax.jit(fn).lower(*args).compile()
     finally:
         jax.config.update("jax_enable_compilation_cache", cache_was)
+    x0_shape = (batch, model.n)
+    u0_shape = (batch, horizon, model.m)
     meta = {"model": getattr(model, "name", repr(model)), "path": path,
             "x0_shape": x0_shape, "u0_shape": u0_shape,
-            "packed_leaves": packed_leaves,
+            "dispatch": dmeta,
             "dt": float(dt), "max_iter": int(cfg.max_iter),
             # the unsharded jit compiles a 1-device program; load() must
             # bind the executable to exactly this many devices (the

@@ -78,7 +78,7 @@ _SHUTDOWN = object()
 
 
 def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
-                   path, warm=False, fields=None):
+                   path, warm=False, fields=None, pack=True):
     """Construct the fixed-shape serving dispatch program shared by
     :class:`SolverService` and ``ilqr_tpu.aot.compile_solver``.
 
@@ -170,6 +170,9 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
     dmeta = {"packed": False, "warm": bool(warm),
              "fields": None if fields is None else tuple(fields),
              "in_specs": [(sh, "float32") for sh in in_shapes]}
+    if not pack:
+        return raw, dmeta  # caller opted out (e.g. CPU AOT blobs —
+        # XLA:CPU cannot deserialize the packed program, see aot.py)
     if path == "fused" and mb > 1024:
         return raw, dmeta  # host chunk loop — not jittable as one program
 
@@ -283,9 +286,8 @@ class SolverService:
         if mesh is not None and aot is not None:
             raise ValueError("mesh and aot are mutually exclusive (AOT "
                              "executables are single-device)")
-        if warm and (mesh is not None or aot is not None):
-            raise ValueError("warm=True is not yet supported with mesh= "
-                             "or aot= (one warm program per service)")
+        if warm and mesh is not None:
+            raise ValueError("warm=True is not yet supported with mesh=")
         self.warm = bool(warm)
         if mesh is not None:
             if max_batch % mesh.size:
@@ -343,7 +345,35 @@ class SolverService:
                         f"but the service was constructed with {want!r}; "
                         "recompile with aot.compile_solver for this "
                         "configuration")
-            inner = aot
+            dmeta = aot.meta.get("dispatch")
+            if dmeta is not None:
+                # dispatch-layout blob: the compiled program IS the
+                # service dispatch — warm/fields must match exactly.
+                if bool(dmeta.get("warm")) != bool(warm):
+                    raise ValueError(
+                        f"AOT program warm={dmeta.get('warm')} but the "
+                        f"service was constructed with warm={warm}")
+                blob_fields = dmeta.get("fields")
+                blob_fields = (None if blob_fields is None
+                               else tuple(blob_fields))
+                if blob_fields != fields:
+                    raise ValueError(
+                        f"AOT program fields={blob_fields} but the "
+                        f"service was constructed with fields={fields}")
+                if dmeta["packed"]:
+                    inner = aot.compiled  # flat -> flat, zero compiles
+                    self._pack = functools.partial(
+                        unpack_dispatch_output, dmeta=dmeta)
+                    self._pack_inputs = True
+                else:
+                    inner = aot  # positional arrays -> Solution
+            else:
+                if warm:
+                    raise ValueError(
+                        "warm=True needs an AOT blob compiled with "
+                        "compile_solver(..., warm=True) (this one is a "
+                        "legacy cold blob)")
+                inner = aot
         elif mesh is not None:
             if path == "fused":
                 from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M

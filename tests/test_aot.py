@@ -153,3 +153,74 @@ def test_pack_specs_refuses_64bit():
     tree = {"a": jnp.zeros((2,), jnp.float32),
             "b": jnp.zeros((2,), jnp.float64)}
     assert pack_specs(jax.eval_shape(lambda: tree)) is None
+
+
+def test_warm_aot_blob_in_service(tmp_path):
+    """compile_solver(warm=True) blob drops into SolverService(warm=True,
+    aot=...): the whole warm MPC serving program, precompiled."""
+    from ilqr_tpu.aot import compile_solver
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=6)
+    blob = str(tmp_path / "warm.aotexec")
+    compile_solver(model, params, cfg, 0.05, 4, 12, path="vmap",
+                   warm=True).save(blob)
+
+    svc = SolverService(model, params, cfg, 0.05, 12, max_batch=4,
+                        path="vmap", warm=True, aot=blob,
+                        autostart=False)
+    rng = np.random.default_rng(2)
+    x0 = rng.normal(size=4).astype(np.float32)
+    f1 = svc.submit(x0)                      # cold lane
+    assert svc._run_once(block=True)
+    first = f1.result(timeout=0)
+    # warm replan chained from the reply
+    f2 = svc.submit(np.asarray(first.xs[1], np.float32), prev=first)
+    assert svc._run_once(block=True)
+    second = f2.result(timeout=0)
+    assert np.isfinite(float(second.cost))
+    svc.close()
+
+    # cold lane must equal the plain cold service bit-for-bit
+    ref = SolverService(model, params, cfg, 0.05, 12, max_batch=4,
+                        path="vmap", autostart=False)
+    fr = ref.submit(x0)
+    assert ref._run_once(block=True)
+    np.testing.assert_array_equal(np.asarray(first.cost),
+                                  np.asarray(fr.result(timeout=0).cost))
+    ref.close()
+
+
+def test_aot_blob_warm_mismatch_refused(tmp_path):
+    from ilqr_tpu.aot import compile_solver
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=6)
+    blob = str(tmp_path / "cold.aotexec")
+    compile_solver(model, params, cfg, 0.05, 4, 12, path="vmap").save(blob)
+    with pytest.raises(ValueError, match="warm"):
+        SolverService(model, params, cfg, 0.05, 12, max_batch=4,
+                      path="vmap", warm=True, aot=blob, autostart=False)
+
+
+def test_warm_aot_direct_call_arity():
+    from ilqr_tpu.aot import compile_solver
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=4)
+    warm = compile_solver(model, params, cfg, 0.05, 2, 8, path="vmap",
+                          warm=True)
+    with pytest.raises(ValueError, match="expected 6 arrays"):
+        warm(np.zeros((2, 4), np.float32), np.zeros((2, 8, 2), np.float32))
+    sol = warm(np.zeros((2, 4), np.float32),          # x0
+               np.zeros((2, 8, 2), np.float32),        # us
+               np.zeros((2, 9, 4), np.float32),        # xs
+               np.zeros((2, 8, 2, 4), np.float32),     # K
+               np.full((2,), cfg.lambda_init, np.float32),
+               np.full((2,), cfg.dlambda_init, np.float32))
+    assert np.all(np.isfinite(np.asarray(sol.cost)))
