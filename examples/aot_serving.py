@@ -12,6 +12,7 @@ SolverService(aot=...), and serves immediately — no tracing, no compile.
   python examples/aot_serving.py --precompile [--cpu]
   python examples/aot_serving.py --serve [--cpu]
   python examples/aot_serving.py --precompile --serve [--cpu]   # both
+  ... --warm        # the MPC deployment: warm-start program + replans
 """
 
 from __future__ import annotations
@@ -36,6 +37,9 @@ def main():
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--path", default="auto",
                     choices=["auto", "fused", "vmap"])
+    ap.add_argument("--warm", action="store_true",
+                    help="compile/serve the MPC warm-start program and "
+                         "chain replans through prev=")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if not (args.precompile or args.serve):
@@ -61,32 +65,48 @@ def main():
         path = ("fused" if jax.default_backend() == "tpu"
                 and model.has_soa else "vmap")
 
+    fields = (("us", "xs", "K", "lam", "dlam", "cost", "iterations")
+              if args.warm else None)
     if args.precompile:
         t0 = time.perf_counter()
         solver = aot_compile(model, params, cfg, dt, args.max_batch,
-                             args.horizon, path=path)
+                             args.horizon, path=path, warm=args.warm,
+                             fields=fields)
         solver.save(args.blob)
         mb = os.path.getsize(args.blob) / 1e6
-        print(f"precompiled [{path}] in {time.perf_counter() - t0:.1f}s "
+        kind = "warm" if args.warm else "cold"
+        print(f"precompiled {kind} [{path}] in "
+              f"{time.perf_counter() - t0:.1f}s "
               f"-> {args.blob} ({mb:.1f} MB)")
 
     if args.serve:
         t0 = time.perf_counter()
         svc = SolverService(model, params, cfg, dt, args.horizon,
                             max_batch=args.max_batch, max_wait_ms=2.0,
-                            path=path, aot=args.blob)
+                            path=path, warm=args.warm, fields=fields,
+                            aot=args.blob)
         rng = np.random.default_rng(0)
         first = svc.solve(rng.normal(size=model.n).astype(np.float32),
                           timeout=600)
         t_first = time.perf_counter() - t0
         print(f"service cold-start -> first solution in {t_first:.2f}s "
               f"(cost {float(first.cost):.3f})")
-        futs = [svc.submit(rng.normal(size=model.n).astype(np.float32))
-                for _ in range(args.requests)]
-        costs = [float(f.result(timeout=600).cost) for f in futs]
-        svc.close()
-        print(f"served {len(costs)} requests, mean cost "
-              f"{np.mean(costs):.3f}")
+        if args.warm:
+            prev, costs = first, []
+            for _ in range(args.requests):
+                x0 = np.asarray(prev.xs[1], np.float32)
+                prev = svc.solve(x0, prev=prev, timeout=600)
+                costs.append(float(prev.cost))
+            svc.close()
+            print(f"chained {len(costs)} warm replans, final cost "
+                  f"{costs[-1]:.3f}")
+        else:
+            futs = [svc.submit(rng.normal(size=model.n).astype(np.float32))
+                    for _ in range(args.requests)]
+            costs = [float(f.result(timeout=600).cost) for f in futs]
+            svc.close()
+            print(f"served {len(costs)} requests, mean cost "
+                  f"{np.mean(costs):.3f}")
 
 
 if __name__ == "__main__":

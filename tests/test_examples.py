@@ -69,9 +69,25 @@ def test_aot_serving_smoke(tmp_path):
     out = _run("aot_serving.py", "--precompile", "--cpu", "--blob", blob,
                "--max-batch", "4", "--horizon", "10", "--max-iter", "3",
                "--path", "vmap", cache=False)
-    assert "precompiled [vmap]" in out
+    assert "precompiled cold [vmap]" in out
     out = _run("aot_serving.py", "--serve", "--cpu", "--blob", blob,
                "--max-batch", "4", "--horizon", "10", "--max-iter", "3",
                "--requests", "3", "--path", "vmap", cache=False)
     assert "service cold-start" in out
     assert "served 3 requests" in out
+
+
+def test_aot_serving_warm_smoke(tmp_path):
+    """The warm MPC deployment recipe end-to-end at tiny shapes
+    (precompile the warm program, fresh process serves + chains
+    replans). cache=False per the XLA:CPU blob-loading caveat."""
+    blob = str(tmp_path / "w.aotexec")
+    out = _run("aot_serving.py", "--precompile", "--cpu", "--warm",
+               "--blob", blob, "--max-batch", "4", "--horizon", "10",
+               "--max-iter", "3", "--path", "vmap", cache=False)
+    assert "precompiled warm [vmap]" in out
+    out = _run("aot_serving.py", "--serve", "--cpu", "--warm",
+               "--blob", blob, "--max-batch", "4", "--horizon", "10",
+               "--max-iter", "3", "--requests", "3", "--path", "vmap",
+               cache=False)
+    assert "chained 3 warm replans" in out
