@@ -175,6 +175,31 @@ def _env_meta() -> dict:
             "device_kind": jax.devices()[0].device_kind}
 
 
+def problem_digest(params, cfg: SolverConfig) -> str:
+    """Digest of everything the executable BAKES IN beyond shapes: the
+    params pytree (goal, weights, control limits, ...) and the full
+    SolverConfig. Shape checks alone would let a blob compiled for a
+    different goal/limit/λ-schedule silently serve wrong solutions;
+    ``SolverService(aot=...)`` compares this digest against the service's
+    own (params, cfg) and refuses a mismatch. Float leaves are hashed as
+    float32 (the solve dtype), so passing the same values as f64 numpy
+    vs f32 jnp digests identically."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr(cfg).encode())
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if a.dtype.kind == "f":
+            a = a.astype(np.float32)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
 def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
                    batch: int, horizon: int, *, path: str = "auto",
                    warm: bool = False, fields=None) -> AotSolver:
@@ -241,6 +266,9 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
             "x0_shape": x0_shape, "u0_shape": u0_shape,
             "dispatch": dmeta,
             "dt": float(dt), "max_iter": int(cfg.max_iter),
+            # everything else the executable bakes in (params values,
+            # full SolverConfig) — validated by SolverService(aot=...)
+            "problem_digest": problem_digest(params, cfg),
             # the unsharded jit compiles a 1-device program; load() must
             # bind the executable to exactly this many devices (the
             # deserializer otherwise spans ALL local devices and then
@@ -257,6 +285,15 @@ def load(path: str) -> AotSolver:
     Validates backend / device kind / jax version before handing the
     payload to PJRT, so a blob compiled for another target fails with an
     actionable message.
+
+    SECURITY: the blob is a pickle (that is what
+    ``jax.experimental.serialize_executable`` itself uses for the
+    in/out trees), and unpickling untrusted data is arbitrary code
+    execution — no magic/metadata check can run before the
+    ``pickle.loads`` below. Only load blobs you produced and stored
+    somewhere you trust, exactly as you would treat a shared object /
+    executable file (the reference's deployment artifact is literally a
+    C++ binary, src/run_ilqr.cpp — same trust model).
     """
     from jax.experimental.serialize_executable import deserialize_and_load
 

@@ -345,6 +345,25 @@ class SolverService:
                         f"but the service was constructed with {want!r}; "
                         "recompile with aot.compile_solver for this "
                         "configuration")
+            # Deep check: the blob bakes in the params VALUES (goal,
+            # weights, limits) and the whole SolverConfig, not just the
+            # fields above — compare digests (aot.problem_digest) so a
+            # mismatched blob errors here instead of silently serving
+            # solutions to a different problem. Legacy blobs (round 4,
+            # pre-digest) skip this check.
+            blob_digest = aot.meta.get("problem_digest")
+            if blob_digest is not None:
+                from ilqr_tpu.aot import problem_digest
+
+                want_d = problem_digest(params, cfg)
+                if blob_digest != want_d:
+                    raise ValueError(
+                        "AOT executable was compiled for different params "
+                        "or SolverConfig than this service was constructed "
+                        "with (problem_digest mismatch) — the blob bakes "
+                        "those values into the program; recompile with "
+                        "aot.compile_solver(model, params, cfg, ...) for "
+                        "exactly this configuration")
             dmeta = aot.meta.get("dispatch")
             if dmeta is not None:
                 # dispatch-layout blob: the compiled program IS the
@@ -665,6 +684,12 @@ class SolverService:
         except BaseException as e:  # noqa: BLE001 — the worker must never
             # die silently: fail every queued future so no caller hangs,
             # then re-raise (visible via threading.excepthook).
+            # Close the service FIRST: without this, a submit() racing the
+            # drain below (or arriving any time after it) would enqueue a
+            # request no worker will ever process and its future would
+            # hang forever; closed-service submits raise instead.
+            with self._lock:
+                self._closed = True
             while True:
                 try:
                     item = self._queue.get(block=False)

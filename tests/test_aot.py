@@ -224,3 +224,42 @@ def test_warm_aot_direct_call_arity():
                np.full((2,), cfg.lambda_init, np.float32),
                np.full((2,), cfg.dlambda_init, np.float32))
     assert np.all(np.isfinite(np.asarray(sol.cost)))
+
+
+def test_aot_problem_digest_mismatch_refused(aot_pair):
+    """The blob bakes in params values + the full SolverConfig; a service
+    constructed with different ones must be refused (ADVICE r4: shape
+    checks alone would silently serve wrong solutions)."""
+    import dataclasses
+
+    from ilqr_tpu.serve import SolverService
+
+    aot, path, (model, params, cfg) = aot_pair
+    # different goal -> different baked-in program
+    bad_params = params._replace(goal=params.goal + 1.0)
+    with pytest.raises(ValueError, match="problem_digest"):
+        SolverService(model, bad_params, cfg, 0.05, T, max_batch=B,
+                      path="vmap", aot=path, autostart=False)
+    # same max_iter (the shallow check) but a different lambda schedule
+    bad_cfg = dataclasses.replace(cfg, lambda_factor=2.0)
+    with pytest.raises(ValueError, match="problem_digest"):
+        SolverService(model, params, bad_cfg, 0.05, T, max_batch=B,
+                      path="vmap", aot=path, autostart=False)
+
+
+def test_problem_digest_dtype_insensitive():
+    """f64 numpy params and f32 jnp params digest identically (both are
+    cast to the f32 solve dtype before hashing)."""
+    import jax
+
+    from ilqr_tpu.aot import problem_digest
+
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=15)
+    p64 = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), params)
+    p32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params)
+    assert problem_digest(p64, cfg) == problem_digest(p32, cfg)
+    changed = params._replace(goal=params.goal + 1e-3)
+    assert problem_digest(changed, cfg) != problem_digest(params, cfg)

@@ -367,3 +367,23 @@ class TestWarmService:
         with pytest.raises(ValueError, match="prev.K is None"):
             warm_svc.submit(x0, prev=bad)
         cold_svc.close(); warm_svc.close()
+
+
+def test_submit_after_worker_crash_raises(monkeypatch):
+    """A worker-loop crash closes the service (ADVICE r4): a submit()
+    after the crash must raise 'closed' instead of enqueueing a request
+    no worker will ever process (hanging the caller's future forever)."""
+    seen = []
+    monkeypatch.setattr(threading, "excepthook", lambda a: seen.append(a))
+    model, svc = _service()
+
+    def boom(batch):
+        raise RuntimeError("worker exploded")
+
+    svc._process = boom
+    fut = svc.submit(np.zeros(4, np.float32))
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=60)
+    svc._worker.join(60)
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.submit(np.zeros(4, np.float32))
