@@ -15,6 +15,13 @@ Env:
             program/shape level in round 4, but the chain re-confirms
             the boundary point at 40 iters)
   MB_QP     pn_fixed | iterative (default pn_fixed)
+  MB_CHUNK  none (default — the monolithic single-dispatch program the
+            bisect maps) | auto | an int: iteration-chunked dispatch
+            (batch.SAFE_ITER_CHUNK mitigation validation)
+  MB_BSPLIT 0 (default) | an int S: split the batch into sequential
+            S-lane sub-solves in THIS process (batch-chunking probe —
+            does executing several proven-safe shapes back-to-back
+            accumulate to the B>=512 worker crash?)
 
 Prints one JSON row on success; a crash never reaches the print (the
 chain records rc + the stderr tail instead).
@@ -35,6 +42,10 @@ from ilqr_tpu.models import thruster_ring as tr
 B = int(os.environ.get("MB_B", "512"))
 ITERS = int(os.environ.get("MB_ITERS", "4"))
 QP = os.environ.get("MB_QP", "pn_fixed")
+CHUNK = os.environ.get("MB_CHUNK", "none")
+CHUNK = None if CHUNK == "none" else (CHUNK if CHUNK == "auto"
+                                      else int(CHUNK))
+BSPLIT = int(os.environ.get("MB_BSPLIT", "0"))
 
 model = get_model("thruster_ring")
 params = jax.tree_util.tree_map(
@@ -52,12 +63,24 @@ x0 = jnp.asarray(0.2 * rng.normal(size=(B, 6)), jnp.float32)
 u0 = jnp.zeros((T, 12), jnp.float32)
 
 t0 = time.perf_counter()
-sol = solve_batch(model, params, cfg, 0.05, x0, u0)
-cost = np.asarray(sol.cost)  # full D2H — where a lazy fault would surface
+if BSPLIT:
+    costs, iters_parts = [], []
+    for c in range(0, B, BSPLIT):
+        sol = solve_batch(model, params, cfg, 0.05, x0[c:c + BSPLIT], u0,
+                          iter_chunk=CHUNK)
+        costs.append(np.asarray(sol.cost))   # D2H per sub-batch
+        iters_parts.append(np.asarray(sol.iterations))
+    cost = np.concatenate(costs)
+    iters_arr = np.concatenate(iters_parts)
+else:
+    sol = solve_batch(model, params, cfg, 0.05, x0, u0, iter_chunk=CHUNK)
+    cost = np.asarray(sol.cost)  # full D2H — where a lazy fault surfaces
+    iters_arr = np.asarray(sol.iterations)
 first = time.perf_counter() - t0
 print(json.dumps({
     "mode": "m12_bisect", "B": B, "iters": ITERS, "qp": QP,
-    "status": "ok", "first_s": round(first, 1),
+    "chunk": str(CHUNK), "bsplit": BSPLIT, "status": "ok",
+    "first_s": round(first, 1),
     "mean_cost": round(float(cost.mean()), 4),
-    "mean_iters": round(float(np.asarray(sol.iterations).mean()), 1),
+    "mean_iters": round(float(iters_arr.mean()), 1),
 }), flush=True)

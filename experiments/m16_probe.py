@@ -1,0 +1,67 @@
+"""MAX_FUSED_M=16 compile-wall probe (VERDICT r4 item 6): can Mosaic
+compile the fused iteration kernel with the 16×16 masked-Cholesky
+projected-Newton in-kernel QP, and at what compile cost?
+
+The tile algebra (_qp_pn/_chol_masked_tiles) is generic in m; the cap is
+a constant. This probe patches ops.pallas_sweep.MAX_FUSED_M to 16 (all
+guard sites read the module global at trace time) and runs the
+registered m=16 ring model (models/thruster_ring.MODEL16) through
+solve_batch_fused at the m12_fused workload shape (B=1024, T=80,
+≤40 iters). Outcome either way closes the item: a measured
+(compile_s, solves/s) row, or a documented compile-wall negative
+(timeout/compiler error — the chain records rc and stderr).
+
+Compile estimate: m=12 took 386 s; the QP unroll is O(m³)-ish in ops →
+m=16 plausibly 700-1200 s. The chain runs this with a large timeout and
+NEVER near a round boundary (a timeout-kill mid-compile can wedge the
+tunnel — CLAUDE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ilqr_tpu.ops.pallas_sweep as ps
+
+ps.MAX_FUSED_M = 16  # probe patch — every guard reads the module global
+
+from ilqr_tpu import SolverConfig, get_model  # noqa: E402
+from ilqr_tpu.fused import solve_batch_fused  # noqa: E402
+from ilqr_tpu.models import thruster_ring as tr  # noqa: E402
+
+B = int(os.environ.get("M16_B", "1024"))
+T = 80
+
+model = get_model("thruster_ring16")
+params = jax.tree_util.tree_map(
+    lambda a: jnp.asarray(a, jnp.float32), tr.default_params16())
+cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                   max_iter=40, boxqp_mode="auto")
+rng = np.random.default_rng(0)
+x0 = jnp.asarray(0.2 * rng.normal(size=(B, 6)), jnp.float32)
+u0 = jnp.zeros((T, 16), jnp.float32)
+
+t0 = time.perf_counter()
+sol = solve_batch_fused(model, params, cfg, 0.05, x0, u0)
+cost = np.asarray(sol.cost)
+first = time.perf_counter() - t0
+reps = []
+for _ in range(3):
+    x0r = jnp.asarray(0.2 * rng.normal(size=(B, 6)), jnp.float32)
+    t0 = time.perf_counter()
+    sol = solve_batch_fused(model, params, cfg, 0.05, x0r, u0)
+    np.asarray(sol.cost)
+    reps.append(time.perf_counter() - t0)
+us = np.asarray(sol.us)
+print(json.dumps({
+    "mode": "m16_fused", "B": B, "T": T,
+    "solves_per_s": round(B / min(reps), 1),
+    "best_s": round(min(reps), 4), "first_s": round(first, 1),
+    "mean_cost": round(float(np.asarray(sol.cost).mean()), 4),
+    "mean_iters": round(float(np.asarray(sol.iterations).mean()), 1),
+    "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
+}), flush=True)

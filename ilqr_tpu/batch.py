@@ -14,13 +14,30 @@ the batch axis over a mesh (see ilqr_tpu.parallel).
 from __future__ import annotations
 
 import functools
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ilqr_tpu.config import SolverConfig
 from ilqr_tpu.models.base import Model
 from ilqr_tpu.solver import solve
 from ilqr_tpu.types import Solution
+
+# Per-dispatch iteration budget for the TPU vmap path past the per-stage
+# kernel envelope (m > ops/rollout.MAX_STAGE_KERNEL_M). Round-5 bisect
+# (experiments/m12_bisect.py rows, BENCH_NOTES round 5): the XLA:TPU
+# worker reproducibly dies ("kernel fault") when ONE execution of the
+# m=12 vmapped while_loop program runs too much work — (B=512, 20 iters),
+# (B=256, 80 iters), (B=1024, 40 iters) all crash, with the iterative
+# AND pn_fixed QPs (QP-agnostic), while the same program is CPU-valid —
+# yet every probe with <= 4 iterations per execution passes up to B=1024.
+# Bounding the per-dispatch iteration count and looping from the host
+# (state carried on device) keeps each execution inside the proven
+# envelope; the extra dispatches cost ~26 ms each (axon cost model)
+# against ~3 s/iteration solves — noise.
+SAFE_ITER_CHUNK = 4
 
 
 def solve_batch(
@@ -31,17 +48,139 @@ def solve_batch(
     x0,           # (B, n)
     u0,           # (B, T, m) or (T, m) broadcast to the batch
     params_batched: bool = False,
+    iter_chunk="auto",
 ) -> Solution:
     """vmap the full solver over a batch of problems.
 
     ``params_batched=True`` means every leaf of ``params`` carries a leading
     batch axis (e.g. per-problem goals); otherwise params are shared.
+
+    ``iter_chunk``: ``"auto"`` (default) dispatches the solve in
+    host-driven chunks of :data:`SAFE_ITER_CHUNK` iterations ON THE TPU
+    VMAP PATH FOR ``m > MAX_STAGE_KERNEL_M`` — the region where one
+    monolithic execution can crash the XLA:TPU worker (see
+    :data:`SAFE_ITER_CHUNK`; chunking is bit-exact, the loop conditions
+    compose). Pass an int to force a chunk size, or ``None`` to force the
+    single-dispatch program. ``"auto"``/int chunking requires an eager
+    call (this function jits internally); under an outer ``jit`` trace
+    the dangerous configuration raises instead of compiling a program
+    that can kill the worker.
     """
     if u0.ndim == 2:
         u0 = jnp.broadcast_to(u0[None], (x0.shape[0],) + u0.shape)
+    if iter_chunk == "auto":
+        from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
+
+        iter_chunk = (
+            SAFE_ITER_CHUNK
+            if (jax.default_backend() == "tpu"
+                and model.m > MAX_STAGE_KERNEL_M
+                and cfg.max_iter > SAFE_ITER_CHUNK)
+            else None)
+    if iter_chunk is not None:
+        if any(isinstance(a, jax.core.Tracer) for a in (x0, u0)):
+            raise ValueError(
+                f"m={model.m} > MAX_STAGE_KERNEL_M vmap solves on TPU "
+                "must dispatch in iteration chunks (one monolithic "
+                "execution can crash the TPU worker — BENCH_NOTES round "
+                "5), which needs host control flow: call solve_batch "
+                "eagerly (it jits internally) instead of wrapping it in "
+                "jax.jit, or pass iter_chunk=None to force the "
+                "single-dispatch program at your own risk")
+        return solve_batch_chunked(
+            model, params, cfg, dt, x0, u0,
+            iter_chunk=int(iter_chunk), params_batched=params_batched)
     in_axes = (0 if params_batched else None, 0, 0)
     fn = lambda p, x, u: solve(model, p, cfg, dt, x, u)
     return jax.vmap(fn, in_axes=in_axes)(params, x0, u0)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_chunked_fns(model, cfg, iter_chunk, params_batched):
+    """jitted (init, step, finish) for the chunked dispatch, cached per
+    static configuration (the jits then cache per input shape)."""
+    from jax import lax
+
+    from ilqr_tpu.solver import (
+        _cast_params,
+        _masked_iteration,
+        _solution,
+        init_state,
+    )
+
+    p_ax = 0 if params_batched else None
+
+    def init(params, dt, x0, u0):
+        return jax.vmap(
+            lambda p, x, u: init_state(model, p, cfg, dt, x, u),
+            in_axes=(p_ax, 0, 0))(params, x0, u0)
+
+    def step(params, dt, state):
+        def one(p, s):
+            # solve() casts params to the problem dtype before iterating;
+            # the chunked body must match (f64 leaves under x64 would
+            # otherwise poison the f32 loop carries)
+            p = _cast_params(p, s.us.dtype)
+            stop_at = s.iteration + iter_chunk
+
+            def cond(ss):
+                return jnp.logical_and(
+                    jnp.logical_and(~ss.done, ss.iteration < cfg.max_iter),
+                    ss.iteration < stop_at)
+
+            return lax.while_loop(
+                cond,
+                functools.partial(_masked_iteration, model, p, cfg, dt),
+                s)
+
+        new = jax.vmap(one, in_axes=(p_ax, 0))(params, state)
+        all_done = jnp.all(
+            jnp.logical_or(new.done, new.iteration >= cfg.max_iter))
+        return new, all_done
+
+    def finish(state):
+        return jax.vmap(lambda s: _solution(s, cfg))(state)
+
+    return jax.jit(init), jax.jit(step), jax.jit(finish)
+
+
+def solve_batch_chunked(
+    model: Model,
+    params,
+    cfg: SolverConfig,
+    dt,
+    x0,
+    u0,
+    *,
+    iter_chunk: int = SAFE_ITER_CHUNK,
+    params_batched: bool = False,
+) -> Solution:
+    """Batched solve dispatched in host-driven chunks of ``iter_chunk``
+    iterations: the SolverState pytree stays on device between dispatches
+    and each dispatch runs one bounded ``while_loop``, so results are
+    BIT-IDENTICAL to the monolithic :func:`solve_batch` program (the
+    masked iteration body is shared and the loop conditions compose).
+
+    This is the safe TPU route for ``m > MAX_STAGE_KERNEL_M`` (see
+    :data:`SAFE_ITER_CHUNK`) and also a progress-observable dispatch:
+    each chunk returns an all-done flag, and the host loop exits early
+    once every lane has converged (the reference's per-iteration host
+    loop, ilqr_core.cpp:79-302, recovered at batch scale)."""
+    if iter_chunk < 1:
+        raise ValueError(f"iter_chunk must be >= 1, got {iter_chunk}")
+    if u0.ndim == 2:
+        u0 = jnp.broadcast_to(u0[None], (x0.shape[0],) + u0.shape)
+    init_j, step_j, finish_j = _get_chunked_fns(
+        model, cfg, int(iter_chunk), bool(params_batched))
+    x0 = jnp.asarray(x0)
+    u0 = jnp.asarray(u0, x0.dtype)
+    dt = jnp.asarray(dt, x0.dtype)
+    state = init_j(params, dt, x0, u0)
+    for _ in range(math.ceil(cfg.max_iter / iter_chunk)):
+        state, all_done = step_j(params, dt, state)
+        if bool(np.asarray(all_done)):
+            break
+    return finish_j(state)
 
 
 def make_batch_solver(model: Model, cfg: SolverConfig, params_batched=False):

@@ -71,9 +71,11 @@ class SolverConfig:
         (ops/boxqp.boxqp_pn — the in-kernel _qp_pn recipe on the XLA
         path): m+6 unrolled Newton iterations, masked Cholesky,
         5-candidate clamped backtracking, zero data-dependent control
-        flow. The fast ``vmap(solve)`` path on TPU for m ≥ 2 — "auto"
-        selects it automatically on the TPU backend in f32 (off-TPU
-        "auto" keeps the reference-semantics iterative solver).
+        flow. EXPLICIT opt-in only — measured SLOWER than the iterative
+        solver on the vmap path in both throughput and trace time
+        (BENCH_NOTES rounds 4-5; the scan path is latency-bound, not
+        loop-bound), so "auto" never selects it; it remains the
+        vmappable any-m semantics reference and the f64-friendly QP.
     """
 
     max_iter: int = 100

@@ -49,6 +49,7 @@ register(point_mass_3d.MODEL)
 register(power_mass.MODEL)
 register(quadrotor.MODEL)
 register(thruster_ring.MODEL)
+register(thruster_ring.MODEL16)
 
 __all__ = [
     "Model",

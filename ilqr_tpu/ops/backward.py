@@ -145,17 +145,19 @@ def backward_pass(
             k_mat = -jax.vmap(
                 lambda col: free_solve(res.chol_free, col, res.free)
             )(qux.T).T
-        elif cfg.use_control_limits and (
-            cfg.boxqp_mode == "pn_fixed"
-            or (cfg.boxqp_mode == "auto" and dtype == jnp.float32
-                and jax.default_backend() == "tpu")
-        ):
+        elif cfg.use_control_limits and cfg.boxqp_mode == "pn_fixed":
             # Fixed-shape projected Newton (any m, no data-dependent
-            # while_loops — see ops/boxqp.boxqp_pn). "auto" picks this on
-            # the TPU backend for m >= 2: the while_loop boxqp below
-            # serializes the device under vmap (measured ~6 solves/s at
-            # m=4 vs thousands here — BENCH_NOTES.md); reference-semantics
-            # parity runs pin boxqp_mode="iterative" instead.
+            # while_loops — see ops/boxqp.boxqp_pn). EXPLICIT opt-in only:
+            # round 4/5 measured it LOSING to the iterative boxQP below on
+            # the vmap path in both throughput (3.8 vs 5.9 solves/s, m=4
+            # B=256 TPU) and trace/compile time (25 s vs 192 s first-batch
+            # at m=12 B=512 — the m+6 unrolled masked-Cholesky iterations
+            # out-trace the while_loop), and it shares the B>=512 XLA:TPU
+            # worker fault (QP-agnostic — BENCH_NOTES round 5). The scan
+            # path is latency-bound, not loop-bound; loop-freeness buys
+            # nothing here. pn_fixed remains the f64-friendly, trace-light
+            # in-KERNEL recipe (ops/pallas_sweep._qp_pn) and the
+            # vmappable any-m semantics reference.
             from ilqr_tpu.ops.boxqp import boxqp_pn
 
             res = boxqp_pn(quuF, qu, u_min - u, u_max - u)

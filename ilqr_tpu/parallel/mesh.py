@@ -211,6 +211,121 @@ def make_sharded_fused_solver(
     return run
 
 
+def make_sharded_fused_warm_solver(
+    model: Model,
+    cfg: SolverConfig,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+):
+    """Sharded twin of ``fused.solve_batch_fused_warm`` — the MPC fleet
+    re-plan (ref generate_trajectory warm overload, ilqr_core.cpp:65-76)
+    with the fleet's batch axis split over the mesh. Each lane carries its
+    own warm payload, so the returned fn maps
+
+        (params, dt, x0 (B,n), us (B,T,m), xs (B,T+1,n), K (B,T,m,n),
+         lam (B,), dlam (B,)) -> Solution
+
+    with every warm leaf sharded like x0. B divisible by mesh size;
+    per-device shard ≤ 1024 (one kernel block). Shared params only.
+    ``check_vma``/interpret semantics exactly as
+    :func:`make_sharded_fused_solver` (ON for compiled kernels, OFF in
+    interpret mode — jax 0.9 limitation documented there).
+    """
+    from ilqr_tpu.fused import solve_batch_fused_warm
+    from ilqr_tpu.types import Solution
+
+    mesh = make_mesh() if mesh is None else mesh
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    check_vma = not interpret
+    cfg_k = cfg.with_vma_axes((BATCH_AXIS,)) if check_vma else cfg
+
+    def local_solve(params, dt, x0, us, xs, K, lam, dlam):
+        if x0.shape[0] > 1024:
+            raise ValueError(
+                "per-device shard must be <= 1024 for the sharded fused "
+                f"warm solver; got {x0.shape[0]} (mesh size {mesh.size})")
+        if check_vma:
+            from ilqr_tpu.utils.vma import vary
+
+            params, dt = vary((params, dt), (BATCH_AXIS,))
+        prev = Solution(xs=xs, us=us, k=None, K=K, cost=None, lam=lam,
+                        dlam=dlam, iterations=None, reason=None,
+                        gnorm=None)
+        return solve_batch_fused_warm(model, params, cfg_k, dt, x0, prev,
+                                      interpret=interpret)
+
+    fn = _shard_map()(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P(BATCH_AXIS),) * 6,
+        out_specs=P(BATCH_AXIS),
+        check_vma=check_vma,
+    )
+    batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
+    jitted = jax.jit(fn)
+
+    def run(params, dt, x0, us, xs, K, lam, dlam) -> Solution:
+        _check_divisible(x0.shape[0], mesh)
+        sharded = [jax.device_put(jnp.asarray(a, jnp.float32), batch_spec)
+                   for a in (x0, us, xs, K, lam, dlam)]
+        return jitted(params, jnp.asarray(dt), *sharded)
+
+    run.jitted = jitted
+    return run
+
+
+def make_sharded_warm_solver(
+    model: Model,
+    cfg: SolverConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """vmap-path twin of :func:`make_sharded_fused_warm_solver` (the warm
+    solve for models/configs outside the fused envelope): ``shard_map``
+    of ``vmap(solver.solve_warm)`` with the same
+    (params, dt, x0, us, xs, K, lam, dlam) signature."""
+    from ilqr_tpu.solver import solve_warm
+    from ilqr_tpu.types import Solution
+
+    mesh = make_mesh() if mesh is None else mesh
+    cfg_v = cfg.with_vma_axes((BATCH_AXIS,))
+
+    def _one(params, dt, x, us, xs, K, lam, dlam):
+        prev = Solution(xs=xs, us=us, k=None, K=K, cost=None, lam=lam,
+                        dlam=dlam, iterations=None, reason=None,
+                        gnorm=None)
+        return solve_warm(model, params, cfg_v, dt, x, prev)
+
+    def local_solve(params, dt, x0, us, xs, K, lam, dlam):
+        from ilqr_tpu.utils.vma import vary
+
+        # see make_sharded_solver: promote replicated params/dt so jax's
+        # auto-pvary never mis-fires inside vmap(jacfwd(...)).
+        params, dt = vary((params, dt), (BATCH_AXIS,))
+        return jax.vmap(
+            _one, in_axes=(None, None, 0, 0, 0, 0, 0, 0)
+        )(params, dt, x0, us, xs, K, lam, dlam)
+
+    fn = _shard_map()(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P(BATCH_AXIS),) * 6,
+        out_specs=P(BATCH_AXIS),
+        check_vma=True,
+    )
+    batch_spec = NamedSharding(mesh, P(BATCH_AXIS))
+    jitted = jax.jit(fn)
+
+    def run(params, dt, x0, us, xs, K, lam, dlam) -> Solution:
+        _check_divisible(x0.shape[0], mesh)
+        sharded = [jax.device_put(jnp.asarray(a), batch_spec)
+                   for a in (x0, us, xs, K, lam, dlam)]
+        return jitted(params, jnp.asarray(dt), *sharded)
+
+    run.jitted = jitted
+    return run
+
+
 def sharded_convergence_stats(model: Model, cfg: SolverConfig, mesh: Mesh,
                               params_batched: bool = False):
     """Solve + on-device reduction of convergence stats via collectives.

@@ -99,6 +99,7 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
     import numpy as _np
 
     T, n, m, mb = int(horizon), model.n, model.m, int(max_batch)
+    eager = False  # set on the chunked-dispatch route below
 
     if warm and path == "fused":
         from ilqr_tpu.fused import fused_applicable, solve_batch_fused_warm
@@ -115,7 +116,18 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
             return solve_batch_fused_warm(model, params, cfg, dt,
                                           x0b, prev)
     elif warm:
+        from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
         from ilqr_tpu.solver import solve_warm
+
+        if (jax.default_backend() == "tpu"
+                and model.m > MAX_STAGE_KERNEL_M):
+            raise ValueError(
+                f"warm vmap serving with m={model.m} > "
+                f"{MAX_STAGE_KERNEL_M} on TPU would compile a monolithic "
+                "while_loop program in the region that can crash the TPU "
+                "worker (BENCH_NOTES round 5) and has no chunked warm "
+                "dispatch yet; serve cold (iteration-chunked) or use a "
+                "fused-capable model")
 
         def _one_warm(x, us, xs, K, lam, dlam):
             prev = Solution(xs=xs, us=us, k=None, K=K, cost=None,
@@ -147,11 +159,26 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
 
         raw = functools.partial(solve_batch_fused, model, params, cfg, dt)
     else:
+        from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
         from ilqr_tpu.solver import solve
 
-        def raw(x, u):
-            return jax.vmap(
-                lambda a, b: solve(model, params, cfg, dt, a, b))(x, u)
+        if (jax.default_backend() == "tpu"
+                and model.m > MAX_STAGE_KERNEL_M):
+            # the monolithic vmapped while_loop program can crash the
+            # TPU worker in this region (BENCH_NOTES round 5) — dispatch
+            # eagerly through the iteration-chunked solve instead
+            # (batch.SAFE_ITER_CHUNK). No packing (the chunked loop is
+            # host control flow, not one jittable program).
+            from ilqr_tpu.batch import solve_batch_chunked
+
+            def raw(x, u):
+                return solve_batch_chunked(model, params, cfg, dt, x, u)
+
+            eager = True
+        else:
+            def raw(x, u):
+                return jax.vmap(
+                    lambda a, b: solve(model, params, cfg, dt, a, b))(x, u)
 
     if warm:
         in_shapes = [(mb, n), (mb, T, m), (mb, T + 1, n), (mb, T, m, n),
@@ -170,6 +197,11 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
     dmeta = {"packed": False, "warm": bool(warm),
              "fields": None if fields is None else tuple(fields),
              "in_specs": [(sh, "float32") for sh in in_shapes]}
+    if eager:
+        # host-driven chunked dispatch: must run EAGERLY (never jitted,
+        # never AOT-compiled — it is a host loop over device programs)
+        dmeta["eager"] = True
+        return (lambda *a: select(raw(*a))), dmeta
     if not pack:
         return raw, dmeta  # caller opted out (e.g. CPU AOT blobs —
         # XLA:CPU cannot deserialize the packed program, see aot.py)
@@ -236,8 +268,10 @@ class SolverService:
         ``max_batch`` lanes across the mesh devices (data parallel, zero
         cross-device collectives in the hot loop). ``max_batch`` must be
         divisible by the mesh size; on the fused path each device's shard
-        (``max_batch / mesh.size``) must be ≤ 1024. Mutually exclusive
-        with ``aot`` (executables are currently single-device). The
+        (``max_batch / mesh.size``) must be ≤ 1024. Combinable with
+        ``aot=`` when the blob was compiled with
+        ``compile_solver(..., mesh=...)`` over an equal mesh (topology
+        is baked into the executable; mismatches are refused). The
         single-transfer D2H packing is skipped under a mesh (the gather
         happens at fetch).
       aot: an ``ilqr_tpu.aot.AotSolver`` (or a path to one saved with
@@ -261,8 +295,10 @@ class SolverService:
         (us, xs, K, lam, dlam) from each request's ``prev`` Solution
         (``submit(x0, prev=last_solution)``), and lanes without a prev
         solve cold via a synthesized K=0/λ_init payload that is
-        bit-identical to the cold path. One program either way. Not yet
-        combinable with mesh=/aot=.
+        bit-identical to the cold path. One program either way.
+        Combinable with ``aot=`` (a blob compiled with
+        ``compile_solver(..., warm=True)``) and with ``mesh=`` (the
+        fleet's lanes are then split across the mesh devices).
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -283,11 +319,6 @@ class SolverService:
             raise ValueError(f"unknown path {path!r}")
         if path == "auto":
             path = "fused" if jax.default_backend() == "tpu" else "vmap"
-        if mesh is not None and aot is not None:
-            raise ValueError("mesh and aot are mutually exclusive (AOT "
-                             "executables are single-device)")
-        if warm and mesh is not None:
-            raise ValueError("warm=True is not yet supported with mesh=")
         self.warm = bool(warm)
         if mesh is not None:
             if max_batch % mesh.size:
@@ -364,6 +395,29 @@ class SolverService:
                         "those values into the program; recompile with "
                         "aot.compile_solver(model, params, cfg, ...) for "
                         "exactly this configuration")
+            # mesh blobs require a matching mesh=, single-device blobs
+            # forbid one — the executable's topology is baked in.
+            blob_mesh = aot.meta.get("mesh")
+            if blob_mesh is None and mesh is not None:
+                raise ValueError(
+                    "mesh= with a single-device AOT blob; recompile with "
+                    "aot.compile_solver(..., mesh=mesh) for the sharded "
+                    "dispatch")
+            if blob_mesh is not None:
+                if mesh is None:
+                    raise ValueError(
+                        f"this AOT blob is a sharded program over a "
+                        f"{blob_mesh['shape']} mesh — pass the matching "
+                        "mesh= to the service")
+                if (int(blob_mesh["size"]) != mesh.size
+                        or tuple(blob_mesh["axes"]) != tuple(mesh.axis_names)
+                        or tuple(blob_mesh["shape"])
+                        != tuple(mesh.devices.shape)):
+                    raise ValueError(
+                        f"AOT blob mesh {blob_mesh['shape']} axes="
+                        f"{tuple(blob_mesh['axes'])} does not match the "
+                        f"service mesh {tuple(mesh.devices.shape)} axes="
+                        f"{tuple(mesh.axis_names)}")
             dmeta = aot.meta.get("dispatch")
             if dmeta is not None:
                 # dispatch-layout blob: the compiled program IS the
@@ -396,7 +450,10 @@ class SolverService:
         elif mesh is not None:
             if path == "fused":
                 from ilqr_tpu.ops.pallas_sweep import MAX_FUSED_M
-                from ilqr_tpu.parallel.mesh import make_sharded_fused_solver
+                from ilqr_tpu.parallel.mesh import (
+                    make_sharded_fused_solver,
+                    make_sharded_fused_warm_solver,
+                )
 
                 if model.m > MAX_FUSED_M:
                     raise ValueError(
@@ -404,12 +461,20 @@ class SolverService:
                 if not model.has_soa:
                     raise ValueError(
                         "path='fused' requires model SoA functions")
-                run = make_sharded_fused_solver(model, cfg, mesh)
+                run = (make_sharded_fused_warm_solver(model, cfg, mesh)
+                       if warm else
+                       make_sharded_fused_solver(model, cfg, mesh))
             else:
-                from ilqr_tpu.parallel.mesh import make_sharded_solver
+                from ilqr_tpu.parallel.mesh import (
+                    make_sharded_solver,
+                    make_sharded_warm_solver,
+                )
 
-                run = make_sharded_solver(model, cfg, mesh)
-            inner = lambda x, u: run(params, dt, x, u)  # noqa: E731
+                run = (make_sharded_warm_solver(model, cfg, mesh)
+                       if warm else make_sharded_solver(model, cfg, mesh))
+            # warm dispatch order is (x0, us, xs, K, lam, dlam) — exactly
+            # the sharded warm solver's positional order after (params, dt)
+            inner = lambda *arrs: run(params, dt, *arrs)  # noqa: E731
         else:
             fn, dmeta = build_dispatch(
                 model, params, cfg, dt, self._T, self._max_batch,
@@ -419,7 +484,8 @@ class SolverService:
                 self._pack = functools.partial(
                     unpack_dispatch_output, dmeta=dmeta)
                 self._pack_inputs = True
-            elif path == "fused" and self._max_batch > 1024:
+            elif dmeta.get("eager") or (path == "fused"
+                                        and self._max_batch > 1024):
                 inner = fn  # eager host chunk loop — must NOT be jitted
             else:
                 inner = jax.jit(fn)

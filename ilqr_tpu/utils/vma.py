@@ -53,3 +53,12 @@ def vary(tree, axes):
         return lax.pcast(x, need, to="varying") if need else x
 
     return jax.tree_util.tree_map(_leaf, tree)
+
+# NOTE: do NOT "fix" an invariant array constant created inside a
+# while_loop body by pcast/pvary-ing it in place (a removed vary_like
+# helper tried): the constant is hoisted as a loop constvar, jax 0.9's
+# shard_map invariant→varying insertion promotes the constvar itself,
+# and the staged pcast then re-applies to an already-varying value and
+# fails. Build such "constants" from scalar literals × an
+# already-varying scalar instead (models/thruster_ring.py shows the
+# pattern), or thread them through params.

@@ -263,3 +263,121 @@ def test_problem_digest_dtype_insensitive():
     assert problem_digest(p64, cfg) == problem_digest(p32, cfg)
     changed = params._replace(goal=params.goal + 1e-3)
     assert problem_digest(changed, cfg) != problem_digest(params, cfg)
+
+
+class TestShardedAot:
+    """compile_solver(mesh=) — the sharded dispatch as a serialized
+    executable (VERDICT r4 item 2). CPU blobs are same-process only
+    (cross-process CPU AOT SIGILLs — module docstring); the cross-process
+    TPU evidence lives in experiments/mesh_aot_tpu.py result rows."""
+
+    @pytest.fixture(scope="class")
+    def sharded_aot(self, tmp_path_factory):
+        from ilqr_tpu.parallel.mesh import make_mesh
+
+        model = get_model("double_integrator")
+        params = di.default_params()
+        cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+        mesh = make_mesh()
+        aot = compile_solver(model, params, cfg, 0.05, 8, 12,
+                             path="vmap", mesh=mesh)
+        path = str(tmp_path_factory.mktemp("aot") / "sharded.aotexec")
+        aot.save(path)
+        return aot, path, mesh, (model, params, cfg)
+
+    def _x(self, seed=0):
+        rng = np.random.default_rng(seed)
+        return (rng.normal(size=(8, 4)).astype(np.float32),
+                np.zeros((8, 12, 2), np.float32))
+
+    def test_matches_unsharded_vmap(self, sharded_aot):
+        import jax
+
+        aot, _, _, (model, params, cfg) = sharded_aot
+        x0, u0 = self._x()
+        sol = aot(x0, u0)
+        ref = jax.jit(jax.vmap(
+            lambda x, u: solve(model, params, cfg, 0.05, x, u)
+        ))(jnp.asarray(x0), jnp.asarray(u0))
+        np.testing.assert_allclose(np.asarray(sol.cost),
+                                   np.asarray(ref.cost), rtol=1e-5)
+        assert aot.meta["mesh"]["size"] == 8
+
+    def test_roundtrip_same_process(self, sharded_aot):
+        aot, path, _, _ = sharded_aot
+        restored = load(path)
+        x0, u0 = self._x(seed=1)
+        np.testing.assert_array_equal(np.asarray(aot(x0, u0).cost),
+                                      np.asarray(restored(x0, u0).cost))
+        assert restored.meta["num_devices"] == 8
+
+    def test_service_mesh_aot(self, sharded_aot):
+        from ilqr_tpu.serve import SolverService
+
+        aot, path, mesh, (model, params, cfg) = sharded_aot
+        svc = SolverService(model, params, cfg, 0.05, 12, max_batch=8,
+                            path="vmap", mesh=mesh, aot=path,
+                            autostart=False)
+        rng = np.random.default_rng(7)
+        x0 = rng.normal(size=4).astype(np.float32)
+        fut = svc.submit(x0)
+        assert svc._run_once(block=True)
+        s = fut.result(timeout=0)
+        ref = solve(model, params, cfg, 0.05, jnp.asarray(x0),
+                    jnp.zeros((12, 2), jnp.float32))
+        np.testing.assert_allclose(s.cost, np.asarray(ref.cost), rtol=1e-5)
+        svc.close()
+
+    def test_mesh_mismatch_refused(self, sharded_aot):
+        from jax.sharding import Mesh
+        import jax
+
+        from ilqr_tpu.serve import SolverService
+
+        aot, path, mesh, (model, params, cfg) = sharded_aot
+        with pytest.raises(ValueError, match="sharded program"):
+            SolverService(model, params, cfg, 0.05, 12, max_batch=8,
+                          path="vmap", aot=path, autostart=False)
+        half = Mesh(np.array(jax.devices()[:4]).reshape(-1), ("batch",))
+        with pytest.raises(ValueError, match="does not match"):
+            SolverService(model, params, cfg, 0.05, 12, max_batch=8,
+                          path="vmap", mesh=half, aot=path,
+                          autostart=False)
+
+    def test_single_device_blob_with_mesh_refused(self, sharded_aot):
+        from ilqr_tpu.serve import SolverService
+
+        _, _, mesh, (model, params, cfg) = sharded_aot
+        flat = compile_solver(model, params, cfg, 0.05, 8, 12,
+                              path="vmap")
+        with pytest.raises(ValueError, match="single-device AOT blob"):
+            SolverService(model, params, cfg, 0.05, 12, max_batch=8,
+                          path="vmap", mesh=mesh, aot=flat,
+                          autostart=False)
+
+    def test_warm_sharded_aot(self, tmp_path):
+        """warm=True + mesh= as one serialized executable."""
+        from ilqr_tpu.parallel.mesh import make_mesh
+        from ilqr_tpu.serve import SolverService
+
+        model = get_model("double_integrator")
+        params = di.default_params()
+        cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+        mesh = make_mesh()
+        aot = compile_solver(model, params, cfg, 0.05, 8, 12,
+                             path="vmap", warm=True, mesh=mesh)
+        svc = SolverService(model, params, cfg, 0.05, 12, max_batch=8,
+                            path="vmap", warm=True, mesh=mesh, aot=aot,
+                            autostart=False)
+        flat = SolverService(model, params, cfg, 0.05, 12, max_batch=8,
+                             path="vmap", warm=True, autostart=False)
+        x0 = np.array([0.5, -0.3, 0.1, 0.0], np.float32)
+        fa, fb = svc.submit(x0), flat.submit(x0)
+        assert svc._run_once(block=True) and flat._run_once(block=True)
+        a, b = fa.result(timeout=0), fb.result(timeout=0)
+        np.testing.assert_allclose(a.cost, b.cost, rtol=1e-6)
+        # warm replan through the sharded executable
+        f2 = svc.submit(x0 + np.float32(0.01), prev=a)
+        assert svc._run_once(block=True)
+        assert np.isfinite(f2.result(timeout=0).cost)
+        svc.close(); flat.close()

@@ -82,3 +82,52 @@ def test_convergence_stats():
     assert set(stats) >= {"mean_cost", "max_cost", "mean_iterations",
                           "converged_frac"}
     assert 0.0 <= float(stats["converged_frac"]) <= 1.0
+
+
+def test_chunked_dispatch_bit_identical():
+    """solve_batch_chunked == monolithic solve_batch BIT-exactly (the
+    m>MAX_STAGE_KERNEL_M TPU crash mitigation must not change results —
+    BENCH_NOTES round 5)."""
+    import numpy as np
+
+    from ilqr_tpu.batch import solve_batch, solve_batch_chunked
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=11)
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.normal(size=(5, 4)), jnp.float32)
+    u0 = jnp.zeros((5, 20, 2), jnp.float32)
+    mono = solve_batch(model, params, cfg, 0.05, x0, u0, iter_chunk=None)
+    for chunk in (1, 3, 4, 100):
+        ch = solve_batch_chunked(model, params, cfg, 0.05, x0, u0,
+                                 iter_chunk=chunk)
+        for f in ("cost", "us", "xs", "lam", "iterations", "reason"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mono, f)), np.asarray(getattr(ch, f)),
+                err_msg=f"{f} differs at iter_chunk={chunk}")
+
+
+def test_chunked_dispatch_params_batched():
+    import numpy as np
+
+    from ilqr_tpu.batch import solve_batch, solve_batch_chunked
+
+    model = get_model("double_integrator")
+    base = di.default_params()
+    B = 4
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), base)
+    params = params._replace(
+        goal=params.goal + jnp.arange(B, dtype=params.goal.dtype)[:, None]
+        * 0.1)
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=9)
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+    u0 = jnp.zeros((B, 15, 2), jnp.float32)
+    mono = solve_batch(model, params, cfg, 0.05, x0, u0,
+                       params_batched=True, iter_chunk=None)
+    ch = solve_batch_chunked(model, params, cfg, 0.05, x0, u0,
+                             iter_chunk=2, params_batched=True)
+    np.testing.assert_array_equal(np.asarray(mono.cost),
+                                  np.asarray(ch.cost))

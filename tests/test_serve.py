@@ -8,6 +8,8 @@ the threaded integration test asserts correctness only (never timing).
 
 import threading
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -387,3 +389,99 @@ def test_submit_after_worker_crash_raises(monkeypatch):
     svc._worker.join(60)
     with pytest.raises(RuntimeError, match="closed"):
         svc.submit(np.zeros(4, np.float32))
+
+
+def test_warm_service_over_mesh():
+    """warm=True + mesh= (VERDICT r4 item 3): the MPC fleet re-plan
+    dispatched through the sharded warm solver over the 8-virtual-device
+    CPU mesh. Cold lanes (synthesized payload) and prev= warm lanes must
+    both match the unsharded warm service."""
+    from ilqr_tpu.parallel.mesh import make_mesh
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+    mk = lambda **kw: SolverService(  # noqa: E731
+        model, params, cfg, 0.05, 14, max_batch=8, path="vmap",
+        warm=True, autostart=False, **kw)
+    mesh_svc = mk(mesh=make_mesh())
+    flat_svc = mk()
+
+    x0 = np.array([0.6, -0.2, 0.1, 0.0], np.float32)
+    fm, ff = mesh_svc.submit(x0), flat_svc.submit(x0)
+    assert mesh_svc._run_once(block=True)
+    assert flat_svc._run_once(block=True)
+    cold_m, cold_f = fm.result(timeout=0), ff.result(timeout=0)
+    np.testing.assert_allclose(cold_m.cost, cold_f.cost, rtol=1e-6)
+    np.testing.assert_allclose(cold_m.us, cold_f.us, rtol=1e-5, atol=1e-6)
+
+    x1 = x0 + np.float32(0.01)
+    fm2 = mesh_svc.submit(x1, prev=cold_m)
+    ff2 = flat_svc.submit(x1, prev=cold_f)
+    assert mesh_svc._run_once(block=True)
+    assert flat_svc._run_once(block=True)
+    warm_m, warm_f = fm2.result(timeout=0), ff2.result(timeout=0)
+    np.testing.assert_allclose(warm_m.cost, warm_f.cost, rtol=1e-6)
+    assert int(warm_m.iterations) == int(warm_f.iterations)
+    mesh_svc.close(); flat_svc.close()
+
+
+def test_eager_chunked_dispatch_for_wide_m(monkeypatch):
+    """On TPU, vmap serving for m > MAX_STAGE_KERNEL_M routes through the
+    host-driven iteration-chunked solve (the monolithic program can crash
+    the TPU worker — BENCH_NOTES round 5). Exercised here by patching the
+    backend check at construction; the chunked solve itself runs on CPU."""
+    import jax as _jax
+
+    from ilqr_tpu.batch import solve_batch_chunked
+    from ilqr_tpu.models import thruster_ring as tr
+
+    model = get_model("thruster_ring")
+    params = tr.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=5, boxqp_mode="pn_fixed",
+                       backward_kernel="xla", rollout_kernel="xla",
+                       deriv_kernel="xla")
+    with monkeypatch.context() as mp:
+        mp.setattr(_jax, "default_backend", lambda: "tpu")
+        svc = SolverService(model, params, cfg, 0.05, 8, max_batch=4,
+                            path="vmap", autostart=False)
+        with pytest.raises(ValueError, match="chunked warm dispatch"):
+            SolverService(model, params, cfg, 0.05, 8, max_batch=4,
+                          path="vmap", warm=True, autostart=False)
+        from ilqr_tpu.aot import compile_solver
+        with pytest.raises(ValueError, match="cannot be AOT-compiled"):
+            compile_solver(model, params, cfg, 0.05, 4, 8, path="vmap")
+    rng = np.random.default_rng(9)
+    x0 = (0.2 * rng.normal(size=6)).astype(np.float32)
+    fut = svc.submit(x0)
+    assert svc._run_once(block=True)
+    s = fut.result(timeout=0)
+    ref = solve_batch_chunked(model, params, cfg, 0.05,
+                              jnp.asarray(x0)[None],
+                              jnp.zeros((1, 8, 12), jnp.float32))
+    np.testing.assert_allclose(s.cost, np.asarray(ref.cost)[0], rtol=1e-6)
+    svc.close()
+
+
+def test_solve_batch_auto_chunk_guard_under_jit(monkeypatch):
+    """iter_chunk='auto' in the dangerous TPU region must raise under an
+    outer jit trace instead of compiling the worker-killing program."""
+    import jax as _jax
+
+    from ilqr_tpu.batch import solve_batch
+    from ilqr_tpu.models import thruster_ring as tr
+
+    model = get_model("thruster_ring")
+    params = tr.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=40, boxqp_mode="pn_fixed",
+                       backward_kernel="xla", rollout_kernel="xla",
+                       deriv_kernel="xla")
+    with monkeypatch.context() as mp:
+        mp.setattr(_jax, "default_backend", lambda: "tpu")
+        fn = jax.jit(lambda x, u: solve_batch(model, params, cfg, 0.05,
+                                              x, u))
+        with pytest.raises(ValueError, match="iteration chunks"):
+            fn(jnp.zeros((4, 6), jnp.float32),
+               jnp.zeros((4, 8, 12), jnp.float32))
