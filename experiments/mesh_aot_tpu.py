@@ -31,7 +31,8 @@ BLOB = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "mesh_warm.aotexec")
 COSTS = BLOB + ".costs.npy"
 B_MAX, T, MAX_ITER, REQS = 256, 99, 10, 8
-FIELDS = ("us", "cost", "iterations", "reason")
+# xs/K/lam/dlam must stay in the payload for warm chaining (prev=sol)
+FIELDS = ("us", "xs", "K", "lam", "dlam", "cost", "iterations", "reason")
 
 PROC_T0 = time.perf_counter()
 

@@ -25,19 +25,92 @@ from ilqr_tpu.models.base import Model
 from ilqr_tpu.solver import solve
 from ilqr_tpu.types import Solution
 
-# Per-dispatch iteration budget for the TPU vmap path past the per-stage
-# kernel envelope (m > ops/rollout.MAX_STAGE_KERNEL_M). Round-5 bisect
-# (experiments/m12_bisect.py rows, BENCH_NOTES round 5): the XLA:TPU
-# worker reproducibly dies ("kernel fault") when ONE execution of the
-# m=12 vmapped while_loop program runs too much work — (B=512, 20 iters),
-# (B=256, 80 iters), (B=1024, 40 iters) all crash, with the iterative
-# AND pn_fixed QPs (QP-agnostic), while the same program is CPU-valid —
-# yet every probe with <= 4 iterations per execution passes up to B=1024.
-# Bounding the per-dispatch iteration count and looping from the host
-# (state carried on device) keeps each execution inside the proven
-# envelope; the extra dispatches cost ~26 ms each (axon cost model)
-# against ~3 s/iteration solves — noise.
+# --- The wide-m XLA:TPU worker fault and its containment ----------------
+#
+# Past the per-stage kernel envelope (m > ops/rollout.MAX_STAGE_KERNEL_M)
+# the vmapped while_loop solve runs as a pure-XLA scan program — and the
+# XLA:TPU backend reproducibly KILLS THE WORKER ("kernel fault") once a
+# process has executed too much of that program family, while the same
+# program is CPU-valid and the fault is QP-agnostic (iterative and
+# pn_fixed both). Round-5 bisect (experiments/m12_bisect.py rows,
+# BENCH_NOTES round 5, all m=12 T=80):
+#
+#   OK:    (B=256, 40 it) monolithic or 4-it-chunked; (B=512|1024, 4 it);
+#          (B=256, 80 it) in 4-iteration chunks  ← the proven maximum
+#   CRASH: (B=256, 80 it) monolithic; (B=512, >=20 it); (B=1024, 40 it)
+#          monolithic, 4-it-chunked, AND as 4 sequential B=256 solves —
+#          the fault ACCUMULATES ACROSS EXECUTIONS within one process.
+#
+# Containment (all three layers engaged automatically on this route):
+#   1. SAFE_ITER_CHUNK-iteration executions (host loop, state on device)
+#      — bit-exact, no slower, and raises the B=256 ceiling 40 → 80+.
+#   2. Batch-chunking to MAX_WIDE_DISPATCH_B lanes per dispatch.
+#   3. A per-process lane-iteration LEDGER: a solve whose worst case
+#      would push the process past WIDE_M_LANE_ITER_BUDGET (the proven
+#      envelope) raises upfront — BEFORE touching the device — telling
+#      the caller to lower B/max_iter or split across processes (the
+#      experiments/run_round5a.sh pattern). Override the budget at your
+#      own risk via ILQR_TPU_WIDE_M_BUDGET (env) after probing further.
 SAFE_ITER_CHUNK = 4
+MAX_WIDE_DISPATCH_B = 256
+WIDE_M_LANE_ITER_BUDGET = 256 * 80   # chunked_256_80, the proven max
+_WIDE_M_LEDGER = {"lane_iters": 0}
+
+
+def _wide_m_budget() -> int:
+    import os
+
+    return int(os.environ.get("ILQR_TPU_WIDE_M_BUDGET",
+                              WIDE_M_LANE_ITER_BUDGET))
+
+
+def solve_batch_wide(
+    model: Model,
+    params,
+    cfg: SolverConfig,
+    dt,
+    x0,
+    u0,
+    params_batched: bool = False,
+) -> Solution:
+    """The contained dispatch for ``m > MAX_STAGE_KERNEL_M`` on TPU (see
+    the fault writeup above): batch-chunked to
+    :data:`MAX_WIDE_DISPATCH_B` lanes, iteration-chunked to
+    :data:`SAFE_ITER_CHUNK`, and accounted against the per-process
+    ledger. Bit-identical to ``solve_batch(..., iter_chunk=None)``.
+    Raises upfront if the worst-case work would exceed the proven
+    per-process envelope."""
+    if u0.ndim == 2:
+        u0 = jnp.broadcast_to(u0[None], (x0.shape[0],) + u0.shape)
+    B = int(x0.shape[0])
+    projected = B * int(cfg.max_iter)
+    budget = _wide_m_budget()
+    if _WIDE_M_LEDGER["lane_iters"] + projected > budget:
+        raise ValueError(
+            f"refusing a wide-m (m={model.m} > MAX_STAGE_KERNEL_M) TPU "
+            f"vmap solve of B={B} x max_iter={cfg.max_iter} = {projected}"
+            f" lane-iterations: this process has already executed "
+            f"{_WIDE_M_LEDGER['lane_iters']} and the proven per-process "
+            f"envelope is {budget} — beyond it the XLA:TPU worker "
+            "reproducibly crashes (a backend fault, not a repo bug: the "
+            "program is CPU-valid; BENCH_NOTES round 5, "
+            "experiments/m12_bisect.py). Lower B or max_iter, split the "
+            "work across processes (the experiments/run_round5a.sh "
+            "chain pattern), use the fused path (m <= MAX_FUSED_M), or "
+            "raise ILQR_TPU_WIDE_M_BUDGET after probing further.")
+    _WIDE_M_LEDGER["lane_iters"] += projected
+    sols = []
+    for c in range(0, B, MAX_WIDE_DISPATCH_B):
+        sl = slice(c, min(c + MAX_WIDE_DISPATCH_B, B))
+        p = (jax.tree_util.tree_map(lambda a: a[sl], params)
+             if params_batched else params)
+        sols.append(solve_batch_chunked(
+            model, p, cfg, dt, x0[sl], u0[sl],
+            iter_chunk=SAFE_ITER_CHUNK, params_batched=params_batched))
+    if len(sols) == 1:
+        return sols[0]
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *sols)
 
 
 def solve_batch(
@@ -68,16 +141,14 @@ def solve_batch(
     """
     if u0.ndim == 2:
         u0 = jnp.broadcast_to(u0[None], (x0.shape[0],) + u0.shape)
+    auto_wide = False
     if iter_chunk == "auto":
         from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
 
-        iter_chunk = (
-            SAFE_ITER_CHUNK
-            if (jax.default_backend() == "tpu"
-                and model.m > MAX_STAGE_KERNEL_M
-                and cfg.max_iter > SAFE_ITER_CHUNK)
-            else None)
-    if iter_chunk is not None:
+        auto_wide = (jax.default_backend() == "tpu"
+                     and model.m > MAX_STAGE_KERNEL_M)
+        iter_chunk = None
+    if auto_wide or iter_chunk is not None:
         if any(isinstance(a, jax.core.Tracer) for a in (x0, u0)):
             raise ValueError(
                 f"m={model.m} > MAX_STAGE_KERNEL_M vmap solves on TPU "
@@ -87,6 +158,11 @@ def solve_batch(
                 "eagerly (it jits internally) instead of wrapping it in "
                 "jax.jit, or pass iter_chunk=None to force the "
                 "single-dispatch program at your own risk")
+        if auto_wide:
+            # full containment: batch-chunking + iteration-chunking +
+            # the per-process work ledger (see writeup above)
+            return solve_batch_wide(model, params, cfg, dt, x0, u0,
+                                    params_batched=params_batched)
         return solve_batch_chunked(
             model, params, cfg, dt, x0, u0,
             iter_chunk=int(iter_chunk), params_batched=params_batched)

@@ -166,13 +166,15 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
                 and model.m > MAX_STAGE_KERNEL_M):
             # the monolithic vmapped while_loop program can crash the
             # TPU worker in this region (BENCH_NOTES round 5) — dispatch
-            # eagerly through the iteration-chunked solve instead
-            # (batch.SAFE_ITER_CHUNK). No packing (the chunked loop is
-            # host control flow, not one jittable program).
-            from ilqr_tpu.batch import solve_batch_chunked
+            # eagerly through the fully-contained wide-m solve instead
+            # (batch.solve_batch_wide: iteration+batch chunking and the
+            # per-process work ledger; once the ledger is exhausted
+            # dispatches raise — recycle the serving process). No
+            # packing (a host loop is not one jittable program).
+            from ilqr_tpu.batch import solve_batch_wide
 
             def raw(x, u):
-                return solve_batch_chunked(model, params, cfg, dt, x, u)
+                return solve_batch_wide(model, params, cfg, dt, x, u)
 
             eager = True
         else:

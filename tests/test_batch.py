@@ -4,6 +4,7 @@ parallelism inventory — problem-level batching via vmap)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ilqr_tpu import SolverConfig, get_model, solve
 from ilqr_tpu.batch import convergence_stats, make_batch_solver, solve_batch
@@ -131,3 +132,49 @@ def test_chunked_dispatch_params_batched():
                              iter_chunk=2, params_batched=True)
     np.testing.assert_array_equal(np.asarray(mono.cost),
                                   np.asarray(ch.cost))
+
+
+def test_wide_m_ledger_guard(monkeypatch):
+    """The per-process wide-m work ledger must refuse an over-budget
+    solve BEFORE touching the device, and the contained dispatch must
+    match the monolithic solve (BENCH_NOTES round 5 fault writeup)."""
+    import ilqr_tpu.batch as batch_mod
+    from ilqr_tpu.batch import solve_batch, solve_batch_wide
+    from ilqr_tpu.models import thruster_ring as tr
+
+    model = get_model("thruster_ring")
+    params = tr.default_params()
+    cfg_small = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                             max_iter=3, boxqp_mode="pn_fixed",
+                             backward_kernel="xla", rollout_kernel="xla",
+                             deriv_kernel="xla")
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(0.2 * rng.normal(size=(4, 6)), jnp.float32)
+    u0 = jnp.zeros((4, 8, 12), jnp.float32)
+
+    monkeypatch.setitem(batch_mod._WIDE_M_LEDGER, "lane_iters", 0)
+    wide = solve_batch_wide(model, params, cfg_small, 0.05, x0, u0)
+    mono = solve_batch(model, params, cfg_small, 0.05, x0, u0,
+                       iter_chunk=None)
+    np.testing.assert_array_equal(np.asarray(wide.cost),
+                                  np.asarray(mono.cost))
+    assert batch_mod._WIDE_M_LEDGER["lane_iters"] == 4 * 3
+
+    # over-budget request refused upfront with the full story
+    cfg_big = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                           max_iter=40, boxqp_mode="pn_fixed",
+                           backward_kernel="xla", rollout_kernel="xla",
+                           deriv_kernel="xla")
+    big_x0 = jnp.zeros((1024, 6), jnp.float32)
+    big_u0 = jnp.zeros((1024, 8, 12), jnp.float32)
+    with pytest.raises(ValueError, match="refusing a wide-m"):
+        solve_batch_wide(model, params, cfg_big, 0.05, big_x0, big_u0)
+    # env override raises the budget
+    monkeypatch.setenv("ILQR_TPU_WIDE_M_BUDGET", "10000000")
+    monkeypatch.setitem(batch_mod._WIDE_M_LEDGER, "lane_iters", 0)
+    cfg_tiny = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                            max_iter=1, boxqp_mode="pn_fixed",
+                            backward_kernel="xla", rollout_kernel="xla",
+                            deriv_kernel="xla")
+    sol = solve_batch_wide(model, params, cfg_tiny, 0.05, big_x0, big_u0)
+    assert np.all(np.isfinite(np.asarray(sol.cost)))
