@@ -13,6 +13,9 @@ SolverService(aot=...), and serves immediately — no tracing, no compile.
   python examples/aot_serving.py --serve [--cpu]
   python examples/aot_serving.py --precompile --serve [--cpu]   # both
   ... --warm        # the MPC deployment: warm-start program + replans
+  ... --mesh N     # multi-device: compile+serve the SHARDED dispatch
+                   # (shard_map over the first N devices; the blob bakes
+                   # in the mesh topology and load() rebinds it)
 """
 
 from __future__ import annotations
@@ -40,6 +43,9 @@ def main():
     ap.add_argument("--warm", action="store_true",
                     help="compile/serve the MPC warm-start program and "
                          "chain replans through prev=")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the dispatch over the first N devices "
+                         "(compile_solver(mesh=) + SolverService(mesh=))")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if not (args.precompile or args.serve):
@@ -54,6 +60,14 @@ def main():
 
     from ilqr_tpu import SolverConfig, aot_compile, get_model
     from ilqr_tpu.serve import SolverService
+
+    mesh = None
+    if args.mesh:
+        from ilqr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:args.mesh])
+        if args.max_batch % mesh.size:
+            ap.error(f"--max-batch must be divisible by --mesh {mesh.size}")
 
     model = get_model(args.model)
     params = model.default_params()
@@ -71,10 +85,12 @@ def main():
         t0 = time.perf_counter()
         solver = aot_compile(model, params, cfg, dt, args.max_batch,
                              args.horizon, path=path, warm=args.warm,
-                             fields=fields)
+                             fields=fields, mesh=mesh)
         solver.save(args.blob)
         mb = os.path.getsize(args.blob) / 1e6
         kind = "warm" if args.warm else "cold"
+        if mesh is not None:
+            kind += f" sharded({mesh.size}dev)"
         print(f"precompiled {kind} [{path}] in "
               f"{time.perf_counter() - t0:.1f}s "
               f"-> {args.blob} ({mb:.1f} MB)")
@@ -84,7 +100,7 @@ def main():
         svc = SolverService(model, params, cfg, dt, args.horizon,
                             max_batch=args.max_batch, max_wait_ms=2.0,
                             path=path, warm=args.warm, fields=fields,
-                            aot=args.blob)
+                            mesh=mesh, aot=args.blob)
         rng = np.random.default_rng(0)
         first = svc.solve(rng.normal(size=model.n).astype(np.float32),
                           timeout=600)

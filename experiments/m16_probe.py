@@ -27,13 +27,15 @@ import numpy as np
 
 import ilqr_tpu.ops.pallas_sweep as ps
 
-ps.MAX_FUSED_M = 16  # probe patch — every guard reads the module global
+ps.MAX_FUSED_M = max(ps.MAX_FUSED_M, 16)  # no-op since the round-5
+# cap raise landed; kept so the probe is self-contained historically
 
 from ilqr_tpu import SolverConfig, get_model  # noqa: E402
 from ilqr_tpu.fused import solve_batch_fused  # noqa: E402
 from ilqr_tpu.models import thruster_ring as tr  # noqa: E402
 
-B = int(os.environ.get("M16_B", "1024"))
+MODE = os.environ.get("M16_MODE", "perf")  # perf | equiv
+B = int(os.environ.get("M16_B", "64" if MODE == "equiv" else "1024"))
 T = 80
 
 model = get_model("thruster_ring16")
@@ -49,19 +51,46 @@ t0 = time.perf_counter()
 sol = solve_batch_fused(model, params, cfg, 0.05, x0, u0)
 cost = np.asarray(sol.cost)
 first = time.perf_counter() - t0
-reps = []
-for _ in range(3):
-    x0r = jnp.asarray(0.2 * rng.normal(size=(B, 6)), jnp.float32)
+
+if MODE == "equiv":
+    # on-device fused-vs-vmap equivalence at m=16 (the m12 equiv_tpu
+    # discipline): the contained chunked vmap route, same inputs.
+    # 64 lanes x 40 iters = 2,560 lane-iterations — inside the wide-m
+    # per-process ledger budget.
+    vcfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                        max_iter=40, boxqp_mode="iterative",
+                        backward_kernel="xla", rollout_kernel="xla",
+                        deriv_kernel="xla")
+    from ilqr_tpu.batch import solve_batch
+
     t0 = time.perf_counter()
-    sol = solve_batch_fused(model, params, cfg, 0.05, x0r, u0)
-    np.asarray(sol.cost)
-    reps.append(time.perf_counter() - t0)
-us = np.asarray(sol.us)
-print(json.dumps({
-    "mode": "m16_fused", "B": B, "T": T,
-    "solves_per_s": round(B / min(reps), 1),
-    "best_s": round(min(reps), 4), "first_s": round(first, 1),
-    "mean_cost": round(float(np.asarray(sol.cost).mean()), 4),
-    "mean_iters": round(float(np.asarray(sol.iterations).mean()), 1),
-    "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
-}), flush=True)
+    vsol = solve_batch(model, params, vcfg, 0.05, x0, u0)  # auto→wide
+    vcost = np.asarray(vsol.cost)
+    v_s = time.perf_counter() - t0
+    rel = np.abs(cost - vcost) / (np.abs(vcost) + 1e-9)
+    print(json.dumps({
+        "mode": "m16_equiv", "B": B, "T": T,
+        "fused_first_s": round(first, 1), "vmap_s": round(v_s, 1),
+        "fused_mean_cost": round(float(cost.mean()), 4),
+        "vmap_mean_cost": round(float(vcost.mean()), 4),
+        "max_rel_dcost": float(rel.max()),
+        "mean_iters_fused": round(float(np.asarray(sol.iterations).mean()), 1),
+        "mean_iters_vmap": round(float(np.asarray(vsol.iterations).mean()), 1),
+    }), flush=True)
+else:
+    reps = []
+    for _ in range(3):
+        x0r = jnp.asarray(0.2 * rng.normal(size=(B, 6)), jnp.float32)
+        t0 = time.perf_counter()
+        sol = solve_batch_fused(model, params, cfg, 0.05, x0r, u0)
+        np.asarray(sol.cost)
+        reps.append(time.perf_counter() - t0)
+    us = np.asarray(sol.us)
+    print(json.dumps({
+        "mode": "m16_fused", "B": B, "T": T,
+        "solves_per_s": round(B / min(reps), 1),
+        "best_s": round(min(reps), 4), "first_s": round(first, 1),
+        "mean_cost": round(float(np.asarray(sol.cost).mean()), 4),
+        "mean_iters": round(float(np.asarray(sol.iterations).mean()), 1),
+        "frac_at_lower": round(float((us <= 1e-6).mean()), 3),
+    }), flush=True)

@@ -23,7 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
                  "cartpole", "bicycle", "free_flyer", "omni_thruster",
                  "point_mass_3d", "power_mass", "quadrotor",
-                 "thruster_ring"],
+                 "thruster_ring", "thruster_ring16"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=None,
@@ -120,11 +120,14 @@ _PROBLEMS = {
     # m=8 cap; zero thrust is the natural initial control (no gravity)
     "free_flyer": dict(model="free_flyer", T=120, goal=None,
                        x0=(0.0,) * 6, dt=0.05),
-    # 12-thruster planar ring: AT the raised MAX_FUSED_M = 12 cap (the
-    # widest in-kernel projected-Newton QP); the vmap path exercises
-    # the fixed-shape pn boxQP (boxqp_mode auto→pn_fixed on TPU)
+    # 12-thruster planar ring (in-kernel projected-Newton QP)
     "thruster_ring": dict(model="thruster_ring", T=100, goal=None,
                           x0=(0.0,) * 6, dt=0.05),
+    # 16-thruster ring: AT the raised MAX_FUSED_M = 16 cap (round-5
+    # m16_fused row: 6,474 solves/s, 750 s Mosaic compile); the vmap
+    # route for it uses the contained chunked dispatch (BENCH_NOTES r5)
+    "thruster_ring16": dict(model="thruster_ring16", T=100, goal=None,
+                            x0=(0.0,) * 6, dt=0.05),
 }
 
 

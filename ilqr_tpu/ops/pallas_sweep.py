@@ -515,10 +515,13 @@ def _qp_newton(quuF, qu, m):
 # The cap is a Mosaic COMPILE-size wall, not an algorithmic one: the
 # in-kernel QP unrolls O(m³) Cholesky ops × (m+6) Newton iterations per
 # timestep (m=8: ~1.2k ops/step, measured 146-209 s remote compile;
-# m=12: ~5.2k ops/step — see BENCH_NOTES round-4 for the measured wall).
-# Past the cap use the vmap path with boxqp_mode="pn_fixed".
+# m=12: ~5.2k ops/step, 386 s; m=16: ~12k ops/step, 750 s compile for
+# 6,474 solves/s at B=1024 — the round-5 m16_fused row; the wall is
+# steep but passable to at least 16). Past the cap use the vmap path
+# (batch.solve_batch routes it through the contained chunked dispatch
+# on TPU — see the worker-fault writeup in batch.py).
 
-MAX_FUSED_M = 12
+MAX_FUSED_M = 16
 
 
 def _chol_masked_tiles(q, free_f, m):

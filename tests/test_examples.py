@@ -91,3 +91,28 @@ def test_aot_serving_warm_smoke(tmp_path):
                "--max-iter", "3", "--requests", "3", "--path", "vmap",
                cache=False)
     assert "chained 3 warm replans" in out
+
+
+def test_aot_serving_mesh_smoke(tmp_path):
+    """--mesh: the sharded dispatch as one blob, compiled and served over
+    the 8-virtual-device CPU mesh. CPU blobs are same-process-fragile
+    (aot.py trap triad), so precompile+serve run in ONE process here;
+    the cross-process evidence is TPU-side (experiments/mesh_aot_tpu.py)."""
+    env_flags = os.environ.get("XLA_FLAGS", "")
+    blob = str(tmp_path / "mesh.aotexec")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env_flags
+                        + " --xla_force_host_platform_device_count=8")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    res = subprocess.run(
+        [sys.executable, os.path.join(_EX, "aot_serving.py"),
+         "--precompile", "--serve", "--cpu", "--mesh", "8",
+         "--blob", blob, "--max-batch", "8", "--horizon", "10",
+         "--max-iter", "4", "--requests", "4", "--path", "vmap"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=_ROOT)
+    assert res.returncode == 0, (
+        f"mesh serving failed\nstdout:\n{res.stdout}\n"
+        f"stderr:\n{res.stderr}")
+    assert "sharded(8dev)" in res.stdout
+    assert "first solution" in res.stdout

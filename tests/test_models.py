@@ -481,7 +481,7 @@ def test_free_flyer_reaches_goal_at_m8_cap():
     from ilqr_tpu.models import free_flyer as ff
 
     m = get_model("free_flyer")
-    assert m.m == 8  # was the round-3 MAX_FUSED_M cap (now 12)
+    assert m.m == 8  # was the round-3 MAX_FUSED_M cap (now 16)
     p = ff.default_params()
     T = 80
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
