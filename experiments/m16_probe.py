@@ -56,9 +56,14 @@ if MODE == "equiv":
     # on-device fused-vs-vmap equivalence at m=16 (the m12 equiv_tpu
     # discipline): the contained chunked vmap route, same inputs.
     # 64 lanes x 40 iters = 2,560 lane-iterations — inside the wide-m
-    # per-process ledger budget.
+    # per-process ledger budget. M16_QP chooses the vmap-side QP:
+    # "pn_fixed" = the SAME projected-Newton recipe as the kernel
+    # (apples-to-apples iterates); "iterative" = the reference-semantics
+    # solver (cross-algorithm — unconverged capped lanes then diverge at
+    # the 1e-2 level by iterate tie-breaking, measured in round 5).
     vcfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
-                        max_iter=40, boxqp_mode="iterative",
+                        max_iter=40,
+                        boxqp_mode=os.environ.get("M16_QP", "pn_fixed"),
                         backward_kernel="xla", rollout_kernel="xla",
                         deriv_kernel="xla")
     from ilqr_tpu.batch import solve_batch
@@ -70,6 +75,7 @@ if MODE == "equiv":
     rel = np.abs(cost - vcost) / (np.abs(vcost) + 1e-9)
     print(json.dumps({
         "mode": "m16_equiv", "B": B, "T": T,
+        "vmap_qp": vcfg.boxqp_mode,
         "fused_first_s": round(first, 1), "vmap_s": round(v_s, 1),
         "fused_mean_cost": round(float(cost.mean()), 4),
         "vmap_mean_cost": round(float(vcost.mean()), 4),

@@ -15,6 +15,14 @@ state. Records replans/s, latency p50/p99, lanes/batch, and VmRSS
 samples (start/steady/end) — the round-4 "~3,400 req/s per-chip
 capacity" claim was extrapolated from 107-lane batches; this measures
 full blocks under sustained load.
+
+Phase resident (SS_MODE=resident): the round-5 DEVICE-RESIDENT fleet
+(SolverService(resident_slots=...)): same controller fleet, but each
+replan submits only (x0, slot) — the warm pytree never leaves the
+device. Compiles in-process (~300 s — no AOT for the donated-state
+program yet), then runs the same soak loop. Expected vs the prev= soak:
+higher replans/s (the 15 MB/dispatch H2D payload drops to ~20 KB) and
+near-flat RSS (the axon client leaks per transfer BYTE — rss_probe2).
 """
 
 import json
@@ -77,9 +85,24 @@ def main():
         }), flush=True)
         return
 
-    svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
-                        max_batch=B_MAX, max_wait_ms=5.0, path="fused",
-                        warm=True, fields=FIELDS, aot=BLOB)
+    resident = MODE == "resident"
+    if resident:
+        t0 = time.perf_counter()
+        svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
+                            max_batch=B_MAX, max_wait_ms=5.0,
+                            path="fused", warm=True,
+                            resident_slots=CONTROLLERS)
+        # first dispatch pays the compile; do it solo so the timing and
+        # the soak loop start warm
+        svc.solve(np.zeros(4, np.float32), slot=0, timeout=3000)
+        print(f"[soak] resident compile+first "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+    else:
+        svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
+                            max_batch=B_MAX, max_wait_ms=5.0,
+                            path="fused", warm=True, fields=FIELDS,
+                            aot=BLOB)
     rng = np.random.default_rng(3)
     x0s = (0.05 * rng.normal(size=(CONTROLLERS, 4))).astype(np.float32)
 
@@ -92,7 +115,10 @@ def main():
 
     def submit_next(i, prev):
         t_sub = time.perf_counter()
-        fut = svc.submit(x0s[i], prev=prev)
+        if resident:
+            fut = svc.submit(x0s[i], slot=i)
+        else:
+            fut = svc.submit(x0s[i], prev=prev)
 
         def cb(fut, i=i, t_sub=t_sub):
             try:
@@ -138,7 +164,8 @@ def main():
     lat = np.asarray(lat_ms)
     stats = dict(svc.stats)
     out = {
-        "mode": "soak_warm_1024", "B": B_MAX, "T": T,
+        "mode": ("soak_resident_1024" if resident else "soak_warm_1024"),
+        "B": B_MAX, "T": T,
         "controllers": CONTROLLERS,
         "replans": int(state["replans"]),
         "errors": int(state["errors"]),

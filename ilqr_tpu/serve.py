@@ -67,10 +67,12 @@ from ilqr_tpu.types import Solution
 @dataclass
 class _Request:
     x0: np.ndarray          # (n,)
-    u0: np.ndarray          # (T, m)
+    u0: Optional[np.ndarray]  # (T, m); None on resident services
     # warm-start payload (warm services): (us, xs, K, lam, dlam) numpy
     # leaves of the client's previous Solution, or None for a cold lane
     prev: Optional[tuple] = None
+    # resident services: the controller's device-state slot id
+    slot: Optional[int] = None
     future: Future = field(default_factory=Future)
 
 
@@ -242,6 +244,146 @@ def unpack_dispatch_output(flat_np, dmeta):
         for f in Solution._fields])
 
 
+RESIDENT_FIELDS = ("us", "cost", "iterations", "reason")
+
+
+def build_resident_dispatch(model, params, cfg, dt, horizon, max_batch,
+                            capacity, *, path, fields=None):
+    """The DEVICE-RESIDENT warm fleet dispatch (round 5): per-controller
+    MPC state (us, xs, K, λ, dλ) lives in ``capacity`` device-side slots
+    and never round-trips the host, so a warm replan's H2D payload is
+    just (x0, slot, warm-flag) — ~20 bytes/lane instead of the ~15 KB
+    warm pytree. Measured motivation (BENCH_NOTES round 5): the
+    full-block warm dispatch is TRANSFER-bound (device time ~2 ms of a
+    ~0.45 s dispatch), and the axon client leaks host RSS per H2D
+    transfer proportional to its size — the resident layout attacks
+    both.
+
+    Program signature (donated state first):
+
+        fn(s_us, s_xs, s_K, s_lam, s_dlam, flat_in)
+            -> (s_us', s_xs', s_K', s_lam', s_dlam', flat_out)
+
+    where ``flat_in`` packs (x0 (B,n) f32, slots (B,) i32 bitcast,
+    warm_mask (B,) f32) and ``flat_out`` packs the ``fields``-selected
+    Solution leaves (default :data:`RESIDENT_FIELDS` — NOT xs/K; those
+    stay on device). State buffers have ``capacity + 1`` slots: the last
+    is scratch for padded lanes. Cold lanes (warm_mask 0) synthesize the
+    u0=0, K=0, λ_init payload in-program — bit-identical to a cold solve
+    with zero initial controls. Returns ``(fn, dmeta, init_state)``.
+    """
+    import numpy as _np
+
+    T, n, m = int(horizon), model.n, model.m
+    mb, C = int(max_batch), int(capacity)
+    fields = RESIDENT_FIELDS if fields is None else tuple(fields)
+    bad = set(fields) & {"xs", "K", "k"}
+    if bad:
+        raise ValueError(
+            f"resident dispatch cannot return {sorted(bad)} — the warm "
+            "trajectory state stays on device (that is the point); "
+            "request us/cost/iterations/reason/lam/dlam/gnorm")
+
+    if path == "fused":
+        from ilqr_tpu.fused import fused_applicable, solve_batch_fused_warm
+
+        if not fused_applicable(model, cfg):
+            raise ValueError(
+                "resident path='fused': model/config not fused-compatible "
+                "(see fused.fused_applicable)")
+
+        def raw(x0b, usb, xsb, Kb, lamb, dlamb):
+            prev = Solution(xs=xsb, us=usb, k=None, K=Kb, cost=None,
+                            lam=lamb, dlam=dlamb, iterations=None,
+                            reason=None, gnorm=None)
+            return solve_batch_fused_warm(model, params, cfg, dt,
+                                          x0b, prev)
+    else:
+        from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
+        from ilqr_tpu.solver import solve_warm
+
+        if (jax.default_backend() == "tpu"
+                and model.m > MAX_STAGE_KERNEL_M):
+            raise ValueError(
+                "resident vmap serving is unsupported for "
+                f"m > {MAX_STAGE_KERNEL_M} on TPU (worker-fault region, "
+                "BENCH_NOTES round 5)")
+
+        def _one(x, us, xs, K, lam, dlam):
+            prev = Solution(xs=xs, us=us, k=None, K=K, cost=None,
+                            lam=lam, dlam=dlam, iterations=None,
+                            reason=None, gnorm=None)
+            return solve_warm(model, params, cfg, dt, x, prev)
+
+        def raw(*a):
+            return jax.vmap(_one)(*a)
+
+    f32 = jnp.float32
+    state_shapes = [(C + 1, T, m), (C + 1, T + 1, n), (C + 1, T, m, n),
+                    (C + 1,), (C + 1,)]
+
+    def init_state():
+        s = [jnp.zeros(sh, f32) for sh in state_shapes[:3]]
+        s.append(jnp.full((C + 1,), cfg.lambda_init, f32))
+        s.append(jnp.full((C + 1,), cfg.dlambda_init, f32))
+        return tuple(s)
+
+    def select(sol):
+        return Solution(*[
+            (getattr(sol, f) if f in fields else None)
+            for f in Solution._fields])
+
+    from ilqr_tpu.aot import pack_leaves, pack_specs
+
+    in_sizes = [mb * n, mb, mb]
+
+    def fn(s_us, s_xs, s_K, s_lam, s_dlam, flat_in):
+        parts = jnp.split(flat_in, list(_np.cumsum(in_sizes)[:-1]))
+        x0 = parts[0].reshape(mb, n)
+        slots = jax.lax.bitcast_convert_type(parts[1], jnp.int32)
+        wmask = parts[2]
+        g_us = s_us[slots]
+        g_xs = s_xs[slots]
+        g_K = s_K[slots]
+        # cold lanes: us=0 (open-loop u0=0), K=0 → the rollout reduces to
+        # the cold init_traj; λ/dλ at their cold inits
+        w3 = wmask[:, None, None]
+        us_in = g_us * w3
+        xs_in = g_xs * w3
+        K_in = g_K * wmask[:, None, None, None]
+        lam_in = jnp.where(wmask > 0, s_lam[slots],
+                           jnp.asarray(cfg.lambda_init, f32))
+        dlam_in = jnp.where(wmask > 0, s_dlam[slots],
+                            jnp.asarray(cfg.dlambda_init, f32))
+        sol = raw(x0, us_in, xs_in, K_in, lam_in, dlam_in)
+        new = (s_us.at[slots].set(sol.us),
+               s_xs.at[slots].set(sol.xs),
+               s_K.at[slots].set(sol.K),
+               s_lam.at[slots].set(sol.lam),
+               s_dlam.at[slots].set(sol.dlam))
+        return new + (pack_leaves(select(sol)),)
+
+    raw_in = [jax.ShapeDtypeStruct((mb, n), f32),
+              jax.ShapeDtypeStruct((mb, T, m), f32),
+              jax.ShapeDtypeStruct((mb, T + 1, n), f32),
+              jax.ShapeDtypeStruct((mb, T, m, n), f32),
+              jax.ShapeDtypeStruct((mb,), f32),
+              jax.ShapeDtypeStruct((mb,), f32)]
+    out_specs = pack_specs(select(jax.eval_shape(raw, *raw_in)))
+    if out_specs is None:
+        raise ValueError("resident dispatch requires 32-bit Solution "
+                         "leaves (f32 solves; x64 is unsupported here)")
+    dmeta = {"packed": True, "resident": True, "warm": True,
+             "fields": fields, "capacity": C,
+             "in_specs": [((mb, n), "float32"), ((mb,), "int32"),
+                          ((mb,), "float32")],
+             "state_shapes": [(tuple(sh), "float32")
+                              for sh in state_shapes],
+             "out_specs": out_specs,
+             "flat_in_size": int(sum(in_sizes))}
+    return fn, dmeta, init_state
+
+
 
 
 class SolverService:
@@ -301,6 +443,20 @@ class SolverService:
         Combinable with ``aot=`` (a blob compiled with
         ``compile_solver(..., warm=True)``) and with ``mesh=`` (the
         fleet's lanes are then split across the mesh devices).
+      resident_slots: with ``warm=True``, allocate this many DEVICE-SIDE
+        controller state slots and serve the fleet without ever
+        round-tripping the warm pytree through the host: clients call
+        ``submit(x0, slot=i)``; the first request per slot solves cold
+        (zero initial controls), later ones warm-start from the slot's
+        resident (us, xs, K, λ, dλ). Each dispatch's H2D payload is just
+        (x0, slot, warm-flag) — ~20 B/lane vs ~15 KB/lane for ``prev=``
+        serving — and the D2H payload is the ``fields`` selection
+        (default ``RESIDENT_FIELDS``; xs/K stay on device). Motivated by
+        round-5 measurements: full-block warm dispatches are
+        transfer-bound and the axon client leaks host RSS per transfer
+        byte. State buffers cost ``(capacity+1) × ~(T·(m·n+m+n)+2)``
+        floats of HBM (~7.3 KB/slot at the acrobot serve shape). Not yet
+        combinable with ``mesh=``/``aot=``.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -309,7 +465,7 @@ class SolverService:
                  horizon: int, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, path: str = "auto",
                  mesh=None, aot=None, fields=None, warm: bool = False,
-                 autostart: bool = True):
+                 resident_slots: int = 0, autostart: bool = True):
         if fields is not None:
             bad = set(fields) - set(Solution._fields)
             if bad:
@@ -322,6 +478,17 @@ class SolverService:
         if path == "auto":
             path = "fused" if jax.default_backend() == "tpu" else "vmap"
         self.warm = bool(warm)
+        self.resident = int(resident_slots)
+        if self.resident:
+            if not warm:
+                raise ValueError(
+                    "resident_slots requires warm=True (the resident "
+                    "fleet IS the warm-serving mode)")
+            if mesh is not None or aot is not None:
+                raise ValueError(
+                    "resident_slots is not yet combinable with mesh= or "
+                    "aot= (the state buffers are single-device and the "
+                    "donated-state program is not serialized yet)")
         if mesh is not None:
             if max_batch % mesh.size:
                 raise ValueError(
@@ -342,8 +509,21 @@ class SolverService:
         self.path = path
         self._pack = None
         self._pack_inputs = False
+        self._res_state = None
+        self._res_dmeta = None
+        self._res_init = None
+        self._slot_used = None
 
-        if aot is not None:
+        if self.resident:
+            fn, dmeta, init_state = build_resident_dispatch(
+                model, params, cfg, dt, self._T, self._max_batch,
+                self.resident, path=path, fields=fields)
+            fields = dmeta["fields"]
+            inner = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
+            self._res_dmeta = dmeta
+            self._res_init = init_state
+            self._slot_used = np.zeros(self.resident, bool)
+        elif aot is not None:
             from ilqr_tpu.aot import AotSolver
             from ilqr_tpu.aot import load as aot_load
 
@@ -538,6 +718,36 @@ class SolverService:
                         for f in Solution._fields])
             return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
+        def _solve_resident(x0b, slots, wmask):
+            # H2D payload: x0 + slot ids + warm flags — ~20 B/lane (the
+            # warm pytree stays resident on device). slots int32 travel
+            # bit-cast inside the flat f32 array.
+            b = x0b.shape[0]
+            n_pad = self._max_batch
+            x0p = np.empty((n_pad, model.n), np.float32)
+            x0p[:b] = x0b
+            x0p[b:] = x0b[0]
+            sl = np.full((n_pad,), self.resident, np.int32)  # pad→scratch
+            sl[:b] = slots
+            wm = np.zeros((n_pad,), np.float32)
+            wm[:b] = wmask
+            flat = np.concatenate([x0p.ravel(), sl.view(np.float32), wm])
+            if self._res_state is None:
+                self._res_state = self._res_init()
+            try:
+                out = inner(*self._res_state, jnp.asarray(flat))
+            except Exception:
+                # the state buffers were donated into a failed dispatch —
+                # reset the fleet to cold rather than serve from garbage
+                self._res_state = None
+                self._slot_used[:] = False
+                raise
+            self._res_state = out[:5]
+            sol = unpack_dispatch_output(np.asarray(out[5]),
+                                         self._res_dmeta)
+            return jax.tree_util.tree_map(lambda a: a[:b], sol)
+
+        self._solve_resident = _solve_resident
         self._solve = _solve
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
@@ -552,7 +762,7 @@ class SolverService:
 
     # ---- client API ------------------------------------------------------
 
-    def submit(self, x0, u0=None, prev=None) -> Future:
+    def submit(self, x0, u0=None, prev=None, slot=None) -> Future:
         """Enqueue one problem; returns a Future of a per-request Solution
         (batch axis already stripped: ``sol.cost`` is a scalar, ``sol.us``
         is (T, m), ...).
@@ -562,10 +772,44 @@ class SolverService:
         then warm-starts MPC-style (re-rollout prev.us with prev.K, λ/dλ
         carried; ref ilqr_core.cpp:65-76). ``prev=None`` lanes solve
         cold (a synthesized K=0, λ=λ_init warm payload — verified
-        bit-identical to the cold path)."""
+        bit-identical to the cold path).
+
+        On a ``resident_slots=C`` service, pass ``slot`` (0 ≤ slot < C,
+        one per controller) instead of ``prev``: the controller's warm
+        state lives on device, the first request per slot solves cold
+        (from zero controls) and every later one warm-starts from the
+        slot's resident state. At most one request per slot may be in
+        flight (a second one coalesced into the same batch is deferred
+        to the next dispatch)."""
         x0 = np.asarray(x0, np.float32)
         if x0.shape != (self._model.n,):
             raise ValueError(f"x0 must be ({self._model.n},), got {x0.shape}")
+        if self.resident:
+            if slot is None:
+                raise ValueError(
+                    "this is a resident_slots service — pass slot= "
+                    "(the controller's device-state slot id)")
+            if prev is not None:
+                raise ValueError(
+                    "resident services track warm state on device; "
+                    "prev= does not apply (use slot=)")
+            if u0 is not None:
+                raise ValueError(
+                    "resident services solve cold lanes from zero "
+                    "controls (u0= does not apply)")
+            slot = int(slot)
+            if not 0 <= slot < self.resident:
+                raise ValueError(
+                    f"slot must be in [0, {self.resident}), got {slot}")
+            req = _Request(x0, None, slot=slot)
+            with self._lock:
+                if self._closed:
+                    raise RuntimeError("SolverService is closed")
+                self.stats["requests"] += 1
+                self._queue.put(req)
+            return req.future
+        if slot is not None:
+            raise ValueError("slot= requires a resident_slots service")
         if u0 is None:
             u0 = np.zeros((self._T, self._model.m), np.float32)
         else:
@@ -608,10 +852,10 @@ class SolverService:
             self._queue.put(req)
         return req.future
 
-    def solve(self, x0, u0=None, prev=None,
+    def solve(self, x0, u0=None, prev=None, slot=None,
               timeout: Optional[float] = None) -> Solution:
         """Synchronous convenience: ``submit(...).result(timeout)``."""
-        return self.submit(x0, u0, prev=prev).result(timeout)
+        return self.submit(x0, u0, prev=prev, slot=slot).result(timeout)
 
     def close(self, timeout: Optional[float] = None) -> bool:
         """Stop accepting requests, drain the queue, join the worker.
@@ -678,6 +922,18 @@ class SolverService:
         # a result(timeout) expiry followed by cancel()) — drop those lanes.
         # Once claimed, a future can no longer be cancelled, so delivery
         # below cannot raise InvalidStateError and kill the worker thread.
+        if self.resident:
+            # at most one in-flight request per slot: a duplicate slot in
+            # one batch would race the device-side scatter — defer
+            # duplicates to the next dispatch (their futures stay pending)
+            seen, keep = set(), []
+            for r in batch:
+                if r.slot in seen:
+                    self._queue.put(r)
+                else:
+                    seen.add(r.slot)
+                    keep.append(r)
+            batch = keep
         batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
         if not batch:
             return
@@ -686,7 +942,12 @@ class SolverService:
             # numpy in, numpy out — _solve owns the (single, fixed-shape)
             # H2D/D2H pair; everything here stays on host.
             x0b = np.stack([r.x0 for r in batch])
-            if self.warm:
+            if self.resident:
+                slots = np.asarray([r.slot for r in batch], np.int32)
+                wmask = self._slot_used[slots].astype(np.float32)
+                sol = self._solve_resident(x0b, slots, wmask)
+                self._slot_used[slots] = True
+            elif self.warm:
                 # synthesize the cold-equivalent payload for prev=None
                 # lanes: us=u0, K=0 (feedback term vanishes -> open-loop
                 # rollout), xs irrelevant, lam/dlam at their cold inits —

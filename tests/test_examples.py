@@ -116,3 +116,11 @@ def test_aot_serving_mesh_smoke(tmp_path):
         f"stderr:\n{res.stderr}")
     assert "sharded(8dev)" in res.stdout
     assert "first solution" in res.stdout
+
+
+def test_resident_serving_smoke():
+    out = _run("resident_serving.py", "--cpu", "--controllers", "4",
+               "--steps", "3", "--horizon", "10", "--max-batch", "4",
+               "--max-iter", "4", "--path", "vmap")
+    assert "resident controllers" in out
+    assert "replans/s" in out

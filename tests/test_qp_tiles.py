@@ -324,3 +324,62 @@ def test_free_solve_rows_m12_matches_padded_inverse():
     ref = -np.linalg.solve(P, cols_np)
     ref = np.where(free_np[:, :, None], ref, 0.0)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# --- m = 16 (the round-5 MAX_FUSED_M cap) ---------------------------------
+#
+# Same oracle pair as m = 12: boxqp_pn in f64 on every lane + scipy
+# L-BFGS-B on a lane subset (TPU-side evidence: the m16_fused /
+# m16_equiv rows in experiments/secondary_results.jsonl).
+
+
+@pytest.mark.parametrize("seed,scale", [(51, 1.0), (52, 3.0)])
+def test_qp_pn_m16_matches_boxqp_pn_oracle(seed, scale):
+    from ilqr_tpu.ops.boxqp import boxqp_pn
+
+    m = 16
+    Q, g, lo, hi = _random_qps(seed, m=m, scale=scale)
+    k, free, bad = _qp_pn(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi), m)
+    assert not bool(jnp.any(bad))
+    x = np.stack([np.asarray(k[i]).reshape(B) for i in range(m)], -1)
+    assert (x >= lo - 1e-6).all() and (x <= hi + 1e-6).all()
+    ref = jax.vmap(boxqp_pn)(
+        jnp.asarray(Q, jnp.float64), jnp.asarray(g, jnp.float64),
+        jnp.asarray(lo, jnp.float64), jnp.asarray(hi, jnp.float64))
+    xo = np.asarray(ref.x)
+    v = (0.5 * np.einsum("bi,bij,bj->b", x, Q.astype(np.float64), x)
+         + np.einsum("bi,bi->b", g, x))
+    vo = (0.5 * np.einsum("bi,bij,bj->b", xo, Q.astype(np.float64), xo)
+          + np.einsum("bi,bi->b", g, xo))
+    assert (v - vo).max() < 1e-4, (v - vo).max()
+    np.testing.assert_allclose(x, xo, atol=5e-3)
+    from scipy.optimize import minimize
+    for b in range(0, B, 173):
+        Qb, gb = Q[b].astype(np.float64), g[b].astype(np.float64)
+        r = minimize(lambda z: 0.5 * z @ Qb @ z + z @ gb,
+                     np.clip(np.zeros(m), lo[b], hi[b]),
+                     jac=lambda z: Qb @ z + gb,
+                     bounds=list(zip(lo[b], hi[b])),
+                     method="L-BFGS-B", tol=1e-14)
+        np.testing.assert_allclose(x[b], r.x, atol=5e-3)
+
+
+def test_free_solve_rows_m16_matches_padded_inverse():
+    rng = np.random.default_rng(53)
+    m, n = 16, 6
+    Q, _g, _lo, _hi = _random_qps(53, m=m)
+    cols_np = rng.normal(size=(B, m, n)).astype(np.float32)
+    free_np = rng.uniform(size=(B, m)) > 0.4
+    free = [jnp.asarray(free_np[:, i].reshape(S, L)) for i in range(m)]
+    cols = [[jnp.asarray(cols_np[:, j, i].reshape(S, L)) for i in range(n)]
+            for j in range(m)]
+    out = _free_solve_rows(_tiles_mat(Q), free, cols, m)
+    got = np.stack([np.stack([np.asarray(out[j][i]).reshape(B)
+                              for i in range(n)], -1) for j in range(m)], -2)
+    eye = np.eye(m, dtype=np.float32)
+    mask = free_np[:, :, None] & free_np[:, None, :]
+    P = np.where(mask, Q, eye)
+    ref = -np.linalg.solve(P, cols_np)
+    ref = np.where(free_np[:, :, None], ref, 0.0)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

@@ -485,3 +485,90 @@ def test_solve_batch_auto_chunk_guard_under_jit(monkeypatch):
         with pytest.raises(ValueError, match="iteration chunks"):
             fn(jnp.zeros((4, 6), jnp.float32),
                jnp.zeros((4, 8, 12), jnp.float32))
+
+
+class TestResidentFleet:
+    """Device-resident warm serving (round 5): controller state lives in
+    device slots; requests carry only (x0, slot)."""
+
+    def _mk(self, slots=6, **kw):
+        model = get_model("double_integrator")
+        cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+        return model, di.default_params(), cfg, SolverService(
+            model, di.default_params(), cfg, 0.05, 14, max_batch=4,
+            path="vmap", warm=True, resident_slots=slots,
+            autostart=False, **kw)
+
+    def test_cold_matches_cold_service(self):
+        """First use of a slot == a cold solve from zero controls."""
+        model, params, cfg, res = self._mk()
+        cold = SolverService(model, params, cfg, 0.05, 14, max_batch=4,
+                             path="vmap", autostart=False)
+        x0 = np.array([0.6, -0.2, 0.1, 0.0], np.float32)
+        fr, fc = res.submit(x0, slot=3), cold.submit(x0)
+        assert res._run_once(block=True)
+        assert cold._run_once(block=True)
+        a, b = fr.result(timeout=0), fc.result(timeout=0)
+        np.testing.assert_allclose(a.cost, b.cost, rtol=1e-6)
+        np.testing.assert_allclose(a.us, b.us, rtol=1e-5, atol=1e-6)
+        assert a.xs is None and a.K is None  # stays on device
+        res.close(); cold.close()
+
+    def test_warm_matches_prev_service(self):
+        """Second use of a slot == the explicit prev= warm replan."""
+        model, params, cfg, res = self._mk()
+        prv = SolverService(model, params, cfg, 0.05, 14, max_batch=4,
+                            path="vmap", warm=True, autostart=False)
+        x0 = np.array([0.6, -0.2, 0.1, 0.0], np.float32)
+        fr, fp = res.submit(x0, slot=0), prv.submit(x0)
+        assert res._run_once(block=True) and prv._run_once(block=True)
+        first_r, first_p = fr.result(timeout=0), fp.result(timeout=0)
+        x1 = x0 + np.float32(0.01)
+        fr2 = res.submit(x1, slot=0)
+        fp2 = prv.submit(x1, prev=first_p)
+        assert res._run_once(block=True) and prv._run_once(block=True)
+        a, b = fr2.result(timeout=0), fp2.result(timeout=0)
+        np.testing.assert_allclose(a.cost, b.cost, rtol=1e-6)
+        assert int(a.iterations) == int(b.iterations)
+        res.close(); prv.close()
+
+    def test_slot_isolation_and_dup_deferral(self):
+        """Different slots are independent; duplicate slots in one batch
+        defer (both futures still resolve)."""
+        model, params, cfg, res = self._mk()
+        x0 = np.array([0.5, 0.2, 0.0, 0.0], np.float32)
+        f1 = res.submit(x0, slot=1)
+        f2 = res.submit(x0 + np.float32(0.2), slot=2)
+        f3 = res.submit(x0 + np.float32(0.1), slot=1)  # dup of slot 1
+        assert res._run_once(block=True)   # solves slots {1,2}, defers f3
+        assert f1.done() and f2.done() and not f3.done()
+        assert res._run_once(block=False)  # the deferred dup (now warm)
+        assert f3.done()
+        assert np.isfinite(f3.result(timeout=0).cost)
+        res.close()
+
+    def test_validation(self):
+        model, params, cfg, res = self._mk()
+        x0 = np.zeros(4, np.float32)
+        with pytest.raises(ValueError, match="pass slot="):
+            res.submit(x0)
+        with pytest.raises(ValueError, match="slot must be in"):
+            res.submit(x0, slot=99)
+        with pytest.raises(ValueError, match="prev= does not apply"):
+            res.submit(x0, slot=0, prev="x")
+        with pytest.raises(ValueError, match="u0= does not apply"):
+            res.submit(x0, np.zeros((14, 2), np.float32), slot=0)
+        res.close()
+        _, _, _, cold = (*[None] * 3, SolverService(
+            model, params, cfg, 0.05, 14, max_batch=4, path="vmap",
+            autostart=False))
+        with pytest.raises(ValueError, match="requires a resident"):
+            cold.submit(x0, slot=0)
+        cold.close()
+        with pytest.raises(ValueError, match="requires warm=True"):
+            SolverService(model, params, cfg, 0.05, 14, max_batch=4,
+                          path="vmap", resident_slots=4, autostart=False)
+        with pytest.raises(ValueError, match="cannot return"):
+            SolverService(model, params, cfg, 0.05, 14, max_batch=4,
+                          path="vmap", warm=True, resident_slots=4,
+                          fields=("us", "xs"), autostart=False)
