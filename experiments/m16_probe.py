@@ -36,15 +36,26 @@ from ilqr_tpu.models import thruster_ring as tr  # noqa: E402
 
 MODE = os.environ.get("M16_MODE", "perf")  # perf | equiv
 B = int(os.environ.get("M16_B", "64" if MODE == "equiv" else "1024"))
+# equiv x0 scale: 0.2 = the perf workload (lanes hit the 40-iter cap, so
+# per-QP f32 tile-vs-jnp noise compounds — measured 5.2e-3 max rel
+# dcost); 0.02 = a converging workload (both paths reach the same
+# optimum, the equivalence gauge proper)
+SCALE = float(os.environ.get("M16_SCALE", "0.2"))
 T = 80
 
 model = get_model("thruster_ring16")
+# M16_EASY=1: a NEAR goal (problems converge well inside the 40-iter
+# cap) — the equivalence gauge proper: both paths reach the same
+# optimum, so per-QP f32 noise cannot compound through capped iterates
+_goal = ((0.15, -0.1, 0.08, 0.0, 0.0, 0.0)
+         if os.environ.get("M16_EASY") == "1"
+         else (1.5, -1.0, 0.8, 0.0, 0.0, 0.0))
 params = jax.tree_util.tree_map(
-    lambda a: jnp.asarray(a, jnp.float32), tr.default_params16())
+    lambda a: jnp.asarray(a, jnp.float32), tr.default_params16(_goal))
 cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                    max_iter=40, boxqp_mode="auto")
 rng = np.random.default_rng(0)
-x0 = jnp.asarray(0.2 * rng.normal(size=(B, 6)), jnp.float32)
+x0 = jnp.asarray(SCALE * rng.normal(size=(B, 6)), jnp.float32)
 u0 = jnp.zeros((T, 16), jnp.float32)
 
 t0 = time.perf_counter()
@@ -74,7 +85,8 @@ if MODE == "equiv":
     v_s = time.perf_counter() - t0
     rel = np.abs(cost - vcost) / (np.abs(vcost) + 1e-9)
     print(json.dumps({
-        "mode": "m16_equiv", "B": B, "T": T,
+        "mode": "m16_equiv", "B": B, "T": T, "scale": SCALE,
+        "easy_goal": os.environ.get("M16_EASY") == "1",
         "vmap_qp": vcfg.boxqp_mode,
         "fused_first_s": round(first, 1), "vmap_s": round(v_s, 1),
         "fused_mean_cost": round(float(cost.mean()), 4),
