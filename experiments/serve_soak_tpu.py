@@ -36,6 +36,9 @@ import numpy as np
 MODE = os.environ.get("SS_MODE", "save")
 BLOB = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "serve_warm1024.aotexec")
+RES_BLOB = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "serve_resident1024.aotexec")
+PROC_T0 = time.perf_counter()
 B_MAX, T, MAX_ITER = 1024, 199, 10
 CONTROLLERS = int(os.environ.get("SS_CONTROLLERS", "2048"))
 SOAK_S = float(os.environ.get("SS_SECONDS", "90"))
@@ -84,20 +87,39 @@ def main():
             "blob_mb": round(os.path.getsize(BLOB) / 1e6, 1),
         }), flush=True)
         return
+    if MODE == "resident_save":
+        from ilqr_tpu.aot import compile_solver
+
+        t0 = time.perf_counter()
+        aot = compile_solver(model, params, cfg, 0.02, B_MAX, T,
+                             path="fused", resident_slots=CONTROLLERS)
+        compile_s = time.perf_counter() - t0
+        aot.save(RES_BLOB)
+        print(json.dumps({
+            "mode": "soak_resident_save", "B": B_MAX, "T": T,
+            "capacity": CONTROLLERS,
+            "compile_s": round(compile_s, 1),
+            "blob_mb": round(os.path.getsize(RES_BLOB) / 1e6, 1),
+        }), flush=True)
+        return
 
     resident = MODE == "resident"
     if resident:
         t0 = time.perf_counter()
+        use_blob = os.path.exists(RES_BLOB)
         svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
                             max_batch=B_MAX, max_wait_ms=5.0,
                             path="fused", warm=True,
-                            resident_slots=CONTROLLERS)
-        # first dispatch pays the compile; do it solo so the timing and
-        # the soak loop start warm
+                            resident_slots=CONTROLLERS,
+                            aot=RES_BLOB if use_blob else None)
+        # first dispatch pays the compile (or nothing, from a blob); do
+        # it solo so the timing and the soak loop start warm
         svc.solve(np.zeros(4, np.float32), slot=0, timeout=3000)
-        print(f"[soak] resident compile+first "
-              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
-              flush=True)
+        src = "blob" if use_blob else "in-process compile"
+        print(f"[soak] resident first solve via {src}: "
+              f"{time.perf_counter() - t0:.1f}s after construct, "
+              f"{time.perf_counter() - PROC_T0:.1f}s after process "
+              "start", file=sys.stderr, flush=True)
     else:
         svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
                             max_batch=B_MAX, max_wait_ms=5.0,
@@ -165,6 +187,7 @@ def main():
     stats = dict(svc.stats)
     out = {
         "mode": ("soak_resident_1024" if resident else "soak_warm_1024"),
+        "via_blob": bool(resident and os.path.exists(RES_BLOB)),
         "B": B_MAX, "T": T,
         "controllers": CONTROLLERS,
         "replans": int(state["replans"]),

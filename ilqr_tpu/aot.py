@@ -132,6 +132,12 @@ class AotSolver:
                 return out
             return Solution(*unpack_flat(out, specs))
 
+        if dmeta.get("resident"):
+            raise ValueError(
+                "this is a resident-fleet executable — its state buffers "
+                "are owned by the service; construct "
+                "SolverService(resident_slots=..., aot=...) instead of "
+                "calling it directly")
         in_specs = dmeta["in_specs"]
         if len(arrays) != len(in_specs):
             kind = "warm (x0, us, xs, K, lam, dlam)" if dmeta["warm"] \
@@ -243,8 +249,8 @@ def _mesh_from_meta(meta):
 
 def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
                    batch: int, horizon: int, *, path: str = "auto",
-                   warm: bool = False, fields=None,
-                   mesh=None) -> AotSolver:
+                   warm: bool = False, fields=None, mesh=None,
+                   resident_slots: int = 0) -> AotSolver:
     """AOT-compile a batch solve at a fixed ``(batch, horizon)`` shape.
 
     Compiles the same dispatch program ``SolverService`` builds
@@ -271,6 +277,14 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
     """
     if path not in ("auto", "fused", "vmap"):
         raise ValueError(f"unknown path {path!r}")
+    if resident_slots:
+        if mesh is not None:
+            raise ValueError(
+                "resident_slots + mesh is not supported yet (the state "
+                "buffers are single-device)")
+        return _compile_resident(model, params, cfg, dt, batch, horizon,
+                                 int(resident_slots), path=path,
+                                 fields=fields)
     if mesh is not None:
         return _compile_sharded(model, params, cfg, dt, batch, horizon,
                                 path=path, warm=warm, fields=fields,
@@ -410,6 +424,42 @@ def _compile_sharded(model: Model, params, cfg: SolverConfig, dt: float,
                      "axes": list(mesh.axis_names),
                      "size": int(mesh.size)},
             "num_devices": int(mesh.size),
+            **_env_meta()}
+    return AotSolver(compiled, meta)
+
+
+def _compile_resident(model: Model, params, cfg: SolverConfig, dt: float,
+                      batch: int, horizon: int, capacity: int, *,
+                      path: str, fields) -> AotSolver:
+    """AOT-compile the DEVICE-RESIDENT fleet dispatch
+    (serve.build_resident_dispatch): donated state buffers + one flat
+    (x0, slot, warm-flag) input. The blob drops into
+    ``SolverService(resident_slots=capacity, aot=...)`` — the service
+    owns the state lifecycle; calling the AotSolver directly raises."""
+    from ilqr_tpu.serve import build_resident_dispatch
+
+    if path == "auto":
+        from ilqr_tpu.fused import fused_applicable
+
+        path = ("fused" if jax.default_backend() == "tpu"
+                and fused_applicable(model, cfg) and batch <= 1024
+                else "vmap")
+    fn, dmeta, _init = build_resident_dispatch(
+        model, params, cfg, dt, horizon, batch, capacity,
+        path=path, fields=fields)
+    f32 = jnp.float32
+    in_s = [jax.ShapeDtypeStruct(tuple(sh), f32)
+            for sh, _ in dmeta["state_shapes"]]
+    in_s.append(jax.ShapeDtypeStruct((dmeta["flat_in_size"],), f32))
+    compiled = _compile_uncached(
+        jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4)), in_s)
+    meta = {"model": getattr(model, "name", repr(model)), "path": path,
+            "x0_shape": (batch, model.n),
+            "u0_shape": (batch, int(horizon), model.m),
+            "dispatch": dmeta,
+            "dt": float(dt), "max_iter": int(cfg.max_iter),
+            "problem_digest": problem_digest(params, cfg),
+            "num_devices": 1,
             **_env_meta()}
     return AotSolver(compiled, meta)
 

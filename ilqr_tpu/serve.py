@@ -455,8 +455,9 @@ class SolverService:
         round-5 measurements: full-block warm dispatches are
         transfer-bound and the axon client leaks host RSS per transfer
         byte. State buffers cost ``(capacity+1) × ~(T·(m·n+m+n)+2)``
-        floats of HBM (~7.3 KB/slot at the acrobot serve shape). Not yet
-        combinable with ``mesh=``/``aot=``.
+        floats of HBM (~7.3 KB/slot at the acrobot serve shape).
+        Combinable with ``aot=`` (a blob from ``compile_solver(...,
+        resident_slots=capacity)``); not yet with ``mesh=``.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -484,11 +485,12 @@ class SolverService:
                 raise ValueError(
                     "resident_slots requires warm=True (the resident "
                     "fleet IS the warm-serving mode)")
-            if mesh is not None or aot is not None:
+            if mesh is not None:
                 raise ValueError(
-                    "resident_slots is not yet combinable with mesh= or "
-                    "aot= (the state buffers are single-device and the "
-                    "donated-state program is not serialized yet)")
+                    "resident_slots is not yet combinable with mesh= "
+                    "(the state buffers are single-device)")
+            if fields is None:
+                fields = RESIDENT_FIELDS
         if mesh is not None:
             if max_batch % mesh.size:
                 raise ValueError(
@@ -514,7 +516,7 @@ class SolverService:
         self._res_init = None
         self._slot_used = None
 
-        if self.resident:
+        if self.resident and aot is None:
             fn, dmeta, init_state = build_resident_dispatch(
                 model, params, cfg, dt, self._T, self._max_batch,
                 self.resident, path=path, fields=fields)
@@ -615,7 +617,36 @@ class SolverService:
                     raise ValueError(
                         f"AOT program fields={blob_fields} but the "
                         f"service was constructed with fields={fields}")
-                if dmeta["packed"]:
+                if bool(dmeta.get("resident", False)) != bool(self.resident):
+                    raise ValueError(
+                        f"AOT program resident={dmeta.get('resident', False)}"
+                        f" but the service was constructed with "
+                        f"resident_slots={self.resident}")
+                if self.resident:
+                    if int(dmeta["capacity"]) != self.resident:
+                        raise ValueError(
+                            f"AOT resident executable has capacity="
+                            f"{dmeta['capacity']} slots but the service "
+                            f"was constructed with resident_slots="
+                            f"{self.resident}")
+                    inner = aot.compiled  # (*state, flat) -> (*state, flat)
+                    self._res_dmeta = dmeta
+                    cfg_ = cfg
+
+                    def _init_from_meta():
+                        shapes = [tuple(sh)
+                                  for sh, _ in dmeta["state_shapes"]]
+                        s = [jnp.zeros(sh, jnp.float32)
+                             for sh in shapes[:3]]
+                        s.append(jnp.full(shapes[3], cfg_.lambda_init,
+                                          jnp.float32))
+                        s.append(jnp.full(shapes[4], cfg_.dlambda_init,
+                                          jnp.float32))
+                        return tuple(s)
+
+                    self._res_init = _init_from_meta
+                    self._slot_used = np.zeros(self.resident, bool)
+                elif dmeta["packed"]:
                     inner = aot.compiled  # flat -> flat, zero compiles
                     self._pack = functools.partial(
                         unpack_dispatch_output, dmeta=dmeta)

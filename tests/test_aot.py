@@ -381,3 +381,54 @@ class TestShardedAot:
         assert svc._run_once(block=True)
         assert np.isfinite(f2.result(timeout=0).cost)
         svc.close(); flat.close()
+
+
+def test_resident_aot_blob_in_service(tmp_path):
+    """compile_solver(resident_slots=) → SolverService(resident_slots=,
+    aot=): the donated-state fleet program as a serialized executable.
+    Same-process on CPU (the cross-process CPU SIGILL trap)."""
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+    C, MB, T_ = 6, 4, 14
+    aot = compile_solver(model, params, cfg, 0.05, MB, T_, path="vmap",
+                         resident_slots=C)
+    blob = str(tmp_path / "res.aotexec")
+    aot.save(blob)
+    restored = load(blob)
+    with pytest.raises(ValueError, match="resident-fleet executable"):
+        restored(np.zeros((MB, 4), np.float32))
+
+    svc = SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                        path="vmap", warm=True, resident_slots=C,
+                        aot=restored, autostart=False)
+    ref = SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                        path="vmap", warm=True, resident_slots=C,
+                        autostart=False)
+    x0 = np.array([0.6, -0.2, 0.1, 0.0], np.float32)
+    fa, fb = svc.submit(x0, slot=2), ref.submit(x0, slot=2)
+    assert svc._run_once(block=True) and ref._run_once(block=True)
+    a, b = fa.result(timeout=0), fb.result(timeout=0)
+    np.testing.assert_allclose(a.cost, b.cost, rtol=1e-6)
+    # warm replan through the blob
+    fa2 = svc.submit(x0 + np.float32(0.01), slot=2)
+    fb2 = ref.submit(x0 + np.float32(0.01), slot=2)
+    assert svc._run_once(block=True) and ref._run_once(block=True)
+    a2, b2 = fa2.result(timeout=0), fb2.result(timeout=0)
+    np.testing.assert_allclose(a2.cost, b2.cost, rtol=1e-6)
+    assert int(a2.iterations) == int(b2.iterations)
+    svc.close(); ref.close()
+
+    # capacity mismatch refused
+    with pytest.raises(ValueError, match="capacity"):
+        SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                      path="vmap", warm=True, resident_slots=C + 1,
+                      aot=blob, autostart=False)
+    # resident blob into a non-resident warm service refused
+    with pytest.raises(ValueError, match="resident"):
+        SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                      path="vmap", warm=True,
+                      fields=("us", "cost", "iterations", "reason"),
+                      aot=blob, autostart=False)
