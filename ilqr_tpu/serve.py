@@ -247,6 +247,152 @@ def unpack_dispatch_output(flat_np, dmeta):
 RESIDENT_FIELDS = ("us", "cost", "iterations", "reason")
 
 
+def build_resident_mesh_dispatch(model, params, cfg, dt, horizon,
+                                 max_batch, capacity, mesh, *,
+                                 path, fields=None):
+    """Multi-device twin of :func:`build_resident_dispatch`: the resident
+    fleet's state is SHARDED over the mesh by slot — slot ``s`` lives on
+    device ``s % D`` at local index ``s // D`` (plus one scratch slot per
+    device for padded lanes), and the service buckets each batch's lanes
+    so every lane lands on its slot's device (``SolverService._process``)
+    — so the gather/solve/scatter is entirely device-local: ZERO
+    cross-device collectives, like every other sharded path here.
+
+    Program (donated sharded state first, all P('batch') on axis 0):
+
+        fn(s_us, s_xs, s_K, s_lam, s_dlam, x0, local_slots, wmask)
+            -> (s_us', ..., s_dlam', Solution-selected)
+
+    where ``local_slots`` are already device-LOCAL indices (scratch =
+    ``ceil(capacity/D)``). No single-transfer packing under a mesh (same
+    rationale as the sharded cold/warm dispatches). Returns
+    ``(run, dmeta, init_state)`` where ``run`` is the jitted program and
+    ``init_state()`` builds the sharded state arrays.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ilqr_tpu.parallel.mesh import BATCH_AXIS, _shard_map
+    from ilqr_tpu.types import Solution as _Sol
+
+    T, n, m = int(horizon), model.n, model.m
+    mb, C, D = int(max_batch), int(capacity), int(mesh.size)
+    if mb % D:
+        raise ValueError(
+            f"max_batch={mb} must be divisible by the mesh size {D}")
+    mbs = mb // D
+    c_loc = -(-C // D)          # slots per device (ceil)
+    fields = RESIDENT_FIELDS if fields is None else tuple(fields)
+    bad = set(fields) & {"xs", "K", "k"}
+    if bad:
+        raise ValueError(
+            f"resident dispatch cannot return {sorted(bad)} — the warm "
+            "trajectory state stays on device")
+
+    interpret = jax.default_backend() != "tpu"
+    if path == "fused":
+        from ilqr_tpu.fused import fused_applicable, solve_batch_fused_warm
+
+        if not fused_applicable(model, cfg):
+            raise ValueError("resident path='fused': model/config not "
+                             "fused-compatible")
+        if mbs > 1024:
+            raise ValueError(
+                f"per-device shard {mbs} exceeds the 1024-lane fused "
+                "block")
+        check_vma = not interpret
+        cfg_k = (cfg.with_vma_axes((BATCH_AXIS,)) if check_vma else cfg)
+
+        def local_raw(p, d, x0b, usb, xsb, Kb, lamb, dlamb):
+            prev = _Sol(xs=xsb, us=usb, k=None, K=Kb, cost=None,
+                        lam=lamb, dlam=dlamb, iterations=None,
+                        reason=None, gnorm=None)
+            return solve_batch_fused_warm(model, p, cfg_k, d, x0b, prev,
+                                          interpret=interpret)
+    else:
+        from ilqr_tpu.solver import solve_warm
+
+        check_vma = True
+        cfg_v = cfg.with_vma_axes((BATCH_AXIS,))
+
+        def _one(p, d, x, us, xs, K, lam, dlam):
+            prev = _Sol(xs=xs, us=us, k=None, K=K, cost=None, lam=lam,
+                        dlam=dlam, iterations=None, reason=None,
+                        gnorm=None)
+            return solve_warm(model, p, cfg_v, d, x, prev)
+
+        def local_raw(p, d, *a):
+            return jax.vmap(
+                _one, in_axes=(None, None) + (0,) * 6)(p, d, *a)
+
+    f32 = jnp.float32
+    state_shapes = [(D * (c_loc + 1), T, m), (D * (c_loc + 1), T + 1, n),
+                    (D * (c_loc + 1), T, m, n), (D * (c_loc + 1),),
+                    (D * (c_loc + 1),)]
+    bspec = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def init_state():
+        s = [jax.device_put(jnp.zeros(sh, f32), bspec)
+             for sh in state_shapes[:3]]
+        s.append(jax.device_put(
+            jnp.full(state_shapes[3], cfg.lambda_init, f32), bspec))
+        s.append(jax.device_put(
+            jnp.full(state_shapes[4], cfg.dlambda_init, f32), bspec))
+        return tuple(s)
+
+    def select(sol):
+        return _Sol(*[
+            (getattr(sol, f) if f in fields else None)
+            for f in _Sol._fields])
+
+    def local_fn(params_, dt_, s_us, s_xs, s_K, s_lam, s_dlam,
+                 x0, slots, wmask):
+        if check_vma:
+            from ilqr_tpu.utils.vma import vary
+
+            params_, dt_ = vary((params_, dt_), (BATCH_AXIS,))
+        g_us = s_us[slots]
+        g_xs = s_xs[slots]
+        g_K = s_K[slots]
+        w3 = wmask[:, None, None]
+        us_in = g_us * w3
+        xs_in = g_xs * w3
+        K_in = g_K * wmask[:, None, None, None]
+        lam_in = jnp.where(wmask > 0, s_lam[slots],
+                           jnp.asarray(cfg.lambda_init, f32))
+        dlam_in = jnp.where(wmask > 0, s_dlam[slots],
+                            jnp.asarray(cfg.dlambda_init, f32))
+        sol = local_raw(params_, dt_, x0, us_in, xs_in, K_in,
+                        lam_in, dlam_in)
+        new = (s_us.at[slots].set(sol.us),
+               s_xs.at[slots].set(sol.xs),
+               s_K.at[slots].set(sol.K),
+               s_lam.at[slots].set(sol.lam),
+               s_dlam.at[slots].set(sol.dlam))
+        return new + (select(sol),)
+
+    P_b = P(BATCH_AXIS)
+    fn = _shard_map()(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P_b,) * 8,
+        out_specs=(P_b,) * 5 + (P_b,),
+        check_vma=check_vma,
+    )
+    jitted = jax.jit(fn, donate_argnums=(2, 3, 4, 5, 6))
+
+    def run(state, x0, local_slots, wmask):
+        args = [jax.device_put(jnp.asarray(a), bspec)
+                for a in (x0, local_slots, wmask)]
+        out = jitted(params, jnp.asarray(dt), *state, *args)
+        return out[:5], out[5]
+
+    dmeta = {"packed": False, "resident": True, "warm": True,
+             "mesh": True, "fields": fields, "capacity": C,
+             "slots_per_device": c_loc, "devices": D,
+             "per_device_lanes": mbs}
+    return run, dmeta, init_state
+
+
 def build_resident_dispatch(model, params, cfg, dt, horizon, max_batch,
                             capacity, *, path, fields=None):
     """The DEVICE-RESIDENT warm fleet dispatch (round 5): per-controller
@@ -457,7 +603,13 @@ class SolverService:
         byte. State buffers cost ``(capacity+1) × ~(T·(m·n+m+n)+2)``
         floats of HBM (~7.3 KB/slot at the acrobot serve shape).
         Combinable with ``aot=`` (a blob from ``compile_solver(...,
-        resident_slots=capacity)``); not yet with ``mesh=``.
+        resident_slots=capacity)``) or with ``mesh=`` (the state shards
+        over the mesh by slot — slot ``s`` on device ``s % D`` — and the
+        service buckets each batch's lanes onto their slots' devices, so
+        the gather/solve/scatter stays device-local with zero
+        collectives; bucket overflow defers to the next dispatch like
+        duplicate slots do). ``aot=`` + ``mesh=`` together is not
+        supported yet for resident services.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -485,10 +637,11 @@ class SolverService:
                 raise ValueError(
                     "resident_slots requires warm=True (the resident "
                     "fleet IS the warm-serving mode)")
-            if mesh is not None:
+            if mesh is not None and aot is not None:
                 raise ValueError(
-                    "resident_slots is not yet combinable with mesh= "
-                    "(the state buffers are single-device)")
+                    "resident_slots + mesh= + aot= is not supported yet "
+                    "(the sharded donated-state program is not "
+                    "serialized)")
             if fields is None:
                 fields = RESIDENT_FIELDS
         if mesh is not None:
@@ -514,9 +667,22 @@ class SolverService:
         self._res_state = None
         self._res_dmeta = None
         self._res_init = None
+        self._res_run = None
+        self._res_mesh = mesh if (self.resident and mesh is not None) \
+            else None
         self._slot_used = None
 
-        if self.resident and aot is None:
+        if self.resident and mesh is not None:
+            run, dmeta, init_state = build_resident_mesh_dispatch(
+                model, params, cfg, dt, self._T, self._max_batch,
+                self.resident, mesh, path=path, fields=fields)
+            fields = dmeta["fields"]
+            inner = None  # dispatch goes through self._res_run
+            self._res_run = run
+            self._res_dmeta = dmeta
+            self._res_init = init_state
+            self._slot_used = np.zeros(self.resident, bool)
+        elif self.resident and aot is None:
             fn, dmeta, init_state = build_resident_dispatch(
                 model, params, cfg, dt, self._T, self._max_batch,
                 self.resident, path=path, fields=fields)
@@ -778,6 +944,21 @@ class SolverService:
                                          self._res_dmeta)
             return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
+        def _solve_resident_mesh(x0p, lslots, wmask):
+            # lanes already bucketed per device by _process; inputs are
+            # full (max_batch,) arrays with scratch-slot padding
+            if self._res_state is None:
+                self._res_state = self._res_init()
+            try:
+                self._res_state, sol = self._res_run(
+                    self._res_state, x0p, lslots, wmask)
+            except Exception:
+                self._res_state = None
+                self._slot_used[:] = False
+                raise
+            return jax.tree_util.tree_map(np.asarray, sol)
+
+        self._solve_resident_mesh = _solve_resident_mesh
         self._solve_resident = _solve_resident
         self._solve = _solve
         self._queue: "queue.Queue" = queue.Queue()
@@ -965,6 +1146,21 @@ class SolverService:
                     seen.add(r.slot)
                     keep.append(r)
             batch = keep
+            if self._res_mesh is not None:
+                # slot s lives on device s % D: bucket lanes per device
+                # (each device's sub-batch holds max_batch/D lanes);
+                # bucket overflow defers like duplicates do
+                D = self._res_mesh.size
+                mbs = self._max_batch // D
+                buckets = [[] for _ in range(D)]
+                for r in batch:
+                    d = r.slot % D
+                    if len(buckets[d]) < mbs:
+                        buckets[d].append(r)
+                    else:
+                        self._queue.put(r)
+                batch = [r for b in buckets for r in b]
+        lanes = None
         batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
         if not batch:
             return
@@ -973,7 +1169,27 @@ class SolverService:
             # numpy in, numpy out — _solve owns the (single, fixed-shape)
             # H2D/D2H pair; everything here stays on host.
             x0b = np.stack([r.x0 for r in batch])
-            if self.resident:
+            if self.resident and self._res_mesh is not None:
+                D = self._res_mesh.size
+                mbs = self._max_batch // D
+                c_loc = self._res_dmeta["slots_per_device"]
+                x0p = np.zeros((self._max_batch, self._model.n),
+                               np.float32)
+                lsl = np.full((self._max_batch,), c_loc, np.int32)
+                wm = np.zeros((self._max_batch,), np.float32)
+                counts = [0] * D
+                lanes = []
+                for r in batch:
+                    d = r.slot % D
+                    lane = d * mbs + counts[d]
+                    counts[d] += 1
+                    x0p[lane] = r.x0
+                    lsl[lane] = r.slot // D
+                    wm[lane] = float(self._slot_used[r.slot])
+                    lanes.append(lane)
+                sol = self._solve_resident_mesh(x0p, lsl, wm)
+                self._slot_used[[r.slot for r in batch]] = True
+            elif self.resident:
                 slots = np.asarray([r.slot for r in batch], np.int32)
                 wmask = self._slot_used[slots].astype(np.float32)
                 sol = self._solve_resident(x0b, slots, wmask)
@@ -1008,8 +1224,9 @@ class SolverService:
             self.stats["lanes"] += len(batch)
             self.stats["solve_s"] += dt
         for i, r in enumerate(batch):
+            j = lanes[i] if lanes is not None else i
             r.future.set_result(jax.tree_util.tree_map(
-                lambda a, i=i: np.array(a[i]), sol))
+                lambda a, j=j: np.array(a[j]), sol))
             # np.array COPIES each per-lane slice (preserving 0-d
             # scalars): without it the packed path's views would pin the
             # whole batch's flat D2H buffer (~tens of MB) for as long as

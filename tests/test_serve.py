@@ -572,3 +572,74 @@ class TestResidentFleet:
             SolverService(model, params, cfg, 0.05, 14, max_batch=4,
                           path="vmap", warm=True, resident_slots=4,
                           fields=("us", "xs"), autostart=False)
+
+
+class TestResidentMesh:
+    """resident_slots + mesh=: the fleet state sharded over the
+    8-virtual-device CPU mesh by slot (slot s on device s % D)."""
+
+    def _mk(self, slots=16, mesh=None, **kw):
+        from ilqr_tpu.parallel.mesh import make_mesh
+
+        model = get_model("double_integrator")
+        cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+        return model, di.default_params(), cfg, SolverService(
+            model, di.default_params(), cfg, 0.05, 14,
+            max_batch=16, path="vmap", warm=True, resident_slots=slots,
+            mesh=(make_mesh() if mesh is None else mesh),
+            autostart=False, **kw)
+
+    def test_matches_unsharded_resident(self):
+        model, params, cfg, msvc = self._mk()
+        flat = SolverService(model, params, cfg, 0.05, 14, max_batch=16,
+                             path="vmap", warm=True, resident_slots=16,
+                             autostart=False)
+        rng = np.random.default_rng(11)
+        x0s = rng.normal(size=(5, 4)).astype(np.float32) * 0.4
+        # slots spread across devices (0..4 live on devices 0..4)
+        fm = [msvc.submit(x0s[i], slot=i) for i in range(5)]
+        ff = [flat.submit(x0s[i], slot=i) for i in range(5)]
+        assert msvc._run_once(block=True) and flat._run_once(block=True)
+        for a, b in zip(fm, ff):
+            sa, sb = a.result(timeout=0), b.result(timeout=0)
+            np.testing.assert_allclose(sa.cost, sb.cost, rtol=1e-5)
+            np.testing.assert_allclose(sa.us, sb.us, rtol=1e-4,
+                                       atol=1e-6)
+        # warm replans through the sharded state
+        fm2 = [msvc.submit(x0s[i] + np.float32(0.01), slot=i)
+               for i in range(5)]
+        ff2 = [flat.submit(x0s[i] + np.float32(0.01), slot=i)
+               for i in range(5)]
+        assert msvc._run_once(block=True) and flat._run_once(block=True)
+        for a, b in zip(fm2, ff2):
+            sa, sb = a.result(timeout=0), b.result(timeout=0)
+            np.testing.assert_allclose(sa.cost, sb.cost, rtol=1e-5)
+            assert int(sa.iterations) == int(sb.iterations)
+        msvc.close(); flat.close()
+
+    def test_bucket_overflow_defers(self):
+        """mbs = max_batch/D = 2 lanes per device: a third same-device
+        slot in one batch is deferred, not dropped."""
+        model, params, cfg, svc = self._mk(slots=32)
+        # slots 0, 8, 16 all live on device 0 (s % 8 == 0); mbs = 2
+        x0 = np.array([0.4, 0.1, 0.0, 0.0], np.float32)
+        f0 = svc.submit(x0, slot=0)
+        f8 = svc.submit(x0 + np.float32(0.1), slot=8)
+        f16 = svc.submit(x0 + np.float32(0.2), slot=16)
+        assert svc._run_once(block=True)
+        assert f0.done() and f8.done() and not f16.done()
+        assert svc._run_once(block=False)
+        assert f16.done()
+        assert np.isfinite(f16.result(timeout=0).cost)
+        svc.close()
+
+    def test_aot_combo_refused(self):
+        from ilqr_tpu.parallel.mesh import make_mesh
+
+        model = get_model("double_integrator")
+        cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+        with pytest.raises(ValueError, match="not supported yet"):
+            SolverService(model, di.default_params(), cfg, 0.05, 14,
+                          max_batch=16, path="vmap", warm=True,
+                          resident_slots=16, mesh=make_mesh(),
+                          aot="whatever.aotexec", autostart=False)
