@@ -399,11 +399,15 @@ def build_resident_dispatch(model, params, cfg, dt, horizon, max_batch,
     MPC state (us, xs, K, λ, dλ) lives in ``capacity`` device-side slots
     and never round-trips the host, so a warm replan's H2D payload is
     just (x0, slot, warm-flag) — ~20 bytes/lane instead of the ~15 KB
-    warm pytree. Measured motivation (BENCH_NOTES round 5): the
-    full-block warm dispatch is TRANSFER-bound (device time ~2 ms of a
-    ~0.45 s dispatch), and the axon client leaks host RSS per H2D
-    transfer proportional to its size — the resident layout attacks
-    both.
+    warm pytree. Semantically this is the reference's MPC warm-start
+    overload (ref ilqr_core.cpp:65-76 — reuse the previous controls and
+    gains, λ/dλ carried) scaled to a fleet whose "previous solve" state
+    is owned by the device, the way the reference's file-scope λ statics
+    (include/ilqr.h:17-18) made its single solver instance stateful.
+    Measured motivation (BENCH_NOTES round 5): the full-block warm
+    dispatch is TRANSFER-bound (device time ~2 ms of a ~0.45 s
+    dispatch), and the axon client leaks host RSS per H2D transfer
+    proportional to its size — the resident layout attacks both.
 
     Program signature (donated state first):
 
