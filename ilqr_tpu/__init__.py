@@ -22,7 +22,7 @@ from ilqr_tpu.config import BoxQPConfig, SolverConfig
 from ilqr_tpu.types import Solution, SolverState, TerminationReason
 from ilqr_tpu.models import Model, get_model, list_models
 from ilqr_tpu.solver import init_state, solve, solve_verbose, solve_warm
-from ilqr_tpu.batch import solve_batch
+from ilqr_tpu.batch import solve_batch, solve_batch_chunked
 from ilqr_tpu.fused import solve_batch_fused
 from ilqr_tpu.ops.boxqp import boxqp, boxqp_pn
 from ilqr_tpu.serve import SolverService
@@ -44,6 +44,7 @@ __all__ = [
     "solve_verbose",
     "solve_warm",
     "solve_batch",
+    "solve_batch_chunked",
     "solve_batch_fused",
     "boxqp",
     "boxqp_pn",
