@@ -72,6 +72,7 @@ def solve_batch_wide(
     x0,
     u0,
     params_batched: bool = False,
+    iter_chunk: int = SAFE_ITER_CHUNK,
 ) -> Solution:
     """The contained dispatch for ``m > MAX_STAGE_KERNEL_M`` on TPU (see
     the fault writeup above): batch-chunked to
@@ -106,7 +107,7 @@ def solve_batch_wide(
              if params_batched else params)
         sols.append(solve_batch_chunked(
             model, p, cfg, dt, x0[sl], u0[sl],
-            iter_chunk=SAFE_ITER_CHUNK, params_batched=params_batched))
+            iter_chunk=int(iter_chunk), params_batched=params_batched))
     if len(sols) == 1:
         return sols[0]
     return jax.tree_util.tree_map(
@@ -133,22 +134,24 @@ def solve_batch(
     VMAP PATH FOR ``m > MAX_STAGE_KERNEL_M`` — the region where one
     monolithic execution can crash the XLA:TPU worker (see
     :data:`SAFE_ITER_CHUNK`; chunking is bit-exact, the loop conditions
-    compose). Pass an int to force a chunk size, or ``None`` to force the
-    single-dispatch program. ``"auto"``/int chunking requires an eager
-    call (this function jits internally); under an outer ``jit`` trace
-    the dangerous configuration raises instead of compiling a program
-    that can kill the worker.
+    compose). Pass an int to force a chunk size (inside the fault region
+    the int still runs through the FULL containment — batch-chunking and
+    the work ledger — since iteration-chunking alone is a proven crash
+    at B=1024), or ``None`` to force the single-dispatch program (the
+    explicit at-your-own-risk escape). ``"auto"``/int chunking requires
+    an eager call (this function jits internally); under an outer
+    ``jit`` trace the dangerous configuration raises instead of
+    compiling a program that can kill the worker.
     """
     if u0.ndim == 2:
         u0 = jnp.broadcast_to(u0[None], (x0.shape[0],) + u0.shape)
-    auto_wide = False
-    if iter_chunk == "auto":
-        from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
+    from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
 
-        auto_wide = (jax.default_backend() == "tpu"
-                     and model.m > MAX_STAGE_KERNEL_M)
-        iter_chunk = None
-    if auto_wide or iter_chunk is not None:
+    in_fault_region = (jax.default_backend() == "tpu"
+                       and model.m > MAX_STAGE_KERNEL_M)
+    if iter_chunk == "auto":
+        iter_chunk = SAFE_ITER_CHUNK if in_fault_region else None
+    if iter_chunk is not None:
         if any(isinstance(a, jax.core.Tracer) for a in (x0, u0)):
             raise ValueError(
                 f"m={model.m} > MAX_STAGE_KERNEL_M vmap solves on TPU "
@@ -158,14 +161,19 @@ def solve_batch(
                 "eagerly (it jits internally) instead of wrapping it in "
                 "jax.jit, or pass iter_chunk=None to force the "
                 "single-dispatch program at your own risk")
-        if auto_wide:
-            # full containment: batch-chunking + iteration-chunking +
-            # the per-process work ledger (see writeup above)
+        if in_fault_region:
+            # inside the worker-fault region an explicit chunk size still
+            # goes through the FULL containment (batch-chunking + the
+            # work ledger) — iteration-chunking alone is a proven crash
+            # at B=1024 (the bisect table above); iter_chunk=None remains
+            # the explicit single-dispatch escape hatch
             return solve_batch_wide(model, params, cfg, dt, x0, u0,
-                                    params_batched=params_batched)
+                                    params_batched=params_batched,
+                                    iter_chunk=int(iter_chunk))
         return solve_batch_chunked(
             model, params, cfg, dt, x0, u0,
-            iter_chunk=int(iter_chunk), params_batched=params_batched)
+            iter_chunk=int(iter_chunk),
+            params_batched=params_batched)
     in_axes = (0 if params_batched else None, 0, 0)
     fn = lambda p, x, u: solve(model, p, cfg, dt, x, u)
     return jax.vmap(fn, in_axes=in_axes)(params, x0, u0)

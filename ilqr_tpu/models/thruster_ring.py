@@ -13,18 +13,19 @@ directions and both torque signs are reachable with one-sided actuators.
 Body force rotates into the world frame through θ — the only nonlinearity,
 giving fx live sin/cos entries.
 
-Two registered instances (``build_ring_model`` makes any even multiple
+Two registered instances (``build_ring_model`` makes any multiple
 of 4):
 
-- ``thruster_ring`` (M = 12) sits AT the fused kernels' MAX_FUSED_M = 12
-  cap (ops/pallas_sweep.py — the largest in-kernel projected-Newton QP)
-  and is also the workload for the fixed-shape projected-Newton boxQP on
-  the ``vmap(solve)`` path (``boxqp_mode="pn_fixed"``, ops/boxqp.boxqp_pn
-  — the route for ANY m past the cap).
-- ``thruster_ring16`` (M = 16) lives PAST the cap: it exercises the
-  any-m vmap route end-to-end (with the iteration-chunked TPU dispatch,
-  batch.SAFE_ITER_CHUNK) and is the probe model for the MAX_FUSED_M=16
-  compile-wall experiment (VERDICT r4 item 6).
+- ``thruster_ring`` (M = 12): TPU-measured at 12,025-16,941 fused
+  solves/s; also the workload for the wide-m vmap-route probes
+  (the worker-fault bisect, BENCH_NOTES round 5).
+- ``thruster_ring16`` (M = 16) sits AT the fused kernels' raised
+  MAX_FUSED_M = 16 cap (ops/pallas_sweep.py — the largest in-kernel
+  projected-Newton QP; the round-5 compile-wall probe measured 6,474
+  fused solves/s at 750 s Mosaic compile, and the cap was raised so
+  the CLI/serve auto path runs it FUSED). The contained any-m vmap
+  route (batch.solve_batch_wide) is exercised by dataclasses-widened
+  test models past 16 and by these models with path="vmap" pinned.
 
 One-sided boxes + a linear fuel cost keep ~2/3 of the controls pinned at
 their lower bound, so the QP's active-set machinery does real work every

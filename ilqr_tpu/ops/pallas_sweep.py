@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 12).
+"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 16).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -21,7 +21,7 @@ The control-limited QP is solved exactly in-registers:
     adjugates are shared across the 81 candidates). Feedback rows come
     from the identity-padded free-subspace inverse, zeroed on clamped
     dims (ref :377-385).
-  - 5 ≤ m ≤ 12: fixed-shape projected Newton (the reference's own boxQP
+  - 5 ≤ m ≤ 16: fixed-shape projected Newton (the reference's own boxQP
     algorithm, src/boxqp.cpp:26-139) with the free-subspace solves
     through a masked unrolled Cholesky — 3^m enumeration explodes past
     m = 4 (see _qp_pn).

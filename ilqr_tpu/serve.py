@@ -172,8 +172,28 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
             # (batch.solve_batch_wide: iteration+batch chunking and the
             # per-process work ledger; once the ledger is exhausted
             # dispatches raise — recycle the serving process). No
-            # packing (a host loop is not one jittable program).
-            from ilqr_tpu.batch import solve_batch_wide
+            # packing (a host loop is not one jittable program). The
+            # dispatches pad to MAX_WIDE_DISPATCH_B multiples (not
+            # max_batch) so small batches don't burn the scarce ledger,
+            # and an impossible configuration fails HERE, at
+            # construction, not on the first request.
+            from ilqr_tpu.batch import (
+                MAX_WIDE_DISPATCH_B,
+                _wide_m_budget,
+                solve_batch_wide,
+            )
+
+            budget = _wide_m_budget()
+            min_work = MAX_WIDE_DISPATCH_B * int(cfg.max_iter)
+            if min_work > budget:
+                raise ValueError(
+                    f"wide-m serving (m={model.m} > "
+                    f"{MAX_STAGE_KERNEL_M}) needs at least one "
+                    f"{MAX_WIDE_DISPATCH_B}-lane dispatch x max_iter="
+                    f"{cfg.max_iter} = {min_work} lane-iterations per "
+                    f"batch, but the per-process worker-fault budget is "
+                    f"{budget} (BENCH_NOTES round 5) — lower max_iter, "
+                    "or raise ILQR_TPU_WIDE_M_BUDGET after probing")
 
             def raw(x, u):
                 return solve_batch_wide(model, params, cfg, dt, x, u)
@@ -203,8 +223,14 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
              "in_specs": [(sh, "float32") for sh in in_shapes]}
     if eager:
         # host-driven chunked dispatch: must run EAGERLY (never jitted,
-        # never AOT-compiled — it is a host loop over device programs)
+        # never AOT-compiled — it is a host loop over device programs).
+        # pad_multiple: dispatches pad to 256-lane multiples, not
+        # max_batch — same compiled sub-batch program, 1/4 the ledger
+        # spend for small batches
+        from ilqr_tpu.batch import MAX_WIDE_DISPATCH_B
+
         dmeta["eager"] = True
+        dmeta["pad_multiple"] = MAX_WIDE_DISPATCH_B
         return (lambda *a: select(raw(*a))), dmeta
     if not pack:
         return raw, dmeta  # caller opted out (e.g. CPU AOT blobs —
@@ -309,7 +335,17 @@ def build_resident_mesh_dispatch(model, params, cfg, dt, horizon,
             return solve_batch_fused_warm(model, p, cfg_k, d, x0b, prev,
                                           interpret=interpret)
     else:
+        from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
         from ilqr_tpu.solver import solve_warm
+
+        if (jax.default_backend() == "tpu"
+                and model.m > MAX_STAGE_KERNEL_M):
+            raise ValueError(
+                f"resident vmap serving with m={model.m} > "
+                f"{MAX_STAGE_KERNEL_M} on TPU would compile the "
+                "monolithic while_loop program in the worker-fault "
+                "region (BENCH_NOTES round 5) — sharding does not "
+                "change that; use a fused-capable model")
 
         check_vma = True
         cfg_v = cfg.with_vma_axes((BATCH_AXIS,))
@@ -441,6 +477,13 @@ def build_resident_dispatch(model, params, cfg, dt, horizon, max_batch,
             raise ValueError(
                 "resident path='fused': model/config not fused-compatible "
                 "(see fused.fused_applicable)")
+        if mb > 1024:
+            raise ValueError(
+                f"resident path='fused' requires max_batch <= 1024 (one "
+                "kernel block: the resident program is jitted as a whole, "
+                "and jitting solve_batch_fused_warm's host chunk loop is "
+                f"forbidden — fused.py); got max_batch={mb}. Lower "
+                "max_batch or shard the fleet with mesh=")
 
         def raw(x0b, usb, xsb, Kb, lamb, dlamb):
             prev = Solution(xs=xsb, us=usb, k=None, K=Kb, cost=None,
@@ -668,6 +711,7 @@ class SolverService:
         self.path = path
         self._pack = None
         self._pack_inputs = False
+        self._pad_multiple = None
         self._res_state = None
         self._res_dmeta = None
         self._res_init = None
@@ -848,11 +892,22 @@ class SolverService:
                        if warm else
                        make_sharded_fused_solver(model, cfg, mesh))
             else:
+                from ilqr_tpu.ops.rollout import MAX_STAGE_KERNEL_M
                 from ilqr_tpu.parallel.mesh import (
                     make_sharded_solver,
                     make_sharded_warm_solver,
                 )
 
+                if (jax.default_backend() == "tpu"
+                        and model.m > MAX_STAGE_KERNEL_M):
+                    raise ValueError(
+                        f"sharded vmap serving with m={model.m} > "
+                        f"{MAX_STAGE_KERNEL_M} on TPU would compile the "
+                        "monolithic while_loop program in the "
+                        "worker-fault region (BENCH_NOTES round 5) — "
+                        "sharding does not change that; use a "
+                        "fused-capable model or serve unsharded (the "
+                        "contained chunked dispatch)")
                 run = (make_sharded_warm_solver(model, cfg, mesh)
                        if warm else make_sharded_solver(model, cfg, mesh))
             # warm dispatch order is (x0, us, xs, K, lam, dlam) — exactly
@@ -870,6 +925,7 @@ class SolverService:
             elif dmeta.get("eager") or (path == "fused"
                                         and self._max_batch > 1024):
                 inner = fn  # eager host chunk loop — must NOT be jitted
+                self._pad_multiple = dmeta.get("pad_multiple")
             else:
                 inner = jax.jit(fn)
 
@@ -885,8 +941,15 @@ class SolverService:
             # 4: variable-B glue ran at ~3.4 s/batch with p99 15-97 s).
             # ``inputs`` are numpy, each with leading batch axis b:
             # (x0, u0) cold, (x0, us, xs, K, lam, dlam) warm.
+            # The eager wide-m route instead pads to pad_multiple-lane
+            # multiples (its sub-batch program is shape-stable and its
+            # per-process work ledger is scarce — build_dispatch).
             b = inputs[0].shape[0]
-            n_pad = self._max_batch
+            if self._pad_multiple:
+                pm = self._pad_multiple
+                n_pad = min(self._max_batch, -(-b // pm) * pm)
+            else:
+                n_pad = self._max_batch
             padded = []
             for a in inputs:
                 p = np.empty((n_pad,) + a.shape[1:], np.float32)
@@ -937,15 +1000,20 @@ class SolverService:
                 self._res_state = self._res_init()
             try:
                 out = inner(*self._res_state, jnp.asarray(flat))
+                # SYNC before committing the new state: device faults
+                # often surface lazily at the D2H (CLAUDE.md), so the
+                # np.asarray must sit inside this guard or a failed
+                # dispatch would leave donation-consumed/poisoned
+                # buffers installed as the fleet state
+                flat_out = np.asarray(out[5])
+                self._res_state = out[:5]
             except Exception:
                 # the state buffers were donated into a failed dispatch —
                 # reset the fleet to cold rather than serve from garbage
                 self._res_state = None
                 self._slot_used[:] = False
                 raise
-            self._res_state = out[:5]
-            sol = unpack_dispatch_output(np.asarray(out[5]),
-                                         self._res_dmeta)
+            sol = unpack_dispatch_output(flat_out, self._res_dmeta)
             return jax.tree_util.tree_map(lambda a: a[:b], sol)
 
         def _solve_resident_mesh(x0p, lslots, wmask):
@@ -954,13 +1022,17 @@ class SolverService:
             if self._res_state is None:
                 self._res_state = self._res_init()
             try:
-                self._res_state, sol = self._res_run(
+                new_state, sol = self._res_run(
                     self._res_state, x0p, lslots, wmask)
+                # sync BEFORE committing (lazy device faults — see
+                # _solve_resident)
+                sol = jax.tree_util.tree_map(np.asarray, sol)
+                self._res_state = new_state
             except Exception:
                 self._res_state = None
                 self._slot_used[:] = False
                 raise
-            return jax.tree_util.tree_map(np.asarray, sol)
+            return sol
 
         self._solve_resident_mesh = _solve_resident_mesh
         self._solve_resident = _solve_resident

@@ -643,3 +643,55 @@ class TestResidentMesh:
                           max_batch=16, path="vmap", warm=True,
                           resident_slots=16, mesh=make_mesh(),
                           aot="whatever.aotexec", autostart=False)
+
+
+def test_eager_wide_m_budget_validation(monkeypatch):
+    """A wide-m service whose max_iter can never fit the per-process
+    worker-fault budget must fail AT CONSTRUCTION, not on the first
+    request (round-5 review finding)."""
+    import jax as _jax
+
+    from ilqr_tpu.models import thruster_ring as tr
+
+    model = get_model("thruster_ring")
+    params = tr.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=100, boxqp_mode="pn_fixed",
+                       backward_kernel="xla", rollout_kernel="xla",
+                       deriv_kernel="xla")
+    with monkeypatch.context() as mp:
+        mp.setattr(_jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="lane-iterations per"):
+            SolverService(model, params, cfg, 0.05, 8, max_batch=4,
+                          path="vmap", autostart=False)
+        # sharded vmap serving in the fault region is refused too
+        from ilqr_tpu.parallel.mesh import make_mesh
+        with pytest.raises(ValueError, match="worker-fault region"):
+            SolverService(model, params, cfg, 0.05, 8, max_batch=8,
+                          path="vmap", mesh=make_mesh(), autostart=False)
+
+
+def test_explicit_iter_chunk_keeps_containment(monkeypatch):
+    """iter_chunk=<int> inside the fault region still routes through the
+    full containment (ledger + batch chunking) — iteration chunking
+    alone is a proven crash at B=1024 (round-5 review finding)."""
+    import jax as _jax
+
+    import ilqr_tpu.batch as batch_mod
+    from ilqr_tpu.batch import solve_batch
+    from ilqr_tpu.models import thruster_ring as tr
+
+    model = get_model("thruster_ring")
+    params = tr.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
+                       max_iter=40, boxqp_mode="pn_fixed",
+                       backward_kernel="xla", rollout_kernel="xla",
+                       deriv_kernel="xla")
+    monkeypatch.setitem(batch_mod._WIDE_M_LEDGER, "lane_iters", 0)
+    with monkeypatch.context() as mp:
+        mp.setattr(_jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="refusing a wide-m"):
+            solve_batch(model, params, cfg, 0.05,
+                        jnp.zeros((1024, 6), jnp.float32),
+                        jnp.zeros((1024, 8, 12), jnp.float32),
+                        iter_chunk=4)
