@@ -10,6 +10,13 @@ slots 0..REQS-1 plus one warm replan each; costs saved.
 Phase mesh (RM_MODE=mesh): SolverService(resident_slots=2048,
 mesh=1-device-TPU-mesh) — compiles the sharded donated-state program
 (~240 s), runs the same requests, compares costs against phase base.
+
+Phase aotsave (RM_MODE=aotsave): compile_solver(resident_slots=2048,
+mesh=...) → serve_resident_mesh.aotexec (the resident×mesh×AOT cell).
+Phase aotserve (RM_MODE=aotserve): a FRESH process loads the sharded
+resident blob into SolverService(resident_slots=, mesh=, aot=), runs
+the same requests, and compares against phase base — cross-process
+bit-exactness through the full matrix cell.
 """
 
 import json
@@ -22,6 +29,7 @@ import numpy as np
 MODE = os.environ.get("RM_MODE", "base")
 HERE = os.path.dirname(os.path.abspath(__file__))
 RES_BLOB = os.path.join(HERE, "serve_resident1024.aotexec")
+RM_BLOB = os.path.join(HERE, "serve_resident_mesh.aotexec")
 COSTS = os.path.join(HERE, "resident_mesh_base.costs.npy")
 B_MAX, T, MAX_ITER, CAP, REQS = 1024, 199, 10, 2048, 8
 
@@ -45,11 +53,31 @@ def main():
     params = ac.default_params()
     cfg = SolverConfig(deriv_mode="analytic", clamp_forward=True,
                        max_iter=MAX_ITER)
+    if MODE == "aotsave":
+        from ilqr_tpu.aot import compile_solver
+
+        t0 = time.perf_counter()
+        aot = compile_solver(model, params, cfg, 0.02, B_MAX, T,
+                             path="fused", resident_slots=CAP,
+                             mesh=make_mesh())
+        compile_s = time.perf_counter() - t0
+        aot.save(RM_BLOB)
+        print(json.dumps({
+            "mode": "resident_mesh_aotsave", "B": B_MAX, "T": T,
+            "capacity": CAP, "compile_s": round(compile_s, 1),
+            "blob_mb": round(os.path.getsize(RM_BLOB) / 1e6, 1),
+        }), flush=True)
+        return
     if MODE == "base":
         svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
                             max_batch=B_MAX, max_wait_ms=2.0,
                             path="fused", warm=True, resident_slots=CAP,
                             aot=RES_BLOB)
+    elif MODE == "aotserve":
+        svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
+                            max_batch=B_MAX, max_wait_ms=2.0,
+                            path="fused", warm=True, resident_slots=CAP,
+                            mesh=make_mesh(), aot=RM_BLOB)
     else:
         svc = SolverService(model, params, cfg, dt=0.02, horizon=T,
                             max_batch=B_MAX, max_wait_ms=2.0,

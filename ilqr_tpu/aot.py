@@ -278,13 +278,9 @@ def compile_solver(model: Model, params, cfg: SolverConfig, dt: float,
     if path not in ("auto", "fused", "vmap"):
         raise ValueError(f"unknown path {path!r}")
     if resident_slots:
-        if mesh is not None:
-            raise ValueError(
-                "resident_slots + mesh is not supported yet (the state "
-                "buffers are single-device)")
         return _compile_resident(model, params, cfg, dt, batch, horizon,
                                  int(resident_slots), path=path,
-                                 fields=fields)
+                                 fields=fields, mesh=mesh)
     if mesh is not None:
         return _compile_sharded(model, params, cfg, dt, batch, horizon,
                                 path=path, warm=warm, fields=fields,
@@ -430,37 +426,72 @@ def _compile_sharded(model: Model, params, cfg: SolverConfig, dt: float,
 
 def _compile_resident(model: Model, params, cfg: SolverConfig, dt: float,
                       batch: int, horizon: int, capacity: int, *,
-                      path: str, fields) -> AotSolver:
+                      path: str, fields, mesh=None) -> AotSolver:
     """AOT-compile the DEVICE-RESIDENT fleet dispatch
-    (serve.build_resident_dispatch): donated state buffers + one flat
-    (x0, slot, warm-flag) input. The blob drops into
-    ``SolverService(resident_slots=capacity, aot=...)`` — the service
-    owns the state lifecycle; calling the AotSolver directly raises."""
-    from ilqr_tpu.serve import build_resident_dispatch
-
+    (serve.build_resident_dispatch / build_resident_mesh_dispatch):
+    donated state buffers + the tiny (x0, slot, warm-flag) input. The
+    blob drops into ``SolverService(resident_slots=capacity, [mesh=,]
+    aot=...)`` — the service owns the state lifecycle; calling the
+    AotSolver directly raises."""
     if path == "auto":
         from ilqr_tpu.fused import fused_applicable
 
+        shard = batch // mesh.size if mesh is not None else batch
         path = ("fused" if jax.default_backend() == "tpu"
-                and fused_applicable(model, cfg) and batch <= 1024
+                and fused_applicable(model, cfg) and shard <= 1024
                 else "vmap")
-    fn, dmeta, _init = build_resident_dispatch(
-        model, params, cfg, dt, horizon, batch, capacity,
-        path=path, fields=fields)
     f32 = jnp.float32
-    in_s = [jax.ShapeDtypeStruct(tuple(sh), f32)
-            for sh, _ in dmeta["state_shapes"]]
-    in_s.append(jax.ShapeDtypeStruct((dmeta["flat_in_size"],), f32))
-    compiled = _compile_uncached(
-        jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4)), in_s)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ilqr_tpu.parallel.mesh import BATCH_AXIS
+        from ilqr_tpu.serve import build_resident_mesh_dispatch
+
+        run, dmeta, _init = build_resident_mesh_dispatch(
+            model, params, cfg, dt, horizon, batch, capacity, mesh,
+            path=path, fields=fields)
+        bspec = NamedSharding(mesh, P(BATCH_AXIS))
+
+        # bake params/dt (the shard_map program takes them as args)
+        def wrapped(*sa):
+            return run.fn(params, jnp.asarray(dt), *sa)
+
+        state_sds = [jax.ShapeDtypeStruct(tuple(sh), f32)
+                     for sh, _ in dmeta["state_shapes"]]
+        in_s = tuple(state_sds) + (
+            jax.ShapeDtypeStruct((batch, model.n), f32),
+            jax.ShapeDtypeStruct((batch,), jnp.int32),
+            jax.ShapeDtypeStruct((batch,), f32))
+        compiled = _compile_uncached(
+            jax.jit(wrapped, donate_argnums=(0, 1, 2, 3, 4),
+                    in_shardings=(bspec,) * len(in_s)), in_s)
+        mesh_meta = {"shape": [int(d) for d in mesh.devices.shape],
+                     "axes": list(mesh.axis_names),
+                     "size": int(mesh.size)}
+        ndev = int(mesh.size)
+    else:
+        from ilqr_tpu.serve import build_resident_dispatch
+
+        fn, dmeta, _init = build_resident_dispatch(
+            model, params, cfg, dt, horizon, batch, capacity,
+            path=path, fields=fields)
+        in_s = [jax.ShapeDtypeStruct(tuple(sh), f32)
+                for sh, _ in dmeta["state_shapes"]]
+        in_s.append(jax.ShapeDtypeStruct((dmeta["flat_in_size"],), f32))
+        compiled = _compile_uncached(
+            jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4)), in_s)
+        mesh_meta = None
+        ndev = 1
     meta = {"model": getattr(model, "name", repr(model)), "path": path,
             "x0_shape": (batch, model.n),
             "u0_shape": (batch, int(horizon), model.m),
             "dispatch": dmeta,
             "dt": float(dt), "max_iter": int(cfg.max_iter),
             "problem_digest": problem_digest(params, cfg),
-            "num_devices": 1,
+            "num_devices": ndev,
             **_env_meta()}
+    if mesh_meta is not None:
+        meta["mesh"] = mesh_meta
     return AotSolver(compiled, meta)
 
 

@@ -425,7 +425,12 @@ def build_resident_mesh_dispatch(model, params, cfg, dt, horizon,
     dmeta = {"packed": False, "resident": True, "warm": True,
              "mesh": True, "fields": fields, "capacity": C,
              "slots_per_device": c_loc, "devices": D,
-             "per_device_lanes": mbs}
+             "per_device_lanes": mbs,
+             "state_shapes": [(tuple(sh), "float32")
+                              for sh in state_shapes]}
+    run.jitted = jitted          # for AOT compilation (aot.py)
+    run.fn = fn                  # the un-jitted shard_map program
+    run.bspec = bspec
     return run, dmeta, init_state
 
 
@@ -655,8 +660,10 @@ class SolverService:
         service buckets each batch's lanes onto their slots' devices, so
         the gather/solve/scatter stays device-local with zero
         collectives; bucket overflow defers to the next dispatch like
-        duplicate slots do). ``aot=`` + ``mesh=`` together is not
-        supported yet for resident services.
+        duplicate slots do). All three compose: ``compile_solver(...,
+        resident_slots=C, mesh=mesh)`` serializes the sharded
+        donated-state program and ``SolverService(resident_slots=C,
+        mesh=mesh, aot=blob)`` validates and loads it.
       autostart: start the worker thread (tests drive ``_run_once``
         directly with ``autostart=False``).
     """
@@ -684,11 +691,6 @@ class SolverService:
                 raise ValueError(
                     "resident_slots requires warm=True (the resident "
                     "fleet IS the warm-serving mode)")
-            if mesh is not None and aot is not None:
-                raise ValueError(
-                    "resident_slots + mesh= + aot= is not supported yet "
-                    "(the sharded donated-state program is not "
-                    "serialized)")
             if fields is None:
                 fields = RESIDENT_FIELDS
         if mesh is not None:
@@ -726,6 +728,66 @@ class SolverService:
                 self.resident, mesh, path=path, fields=fields)
             fields = dmeta["fields"]
             inner = None  # dispatch goes through self._res_run
+            if aot is not None:
+                # sharded resident blob: swap the freshly-built program
+                # for the deserialized executable (same layout — the
+                # builder's dmeta defines it; validate the blob matches)
+                from ilqr_tpu.aot import AotSolver, problem_digest
+                from ilqr_tpu.aot import load as aot_load
+
+                if isinstance(aot, str):
+                    aot = aot_load(aot)
+                if not isinstance(aot, AotSolver):
+                    raise TypeError("aot must be an AotSolver or a "
+                                    "saved-executable path")
+                bm = aot.meta.get("dispatch") or {}
+                blob_mesh = aot.meta.get("mesh")
+                if not (bm.get("resident") and bm.get("mesh")):
+                    raise ValueError(
+                        "this AOT blob is not a sharded resident program"
+                        " — recompile with compile_solver(..., "
+                        "resident_slots=..., mesh=...)")
+                if (blob_mesh is None
+                        or int(blob_mesh["size"]) != mesh.size
+                        or tuple(blob_mesh["axes"]) != tuple(mesh.axis_names)
+                        or tuple(blob_mesh["shape"])
+                        != tuple(mesh.devices.shape)):
+                    raise ValueError(
+                        f"AOT blob mesh {blob_mesh} does not match the "
+                        f"service mesh {tuple(mesh.devices.shape)}")
+                for key, want in (("capacity", self.resident),
+                                  ("fields", tuple(fields)),
+                                  ("per_device_lanes",
+                                   self._max_batch // mesh.size)):
+                    got_b = bm.get(key)
+                    got_b = (tuple(got_b) if isinstance(got_b, list)
+                             else got_b)
+                    if got_b != want:
+                        raise ValueError(
+                            f"AOT resident blob {key}={got_b!r} but the "
+                            f"service needs {want!r}")
+                if tuple(aot.meta["x0_shape"]) != (self._max_batch,
+                                                   model.n):
+                    raise ValueError(
+                        f"AOT blob x0 pin {aot.meta['x0_shape']} != "
+                        f"({self._max_batch}, {model.n})")
+                blob_digest = aot.meta.get("problem_digest")
+                if (blob_digest is not None
+                        and blob_digest != problem_digest(params, cfg)):
+                    raise ValueError(
+                        "AOT blob problem_digest mismatch (different "
+                        "params or SolverConfig) — recompile for this "
+                        "configuration")
+                compiled = aot.compiled
+                bspec = run.bspec
+
+                def run_aot(state, x0, local_slots, wmask):
+                    args = [jax.device_put(jnp.asarray(a), bspec)
+                            for a in (x0, local_slots, wmask)]
+                    out = compiled(*state, *args)
+                    return out[:5], out[5]
+
+                run = run_aot
             self._res_run = run
             self._res_dmeta = dmeta
             self._res_init = init_state

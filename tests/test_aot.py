@@ -432,3 +432,52 @@ def test_resident_aot_blob_in_service(tmp_path):
                       path="vmap", warm=True,
                       fields=("us", "cost", "iterations", "reason"),
                       aot=blob, autostart=False)
+
+
+def test_resident_mesh_aot_blob(tmp_path):
+    """The full matrix cell: resident_slots + mesh= + aot= — the sharded
+    donated-state executable serialized and reloaded (same-process on
+    CPU; cross-process sharded evidence is TPU-side)."""
+    from ilqr_tpu.parallel.mesh import make_mesh
+    from ilqr_tpu.serve import SolverService
+
+    model = get_model("double_integrator")
+    params = di.default_params()
+    cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
+    C, MB, T_ = 16, 16, 14
+    mesh = make_mesh()
+    aot = compile_solver(model, params, cfg, 0.05, MB, T_, path="vmap",
+                         resident_slots=C, mesh=mesh)
+    blob = str(tmp_path / "resmesh.aotexec")
+    aot.save(blob)
+    svc = SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                        path="vmap", warm=True, resident_slots=C,
+                        mesh=mesh, aot=blob, autostart=False)
+    ref = SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                        path="vmap", warm=True, resident_slots=C,
+                        mesh=mesh, autostart=False)
+    rng = np.random.default_rng(13)
+    x0s = rng.normal(size=(5, 4)).astype(np.float32) * 0.4
+    fa = [svc.submit(x0s[i], slot=i) for i in range(5)]
+    fb = [ref.submit(x0s[i], slot=i) for i in range(5)]
+    assert svc._run_once(block=True) and ref._run_once(block=True)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(a.result(timeout=0).cost,
+                                   b.result(timeout=0).cost, rtol=1e-6)
+    # warm replans through the deserialized sharded state program
+    fa2 = [svc.submit(x0s[i] + np.float32(0.01), slot=i)
+           for i in range(5)]
+    fb2 = [ref.submit(x0s[i] + np.float32(0.01), slot=i)
+           for i in range(5)]
+    assert svc._run_once(block=True) and ref._run_once(block=True)
+    for a, b in zip(fa2, fb2):
+        sa, sb = a.result(timeout=0), b.result(timeout=0)
+        np.testing.assert_allclose(sa.cost, sb.cost, rtol=1e-6)
+        assert int(sa.iterations) == int(sb.iterations)
+    svc.close(); ref.close()
+
+    # capacity mismatch refused
+    with pytest.raises(ValueError, match="capacity"):
+        SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
+                      path="vmap", warm=True, resident_slots=C * 2,
+                      mesh=mesh, aot=blob, autostart=False)

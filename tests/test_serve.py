@@ -633,16 +633,25 @@ class TestResidentMesh:
         assert np.isfinite(f16.result(timeout=0).cost)
         svc.close()
 
-    def test_aot_combo_refused(self):
+    def test_wrong_blob_kind_refused(self):
+        """A plain (non-resident, non-mesh) blob into a resident+mesh
+        service must be refused with a clear error (resident+mesh+aot
+        itself is supported — tests/test_aot.py::test_resident_mesh_aot
+        _blob)."""
         from ilqr_tpu.parallel.mesh import make_mesh
 
+        from ilqr_tpu.aot import compile_solver
+
         model = get_model("double_integrator")
+        params = di.default_params()
         cfg = SolverConfig(deriv_mode="analytic", max_iter=8)
-        with pytest.raises(ValueError, match="not supported yet"):
-            SolverService(model, di.default_params(), cfg, 0.05, 14,
+        flat_blob = compile_solver(model, params, cfg, 0.05, 16, 14,
+                                   path="vmap")
+        with pytest.raises(ValueError, match="not a sharded resident"):
+            SolverService(model, params, cfg, 0.05, 14,
                           max_batch=16, path="vmap", warm=True,
                           resident_slots=16, mesh=make_mesh(),
-                          aot="whatever.aotexec", autostart=False)
+                          aot=flat_blob, autostart=False)
 
 
 def test_eager_wide_m_budget_validation(monkeypatch):
