@@ -123,10 +123,13 @@ _PROBLEMS = {
     # 12-thruster planar ring (in-kernel projected-Newton QP)
     "thruster_ring": dict(model="thruster_ring", T=100, goal=None,
                           x0=(0.0,) * 6, dt=0.05),
-    # 16-thruster ring: AT the raised MAX_FUSED_M = 16 cap (round-5
-    # m16_fused row: 6,474 solves/s, 750 s Mosaic compile); the vmap
-    # route for it uses the contained chunked dispatch (BENCH_NOTES r5)
+    # 16-thruster ring (round-5 m16_fused row: 6,474 solves/s, 750 s
+    # Mosaic compile)
     "thruster_ring16": dict(model="thruster_ring16", T=100, goal=None,
+                            x0=(0.0,) * 6, dt=0.05),
+    # 20-thruster ring: AT the round-5 final MAX_FUSED_M = 20 cap
+    # (m20_fused row: 4,104 solves/s, 1,065 s Mosaic compile)
+    "thruster_ring20": dict(model="thruster_ring20", T=100, goal=None,
                             x0=(0.0,) * 6, dt=0.05),
 }
 

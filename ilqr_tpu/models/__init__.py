@@ -50,6 +50,7 @@ register(power_mass.MODEL)
 register(quadrotor.MODEL)
 register(thruster_ring.MODEL)
 register(thruster_ring.MODEL16)
+register(thruster_ring.MODEL20)
 
 __all__ = [
     "Model",

@@ -19,13 +19,14 @@ of 4):
 - ``thruster_ring`` (M = 12): TPU-measured at 12,025-16,941 fused
   solves/s; also the workload for the wide-m vmap-route probes
   (the worker-fault bisect, BENCH_NOTES round 5).
-- ``thruster_ring16`` (M = 16) sits AT the fused kernels' raised
-  MAX_FUSED_M = 16 cap (ops/pallas_sweep.py — the largest in-kernel
-  projected-Newton QP; the round-5 compile-wall probe measured 6,474
-  fused solves/s at 750 s Mosaic compile, and the cap was raised so
-  the CLI/serve auto path runs it FUSED). The contained any-m vmap
-  route (batch.solve_batch_wide) is exercised by dataclasses-widened
-  test models past 16 and by these models with path="vmap" pinned.
+- ``thruster_ring16`` (M = 16): 6,474 fused solves/s, 750 s Mosaic
+  compile (the round-5 compile-wall probe that raised the cap 12→16).
+- ``thruster_ring20`` (M = 20) sits AT the fused kernels' MAX_FUSED_M
+  = 20 cap (ops/pallas_sweep.py — the largest in-kernel
+  projected-Newton QP; measured 4,104 fused solves/s at 1,065 s Mosaic
+  compile). The contained any-m vmap route (batch.solve_batch_wide) is
+  exercised by dataclasses-widened test models past 20 and by these
+  models with path="vmap" pinned.
 
 One-sided boxes + a linear fuel cost keep ~2/3 of the controls pinned at
 their lower bound, so the QP's active-set machinery does real work every
@@ -259,3 +260,4 @@ def build_ring_model(m_thrusters: int, name: str):
 
 MODEL, default_params = build_ring_model(12, "thruster_ring")
 MODEL16, default_params16 = build_ring_model(16, "thruster_ring16")
+MODEL20, default_params20 = build_ring_model(20, "thruster_ring20")

@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 16).
+"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 20).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -21,7 +21,7 @@ The control-limited QP is solved exactly in-registers:
     adjugates are shared across the 81 candidates). Feedback rows come
     from the identity-padded free-subspace inverse, zeroed on clamped
     dims (ref :377-385).
-  - 5 ≤ m ≤ 16: fixed-shape projected Newton (the reference's own boxQP
+  - 5 ≤ m ≤ 20: fixed-shape projected Newton (the reference's own boxQP
     algorithm, src/boxqp.cpp:26-139) with the free-subspace solves
     through a masked unrolled Cholesky — 3^m enumeration explodes past
     m = 4 (see _qp_pn).
@@ -514,14 +514,16 @@ def _qp_newton(quuF, qu, m):
 #
 # The cap is a Mosaic COMPILE-size wall, not an algorithmic one: the
 # in-kernel QP unrolls O(m³) Cholesky ops × (m+6) Newton iterations per
-# timestep (m=8: ~1.2k ops/step, measured 146-209 s remote compile;
-# m=12: ~5.2k ops/step, 386 s; m=16: ~12k ops/step, 750 s compile for
-# 6,474 solves/s at B=1024 — the round-5 m16_fused row; the wall is
-# steep but passable to at least 16). Past the cap use the vmap path
+# timestep, and the measured compile trajectory is m=8: 146-209 s,
+# m=12: 386 s, m=16: 750 s (6,474 solves/s), m=20: 1,065 s
+# (4,104 solves/s) — all at B=1024 T=80, the round-5 m16_fused/m20_fused
+# rows. The wall grows ~quadratically and every probed width passed, so
+# the cap sits at the widest MEASURED width; past it use the vmap path
 # (batch.solve_batch routes it through the contained chunked dispatch
-# on TPU — see the worker-fault writeup in batch.py).
+# on TPU — see the worker-fault writeup in batch.py), or probe further
+# with experiments/m20_probe.py's pattern before raising.
 
-MAX_FUSED_M = 16
+MAX_FUSED_M = 20
 
 
 def _chol_masked_tiles(q, free_f, m):

@@ -383,3 +383,38 @@ def test_free_solve_rows_m16_matches_padded_inverse():
     ref = -np.linalg.solve(P, cols_np)
     ref = np.where(free_np[:, :, None], ref, 0.0)
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+# --- m = 20 (the round-5 final MAX_FUSED_M cap) ---------------------------
+
+
+@pytest.mark.parametrize("seed,scale", [(61, 1.0), (62, 3.0)])
+def test_qp_pn_m20_matches_boxqp_pn_oracle(seed, scale):
+    from ilqr_tpu.ops.boxqp import boxqp_pn
+
+    m = 20
+    Q, g, lo, hi = _random_qps(seed, m=m, scale=scale)
+    k, free, bad = _qp_pn(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi), m)
+    assert not bool(jnp.any(bad))
+    x = np.stack([np.asarray(k[i]).reshape(B) for i in range(m)], -1)
+    assert (x >= lo - 1e-6).all() and (x <= hi + 1e-6).all()
+    ref = jax.vmap(boxqp_pn)(
+        jnp.asarray(Q, jnp.float64), jnp.asarray(g, jnp.float64),
+        jnp.asarray(lo, jnp.float64), jnp.asarray(hi, jnp.float64))
+    xo = np.asarray(ref.x)
+    v = (0.5 * np.einsum("bi,bij,bj->b", x, Q.astype(np.float64), x)
+         + np.einsum("bi,bi->b", g, x))
+    vo = (0.5 * np.einsum("bi,bij,bj->b", xo, Q.astype(np.float64), xo)
+          + np.einsum("bi,bi->b", g, xo))
+    assert (v - vo).max() < 2e-4, (v - vo).max()
+    np.testing.assert_allclose(x, xo, atol=8e-3)
+    from scipy.optimize import minimize
+    for b in range(0, B, 211):
+        Qb, gb = Q[b].astype(np.float64), g[b].astype(np.float64)
+        r = minimize(lambda z: 0.5 * z @ Qb @ z + z @ gb,
+                     np.clip(np.zeros(m), lo[b], hi[b]),
+                     jac=lambda z: Qb @ z + gb,
+                     bounds=list(zip(lo[b], hi[b])),
+                     method="L-BFGS-B", tol=1e-14)
+        np.testing.assert_allclose(x[b], r.x, atol=8e-3)
