@@ -22,13 +22,39 @@ jax.config.update("jax_enable_x64", True)
 # ~100% CPU compile time (the kernel body unrolls T×A steps; measured
 # 275 s compile / 0.3 s run for one fused solve). The cache is
 # multi-process safe, so xdist workers and repeat suite runs share it.
+#
+# Corruption auto-heal: a suite run KILLED mid-cache-write (timeout, ^C,
+# OOM) can leave a truncated entry, and jax 0.9's cache READ of such an
+# entry later segfaults (PYTEST_RC=139) or poisons the XLA:CPU runtime
+# ("Buffer Definition Event ... not found" on unrelated deserialized
+# executables) — both observed 2026-08-20/21 (CLAUDE.md). The sentinel
+# below purges the cache whenever the previous run did not finish
+# cleanly: one cold re-warm instead of mysterious failures.
 _cache_dir = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_cache")
+_dirty_marker = os.path.join(_cache_dir, "_SUITE_IN_PROGRESS")
+if os.environ.get("PYTEST_XDIST_WORKER") is None:  # controller only
+    if os.path.exists(_dirty_marker):
+        import shutil
+
+        shutil.rmtree(_cache_dir, ignore_errors=True)
+    os.makedirs(_cache_dir, exist_ok=True)
+    with open(_dirty_marker, "w") as f:
+        f.write("purge .jax_cache if this file survives a run\n")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import pytest  # noqa: E402
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # Clean exit (even with test failures): cache entries are complete.
+    if os.environ.get("PYTEST_XDIST_WORKER") is None:
+        try:
+            os.remove(_dirty_marker)
+        except OSError:
+            pass
 
 
 @pytest.fixture(scope="session")
