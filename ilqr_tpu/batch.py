@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,11 @@ SAFE_ITER_CHUNK = 4
 MAX_WIDE_DISPATCH_B = 256
 WIDE_M_LANE_ITER_BUDGET = 256 * 80   # chunked_256_80, the proven max
 _WIDE_M_LEDGER = {"lane_iters": 0}
+# check+reserve must be atomic: a SolverService worker thread and a
+# main-thread solve_batch_wide (or two services) in one process would
+# otherwise both pass the check and jointly exceed the proven envelope
+# the ledger exists to enforce
+_WIDE_M_LOCK = threading.Lock()
 
 
 def _wide_m_budget() -> int:
@@ -86,20 +92,22 @@ def solve_batch_wide(
     B = int(x0.shape[0])
     projected = B * int(cfg.max_iter)
     budget = _wide_m_budget()
-    if _WIDE_M_LEDGER["lane_iters"] + projected > budget:
-        raise ValueError(
-            f"refusing a wide-m (m={model.m} > MAX_STAGE_KERNEL_M) TPU "
-            f"vmap solve of B={B} x max_iter={cfg.max_iter} = {projected}"
-            f" lane-iterations: this process has already executed "
-            f"{_WIDE_M_LEDGER['lane_iters']} and the proven per-process "
-            f"envelope is {budget} — beyond it the XLA:TPU worker "
-            "reproducibly crashes (a backend fault, not a repo bug: the "
-            "program is CPU-valid; BENCH_NOTES round 5, "
-            "experiments/m12_bisect.py). Lower B or max_iter, split the "
-            "work across processes (the experiments/run_round5a.sh "
-            "chain pattern), use the fused path (m <= MAX_FUSED_M), or "
-            "raise ILQR_TPU_WIDE_M_BUDGET after probing further.")
-    _WIDE_M_LEDGER["lane_iters"] += projected
+    with _WIDE_M_LOCK:
+        if _WIDE_M_LEDGER["lane_iters"] + projected > budget:
+            raise ValueError(
+                f"refusing a wide-m (m={model.m} > MAX_STAGE_KERNEL_M) "
+                f"TPU vmap solve of B={B} x max_iter={cfg.max_iter} = "
+                f"{projected} lane-iterations: this process has already "
+                f"executed {_WIDE_M_LEDGER['lane_iters']} and the proven "
+                f"per-process envelope is {budget} — beyond it the "
+                "XLA:TPU worker reproducibly crashes (a backend fault, "
+                "not a repo bug: the program is CPU-valid; BENCH_NOTES "
+                "round 5, experiments/m12_bisect.py). Lower B or "
+                "max_iter, split the work across processes (the "
+                "experiments/run_round5a.sh chain pattern), use the "
+                "fused path (m <= MAX_FUSED_M), or raise "
+                "ILQR_TPU_WIDE_M_BUDGET after probing further.")
+        _WIDE_M_LEDGER["lane_iters"] += projected
     sols = []
     for c in range(0, B, MAX_WIDE_DISPATCH_B):
         sl = slice(c, min(c + MAX_WIDE_DISPATCH_B, B))
@@ -179,10 +187,13 @@ def solve_batch(
     return jax.vmap(fn, in_axes=in_axes)(params, x0, u0)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _get_chunked_fns(model, cfg, iter_chunk, params_batched):
     """jitted (init, step, finish) for the chunked dispatch, cached per
-    static configuration (the jits then cache per input shape)."""
+    static configuration (the jits then cache per input shape). The
+    cache is BOUNDED: an experiments-style sweep over SolverConfig
+    variants would otherwise pin one compiled-executable triple per
+    distinct cfg for the process lifetime (host RSS grows per entry)."""
     from jax import lax
 
     from ilqr_tpu.solver import (

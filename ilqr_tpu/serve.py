@@ -184,16 +184,32 @@ def build_dispatch(model, params, cfg, dt, horizon, max_batch, *,
             )
 
             budget = _wide_m_budget()
-            min_work = MAX_WIDE_DISPATCH_B * int(cfg.max_iter)
+            # the smallest possible dispatch pads to min(max_batch,
+            # MAX_WIDE_DISPATCH_B) lanes (see _solve's pad_multiple
+            # rounding) — a 64-slot fleet spends 64 x max_iter per
+            # batch, not 256 x max_iter
+            min_lanes = min(mb, MAX_WIDE_DISPATCH_B)
+            min_work = min_lanes * int(cfg.max_iter)
             if min_work > budget:
                 raise ValueError(
                     f"wide-m serving (m={model.m} > "
                     f"{MAX_STAGE_KERNEL_M}) needs at least one "
-                    f"{MAX_WIDE_DISPATCH_B}-lane dispatch x max_iter="
+                    f"{min_lanes}-lane dispatch x max_iter="
                     f"{cfg.max_iter} = {min_work} lane-iterations per "
                     f"batch, but the per-process worker-fault budget is "
                     f"{budget} (BENCH_NOTES round 5) — lower max_iter, "
                     "or raise ILQR_TPU_WIDE_M_BUDGET after probing")
+            if mb > MAX_WIDE_DISPATCH_B and mb % MAX_WIDE_DISPATCH_B:
+                # every dispatch must be one of the pre-compiled shapes
+                # (multiples of MAX_WIDE_DISPATCH_B, sliced into
+                # MAX_WIDE_DISPATCH_B-lane chunks); a ragged max_batch
+                # would let a near-full batch dispatch a NEW tail shape
+                # and pay a 10-600 s remote compile inside a live
+                # request (the round-4 compile-storm failure mode)
+                raise ValueError(
+                    f"wide-m serving requires max_batch <= "
+                    f"{MAX_WIDE_DISPATCH_B} or a multiple of it, got "
+                    f"max_batch={mb}")
 
             def raw(x, u):
                 return solve_batch_wide(model, params, cfg, dt, x, u)
@@ -584,6 +600,37 @@ def build_resident_dispatch(model, params, cfg, dt, horizon, max_batch,
 
 
 
+def _validate_blob_problem(aot, model, dt, cfg, params):
+    """Blob↔service problem checks EVERY ``aot=`` route must run: the
+    executable bakes in the model dynamics, dt, and the whole
+    SolverConfig + params values — shape/topology checks alone would let
+    a mismatched blob silently serve wrong solutions (ADVICE r4). Kept in
+    one place because the round-5 review caught the resident+mesh route
+    re-implementing the checks and dropping the dt/model/max_iter leg."""
+    from ilqr_tpu.aot import problem_digest
+
+    for key, want in (("model", getattr(model, "name", None)),
+                      ("dt", float(dt)),
+                      ("max_iter", int(cfg.max_iter))):
+        got = aot.meta.get(key)
+        if got is not None and got != want:
+            raise ValueError(
+                f"AOT executable was compiled with {key}={got!r} but the "
+                f"service was constructed with {want!r}; recompile with "
+                "aot.compile_solver for this configuration")
+    # Deep check: params VALUES (goal, weights, limits) and the full
+    # SolverConfig, via digest. Legacy blobs (round 4, pre-digest) skip.
+    blob_digest = aot.meta.get("problem_digest")
+    if (blob_digest is not None
+            and blob_digest != problem_digest(params, cfg)):
+        raise ValueError(
+            "AOT executable was compiled for different params or "
+            "SolverConfig than this service was constructed with "
+            "(problem_digest mismatch) — the blob bakes those values "
+            "into the program; recompile with aot.compile_solver(model, "
+            "params, cfg, ...) for exactly this configuration")
+
+
 class SolverService:
     """Coalesce single-problem solve requests into batched device solves.
 
@@ -732,7 +779,7 @@ class SolverService:
                 # sharded resident blob: swap the freshly-built program
                 # for the deserialized executable (same layout — the
                 # builder's dmeta defines it; validate the blob matches)
-                from ilqr_tpu.aot import AotSolver, problem_digest
+                from ilqr_tpu.aot import AotSolver
                 from ilqr_tpu.aot import load as aot_load
 
                 if isinstance(aot, str):
@@ -771,13 +818,7 @@ class SolverService:
                     raise ValueError(
                         f"AOT blob x0 pin {aot.meta['x0_shape']} != "
                         f"({self._max_batch}, {model.n})")
-                blob_digest = aot.meta.get("problem_digest")
-                if (blob_digest is not None
-                        and blob_digest != problem_digest(params, cfg)):
-                    raise ValueError(
-                        "AOT blob problem_digest mismatch (different "
-                        "params or SolverConfig) — recompile for this "
-                        "configuration")
+                _validate_blob_problem(aot, model, dt, cfg, params)
                 compiled = aot.compiled
                 bspec = run.bspec
 
@@ -823,38 +864,7 @@ class SolverService:
                     f"AOT executable u0 shape {tuple(aot.meta['u0_shape'])} "
                     f"does not match (max_batch={self._max_batch}, "
                     f"T={self._T}, m={model.m})")
-            # The blob bakes in model dynamics, dt, and the solver config
-            # — shape checks alone would let a mismatched executable
-            # silently serve wrong solutions. Validate what meta records.
-            for key, want in (("model", getattr(model, "name", None)),
-                              ("dt", float(dt)),
-                              ("max_iter", int(cfg.max_iter))):
-                got_m = aot.meta.get(key)
-                if got_m is not None and got_m != want:
-                    raise ValueError(
-                        f"AOT executable was compiled with {key}={got_m!r} "
-                        f"but the service was constructed with {want!r}; "
-                        "recompile with aot.compile_solver for this "
-                        "configuration")
-            # Deep check: the blob bakes in the params VALUES (goal,
-            # weights, limits) and the whole SolverConfig, not just the
-            # fields above — compare digests (aot.problem_digest) so a
-            # mismatched blob errors here instead of silently serving
-            # solutions to a different problem. Legacy blobs (round 4,
-            # pre-digest) skip this check.
-            blob_digest = aot.meta.get("problem_digest")
-            if blob_digest is not None:
-                from ilqr_tpu.aot import problem_digest
-
-                want_d = problem_digest(params, cfg)
-                if blob_digest != want_d:
-                    raise ValueError(
-                        "AOT executable was compiled for different params "
-                        "or SolverConfig than this service was constructed "
-                        "with (problem_digest mismatch) — the blob bakes "
-                        "those values into the program; recompile with "
-                        "aot.compile_solver(model, params, cfg, ...) for "
-                        "exactly this configuration")
+            _validate_blob_problem(aot, model, dt, cfg, params)
             # mesh blobs require a matching mesh=, single-device blobs
             # forbid one — the executable's topology is baked in.
             blob_mesh = aot.meta.get("mesh")

@@ -49,8 +49,16 @@ import pytest  # noqa: E402
 
 
 def pytest_sessionfinish(session, exitstatus):
-    # Clean exit (even with test failures): cache entries are complete.
-    if os.environ.get("PYTEST_XDIST_WORKER") is None:
+    # Remove the marker ONLY on clean completion (0 = all passed,
+    # 1 = test failures — both mean every process exited normally and
+    # flushed its cache writes). An interrupted run (^C, exitstatus=2)
+    # or internal error still reaches this hook via pytest's finally
+    # block, but may have killed a worker mid-cache-write — leave the
+    # marker so the next run purges. Limitation (documented, accepted):
+    # two CONCURRENT suite runs see each other's marker and purge the
+    # live cache — don't run two suites at once.
+    if (os.environ.get("PYTEST_XDIST_WORKER") is None
+            and exitstatus in (0, 1)):
         try:
             os.remove(_dirty_marker)
         except OSError:

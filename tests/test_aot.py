@@ -481,3 +481,16 @@ def test_resident_mesh_aot_blob(tmp_path):
         SolverService(model, params, cfg, 0.05, T_, max_batch=MB,
                       path="vmap", warm=True, resident_slots=C * 2,
                       mesh=mesh, aot=blob, autostart=False)
+    # dt mismatch refused (round-5 review: this branch initially ran
+    # only the digest check, which does not cover dt — a dt-mismatched
+    # sharded resident blob would have silently served wrong solutions)
+    with pytest.raises(ValueError, match="compiled with"):
+        SolverService(model, params, cfg, 0.1, T_, max_batch=MB,
+                      path="vmap", warm=True, resident_slots=C,
+                      mesh=mesh, aot=blob, autostart=False)
+    # params mismatch refused through the shared digest leg
+    with pytest.raises(ValueError, match="problem_digest"):
+        SolverService(model, params._replace(goal=params.goal + 1.0),
+                      cfg, 0.05, T_, max_batch=MB, path="vmap",
+                      warm=True, resident_slots=C, mesh=mesh, aot=blob,
+                      autostart=False)

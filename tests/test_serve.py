@@ -670,9 +670,28 @@ def test_eager_wide_m_budget_validation(monkeypatch):
                        deriv_kernel="xla")
     with monkeypatch.context() as mp:
         mp.setattr(_jax, "default_backend", lambda: "tpu")
+        # max_batch=256 x max_iter=100 = 25600 > the 20480 budget: the
+        # smallest possible dispatch can never fit — refuse upfront
         with pytest.raises(ValueError, match="lane-iterations per"):
-            SolverService(model, params, cfg, 0.05, 8, max_batch=4,
+            SolverService(model, params, cfg, 0.05, 8, max_batch=256,
                           path="vmap", autostart=False)
+        # a SMALL fleet at the same max_iter is fine: dispatches pad to
+        # max_batch (4 lanes), spending 400 lane-iters per batch — the
+        # old check wrongly priced it at MAX_WIDE_DISPATCH_B lanes
+        # (round-5 review finding)
+        svc = SolverService(model, params, cfg, 0.05, 8, max_batch=4,
+                            path="vmap", autostart=False)
+        svc.close()
+        # max_batch > MAX_WIDE_DISPATCH_B must be a multiple of it:
+        # a ragged tail dispatch would compile a NEW program shape
+        # mid-serving (round-5 review finding)
+        small_cfg = SolverConfig(
+            deriv_mode="analytic", clamp_forward=True, max_iter=10,
+            boxqp_mode="pn_fixed", backward_kernel="xla",
+            rollout_kernel="xla", deriv_kernel="xla")
+        with pytest.raises(ValueError, match="multiple of it"):
+            SolverService(model, params, small_cfg, 0.05, 8,
+                          max_batch=300, path="vmap", autostart=False)
         # sharded vmap serving in the fault region is refused too
         from ilqr_tpu.parallel.mesh import make_mesh
         with pytest.raises(ValueError, match="worker-fault region"):
