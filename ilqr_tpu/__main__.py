@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["acrobot", "integrator", "double_integrator", "pendulum",
                  "cartpole", "bicycle", "free_flyer", "omni_thruster",
                  "point_mass_3d", "power_mass", "quadrotor",
-                 "thruster_ring", "thruster_ring16"],
+                 "thruster_ring", "thruster_ring16", "thruster_ring20",
+                 "thruster_ring24"],
         help="canonical workload to solve (ref: run_ilqr.cpp:8-12)",
     )
     p.add_argument("--dt", type=float, default=None,
@@ -127,9 +128,12 @@ _PROBLEMS = {
     # Mosaic compile)
     "thruster_ring16": dict(model="thruster_ring16", T=100, goal=None,
                             x0=(0.0,) * 6, dt=0.05),
-    # 20-thruster ring: AT the round-5 final MAX_FUSED_M = 20 cap
-    # (m20_fused row: 4,104 solves/s, 1,065 s Mosaic compile)
+    # 20-thruster ring (m20_fused row: 4,104 solves/s, 1,065 s compile)
     "thruster_ring20": dict(model="thruster_ring20", T=100, goal=None,
+                            x0=(0.0,) * 6, dt=0.05),
+    # 24-thruster ring: AT the round-5 final MAX_FUSED_M = 24 cap
+    # (m24_fused row: 2,616 solves/s, 2,166 s Mosaic compile — AOT it)
+    "thruster_ring24": dict(model="thruster_ring24", T=100, goal=None,
                             x0=(0.0,) * 6, dt=0.05),
 }
 

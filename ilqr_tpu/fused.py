@@ -20,9 +20,9 @@ interpretations the vmapped path already has:
 - the λ-escalation retry loop and the outer loop run until every live lane
   finishes, with converged/padded lanes frozen by masking.
 
-Requirements: m ≤ 20 with ``sweep_kernel="merged"`` (in-kernel QP: exact
+Requirements: m ≤ 24 with ``sweep_kernel="merged"`` (in-kernel QP: exact
 3^m active-set enumeration for m ≤ 4, fixed-shape projected Newton with
-masked unrolled Cholesky for 5 ≤ m ≤ 20, Newton when unconstrained; m == 1
+masked unrolled Cholesky for 5 ≤ m ≤ 24, Newton when unconstrained; m == 1
 also works with the split kernels), a model with SoA functions, f32. Both
 control-limited (``boxqp_mode`` auto/enum) and unconstrained
 (``use_control_limits=False``) problems are supported. Use

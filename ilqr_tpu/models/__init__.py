@@ -51,6 +51,7 @@ register(quadrotor.MODEL)
 register(thruster_ring.MODEL)
 register(thruster_ring.MODEL16)
 register(thruster_ring.MODEL20)
+register(thruster_ring.MODEL24)
 
 __all__ = [
     "Model",

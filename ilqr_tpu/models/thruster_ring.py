@@ -13,20 +13,21 @@ directions and both torque signs are reachable with one-sided actuators.
 Body force rotates into the world frame through θ — the only nonlinearity,
 giving fx live sin/cos entries.
 
-Two registered instances (``build_ring_model`` makes any multiple
-of 4):
+Registered instances (``build_ring_model`` makes any multiple of 4):
 
 - ``thruster_ring`` (M = 12): TPU-measured at 12,025-16,941 fused
   solves/s; also the workload for the wide-m vmap-route probes
   (the worker-fault bisect, BENCH_NOTES round 5).
 - ``thruster_ring16`` (M = 16): 6,474 fused solves/s, 750 s Mosaic
   compile (the round-5 compile-wall probe that raised the cap 12→16).
-- ``thruster_ring20`` (M = 20) sits AT the fused kernels' MAX_FUSED_M
-  = 20 cap (ops/pallas_sweep.py — the largest in-kernel
-  projected-Newton QP; measured 4,104 fused solves/s at 1,065 s Mosaic
-  compile). The contained any-m vmap route (batch.solve_batch_wide) is
-  exercised by dataclasses-widened test models past 20 and by these
-  models with path="vmap" pinned.
+- ``thruster_ring20`` (M = 20): 4,104 fused solves/s, 1,065 s compile.
+- ``thruster_ring24`` (M = 24) sits AT the fused kernels' MAX_FUSED_M
+  = 24 cap (ops/pallas_sweep.py — the largest in-kernel
+  projected-Newton QP; measured 2,616 fused solves/s at 2,166 s Mosaic
+  compile, B=1024 T=80 ≤40 iters — serve it via an AOT blob, the
+  compile is 36 min). The contained any-m vmap route
+  (batch.solve_batch_wide) is exercised by dataclasses-widened test
+  models past the cap and by these models with path="vmap" pinned.
 
 One-sided boxes + a linear fuel cost keep ~2/3 of the controls pinned at
 their lower bound, so the QP's active-set machinery does real work every
@@ -261,3 +262,4 @@ def build_ring_model(m_thrusters: int, name: str):
 MODEL, default_params = build_ring_model(12, "thruster_ring")
 MODEL16, default_params16 = build_ring_model(16, "thruster_ring16")
 MODEL20, default_params20 = build_ring_model(20, "thruster_ring20")
+MODEL24, default_params24 = build_ring_model(24, "thruster_ring24")

@@ -1,4 +1,4 @@
-"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 20).
+"""Merged linearize+backward Pallas kernel (m ≤ MAX_FUSED_M = 24).
 
 In the fused solver the linearization exists only to feed the backward
 recursion — nothing else reads it. Keeping them as two kernels costs a
@@ -21,7 +21,7 @@ The control-limited QP is solved exactly in-registers:
     adjugates are shared across the 81 candidates). Feedback rows come
     from the identity-padded free-subspace inverse, zeroed on clamped
     dims (ref :377-385).
-  - 5 ≤ m ≤ 20: fixed-shape projected Newton (the reference's own boxQP
+  - 5 ≤ m ≤ 24: fixed-shape projected Newton (the reference's own boxQP
     algorithm, src/boxqp.cpp:26-139) with the free-subspace solves
     through a masked unrolled Cholesky — 3^m enumeration explodes past
     m = 4 (see _qp_pn).
@@ -516,14 +516,17 @@ def _qp_newton(quuF, qu, m):
 # in-kernel QP unrolls O(m³) Cholesky ops × (m+6) Newton iterations per
 # timestep, and the measured compile trajectory is m=8: 146-209 s,
 # m=12: 386 s, m=16: 750 s (6,474 solves/s), m=20: 1,065 s
-# (4,104 solves/s) — all at B=1024 T=80, the round-5 m16_fused/m20_fused
-# rows. The wall grows ~quadratically and every probed width passed, so
-# the cap sits at the widest MEASURED width; past it use the vmap path
-# (batch.solve_batch routes it through the contained chunked dispatch
-# on TPU — see the worker-fault writeup in batch.py), or probe further
-# with experiments/m20_probe.py's pattern before raising.
+# (4,104 solves/s), m=24: 2,166 s (2,616 solves/s) — all at B=1024
+# T=80, the round-5 m{16,20,24}_fused rows. The wall STEEPENS past
+# m=20 (+1,101 s for the last 4-width step vs +315 before — compile an
+# m=24 model once and serve it via an AOT blob); every probed width
+# passed, so the cap sits at the widest MEASURED width. Past it use
+# the vmap path (batch.solve_batch routes it through the contained
+# chunked dispatch on TPU — see the worker-fault writeup in batch.py),
+# or probe further with experiments/m24_probe.py's pattern before
+# raising.
 
-MAX_FUSED_M = 20
+MAX_FUSED_M = 24
 
 
 def _chol_masked_tiles(q, free_f, m):

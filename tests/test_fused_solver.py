@@ -1038,12 +1038,12 @@ def test_fused_rejects_m_above_cap():
     from ilqr_tpu.fused import solve_batch_fused
     from ilqr_tpu.models import free_flyer as ff
 
-    m21 = dataclasses.replace(get_model("free_flyer"), m=21)
+    m25 = dataclasses.replace(get_model("free_flyer"), m=25)
     p = ff.default_params()
-    with pytest.raises(ValueError, match="m <= 20"):
-        solve_batch_fused(m21, p, SolverConfig(), 0.05,
+    with pytest.raises(ValueError, match="m <= 24"):
+        solve_batch_fused(m25, p, SolverConfig(), 0.05,
                           jnp.zeros((2, 6), jnp.float32),
-                          jnp.zeros((2, 4, 21), jnp.float32))
+                          jnp.zeros((2, 4, 25), jnp.float32))
 
 
 def test_fused_applicable_mirrors_guards():
@@ -1057,7 +1057,8 @@ def test_fused_applicable_mirrors_guards():
     assert fused_applicable(get_model("acrobot"), ok)
     assert fused_applicable(get_model("thruster_ring"), ok)
     assert fused_applicable(get_model("thruster_ring16"), ok)
-    assert fused_applicable(get_model("thruster_ring20"), ok)  # m=20 cap
+    assert fused_applicable(get_model("thruster_ring20"), ok)
+    assert fused_applicable(get_model("thruster_ring24"), ok)  # m=24 cap
     assert not fused_applicable(get_model("acrobot"),
                                 SolverConfig(full_ddp=True,
                                              deriv_mode="analytic"))

@@ -385,7 +385,7 @@ def test_free_solve_rows_m16_matches_padded_inverse():
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
 
 
-# --- m = 20 (the round-5 final MAX_FUSED_M cap) ---------------------------
+# --- m = 20 --------------------------------------------------------------
 
 
 @pytest.mark.parametrize("seed,scale", [(61, 1.0), (62, 3.0)])
@@ -418,3 +418,62 @@ def test_qp_pn_m20_matches_boxqp_pn_oracle(seed, scale):
                      bounds=list(zip(lo[b], hi[b])),
                      method="L-BFGS-B", tol=1e-14)
         np.testing.assert_allclose(x[b], r.x, atol=8e-3)
+
+
+# --- m = 24 (the round-5 final MAX_FUSED_M cap) ----------------------------
+#
+# Same oracle pair: boxqp_pn in f64 on every lane + scipy L-BFGS-B on a
+# lane subset (TPU-side evidence: the m24_fused row in
+# experiments/secondary_results.jsonl — 2,616 solves/s, 2,166 s compile).
+
+
+@pytest.mark.parametrize("seed,scale", [(71, 1.0), (72, 3.0)])
+def test_qp_pn_m24_matches_boxqp_pn_oracle(seed, scale):
+    from ilqr_tpu.ops.boxqp import boxqp_pn
+
+    m = 24
+    Q, g, lo, hi = _random_qps(seed, m=m, scale=scale)
+    k, free, bad = _qp_pn(_tiles_mat(Q), _tiles_vec(g),
+                          _tiles_vec(lo), _tiles_vec(hi), m)
+    assert not bool(jnp.any(bad))
+    x = np.stack([np.asarray(k[i]).reshape(B) for i in range(m)], -1)
+    assert (x >= lo - 1e-6).all() and (x <= hi + 1e-6).all()
+    ref = jax.vmap(boxqp_pn)(
+        jnp.asarray(Q, jnp.float64), jnp.asarray(g, jnp.float64),
+        jnp.asarray(lo, jnp.float64), jnp.asarray(hi, jnp.float64))
+    xo = np.asarray(ref.x)
+    v = (0.5 * np.einsum("bi,bij,bj->b", x, Q.astype(np.float64), x)
+         + np.einsum("bi,bi->b", g, x))
+    vo = (0.5 * np.einsum("bi,bij,bj->b", xo, Q.astype(np.float64), xo)
+          + np.einsum("bi,bi->b", g, xo))
+    assert (v - vo).max() < 2e-4, (v - vo).max()
+    np.testing.assert_allclose(x, xo, atol=8e-3)
+    from scipy.optimize import minimize
+    for b in range(0, B, 239):
+        Qb, gb = Q[b].astype(np.float64), g[b].astype(np.float64)
+        r = minimize(lambda z: 0.5 * z @ Qb @ z + z @ gb,
+                     np.clip(np.zeros(m), lo[b], hi[b]),
+                     jac=lambda z: Qb @ z + gb,
+                     bounds=list(zip(lo[b], hi[b])),
+                     method="L-BFGS-B", tol=1e-14)
+        np.testing.assert_allclose(x[b], r.x, atol=8e-3)
+
+
+def test_free_solve_rows_m24_matches_padded_inverse():
+    rng = np.random.default_rng(73)
+    m, n = 24, 6
+    Q, _g, _lo, _hi = _random_qps(73, m=m)
+    cols_np = rng.normal(size=(B, m, n)).astype(np.float32)
+    free_np = rng.uniform(size=(B, m)) > 0.4
+    free = [jnp.asarray(free_np[:, i].reshape(S, L)) for i in range(m)]
+    cols = [[jnp.asarray(cols_np[:, j, i].reshape(S, L)) for i in range(n)]
+            for j in range(m)]
+    out = _free_solve_rows(_tiles_mat(Q), free, cols, m)
+    got = np.stack([np.stack([np.asarray(out[j][i]).reshape(B)
+                              for i in range(n)], -1) for j in range(m)], -2)
+    eye = np.eye(m, dtype=np.float32)
+    mask = free_np[:, :, None] & free_np[:, None, :]
+    P = np.where(mask, Q, eye)
+    ref = -np.linalg.solve(P, cols_np)
+    ref = np.where(free_np[:, :, None], ref, 0.0)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)

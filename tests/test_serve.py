@@ -157,8 +157,8 @@ def test_fused_path_fails_fast_on_unsupported_model():
     import dataclasses
 
     model = get_model("double_integrator")
-    big_m = dataclasses.replace(model, name="m21", m=21)
-    with pytest.raises(ValueError, match="m <= 20"):
+    big_m = dataclasses.replace(model, name="m25", m=25)
+    with pytest.raises(ValueError, match="m <= 24"):
         SolverService(big_m, di.default_params(), CFG, dt=0.05, horizon=T,
                       path="fused", autostart=False)
     no_soa = dataclasses.replace(model, name="nosoa", dynamics_soa=None)
