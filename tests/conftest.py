@@ -48,17 +48,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import pytest  # noqa: E402
 
 
+_worker_crashed = [False]
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    # An xdist worker SEGFAULTED (observed 2026-08-21: gw3 died in
+    # test_warm_start_m2 during a cold-cache 4-worker run — the
+    # non-atomic cache-write race). It may have died mid-cache-write,
+    # so treat the cache as suspect: keep the marker below.
+    _worker_crashed[0] = True
+
+
 def pytest_sessionfinish(session, exitstatus):
     # Remove the marker ONLY on clean completion (0 = all passed,
     # 1 = test failures — both mean every process exited normally and
-    # flushed its cache writes). An interrupted run (^C, exitstatus=2)
-    # or internal error still reaches this hook via pytest's finally
-    # block, but may have killed a worker mid-cache-write — leave the
-    # marker so the next run purges. Limitation (documented, accepted):
-    # two CONCURRENT suite runs see each other's marker and purge the
-    # live cache — don't run two suites at once.
+    # flushed its cache writes) with no crashed workers. An interrupted
+    # run (^C, exitstatus=2) or internal error still reaches this hook
+    # via pytest's finally block, but may have killed a worker
+    # mid-cache-write — leave the marker so the next run purges.
+    # Limitation (documented, accepted): two CONCURRENT suite runs see
+    # each other's marker and purge the live cache — don't run two
+    # suites at once.
     if (os.environ.get("PYTEST_XDIST_WORKER") is None
-            and exitstatus in (0, 1)):
+            and exitstatus in (0, 1) and not _worker_crashed[0]):
         try:
             os.remove(_dirty_marker)
         except OSError:
